@@ -1,0 +1,198 @@
+"""Deterministic synthetic data generation (seeded, vectorized, no I/O deps).
+
+Mirrors the reference's synthetic-fixture strategy
+(``internal/processor/csv_processor_test.go:286-328`` builds a 1000-row
+uniform CSV in-process) but generalized to the engine's two tables
+(FIXTURES.md §1):
+
+- ``repos``          base table: (repo, path, commit, lang, content)
+- ``change_events``  ordered log: (lsn, ts, op, repo, path, commit, lang,
+                     content, schema_version, props)
+
+Generation knobs cover the mandated scenarios: duplicate delivery,
+bounded out-of-order delivery, delete / delete-then-reinsert sequences,
+Zipf-hot keys (popular repos), and schema-change markers. Everything is
+numpy-vectorized so multi-million-event bench inputs generate in seconds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+LANGS = np.array(["python", "go", "java", "rust", "ts", "sql", "md"])
+_EXT = {"python": "py", "go": "go", "java": "java", "rust": "rs", "ts": "ts", "sql": "sql", "md": "md"}
+
+EPOCH_2024 = pd.Timestamp("2024-01-01", tz=None)
+
+
+def _commit_hex(keys: pd.Series) -> pd.Series:
+    """Deterministic 40-hex 'commit' ids (vectorized-ish; hashlib per unique)."""
+    uniq = keys.unique()
+    table = {k: hashlib.sha1(k.encode()).hexdigest() for k in uniq}
+    return keys.map(table)
+
+
+def make_keys(n_keys: int, n_repos: int, seed: int = 42) -> pd.DataFrame:
+    """n_keys distinct (repo, path) pairs across n_repos repos.
+
+    Repo sizes are Zipf-ish so some repos own many paths (hot keys for the
+    apply stage — north_rule: 'salts hot keys (popular repos)').
+    """
+    rng = np.random.default_rng(seed)
+    # Zipf weights over repos
+    w = 1.0 / np.arange(1, n_repos + 1, dtype=np.float64)
+    w /= w.sum()
+    repo_idx = rng.choice(n_repos, size=n_keys, p=w)
+    repo = np.char.add("org", (repo_idx % 97).astype(str))
+    repo = np.char.add(np.char.add(repo, "/project"), repo_idx.astype(str))
+    lang = LANGS[rng.integers(0, len(LANGS), size=n_keys)]
+    ext = pd.Series(lang).map(_EXT).to_numpy(dtype=object)
+    path = np.char.add(
+        np.char.add(np.char.add("src/module", (np.arange(n_keys) % 37).astype(str)), "/file"),
+        np.char.add(np.arange(n_keys).astype(str), np.char.add(".", ext.astype(str))),
+    )
+    df = pd.DataFrame({"repo": repo, "path": path, "lang": lang})
+    # distinct-ify any collisions (repo sampled with replacement, path unique already)
+    return df
+
+
+def _content(repo: pd.Series, path: pd.Series, version: np.ndarray, min_len: int = 64) -> pd.Series:
+    """Deterministic pseudo-source text per (key, version)."""
+    base = "def handler_%d(x):\n    return x * %d  # " % (0, 0)  # noqa: F841 (shape doc)
+    body = (
+        "// v" + pd.Series(version.astype(str), index=repo.index)
+        + " " + repo.astype(str) + ":" + path.astype(str)
+        + "\n" + ("fn main() { let x = compute(); emit(x); } " * max(1, min_len // 40))
+    )
+    return body
+
+
+def gen_repos(n_keys: int = 1000, n_repos: int = 50, seed: int = 42) -> pd.DataFrame:
+    """Base `repos` table in exactly the input_hint shape."""
+    keys = make_keys(n_keys, n_repos, seed)
+    version = np.zeros(n_keys, dtype=np.int64)
+    content = _content(keys["repo"], keys["path"], version)
+    return pd.DataFrame(
+        {
+            "repo": keys["repo"],
+            "path": keys["path"],
+            "commit": _commit_hex(keys["repo"] + "@" + keys["path"] + "@0"),
+            "lang": keys["lang"],
+            "content": content,
+        }
+    )
+
+
+def gen_change_events(
+    n_events: int = 10_000,
+    n_keys: int = 1000,
+    n_repos: int = 50,
+    seed: int = 42,
+    delete_rate: float = 0.05,
+    duplicate_rate: float = 0.02,
+    shuffle_window: int = 50,
+    schema_change_lsns: list[int] | None = None,
+    content_min_len: int = 64,
+) -> pd.DataFrame:
+    """Ordered change-event log with duplicates, out-of-order delivery,
+    deletes (and hence delete-then-reinsert: a later I on a deleted key),
+    and optional SCHEMA markers.
+
+    Returned in **delivery order** (the row order of the frame); `lsn` is the
+    authoritative total order. Delivery order deviates from LSN order within
+    `shuffle_window` positions (bounded skew), and `duplicate_rate` of events
+    appear twice (at-least-once delivery).
+    """
+    rng = np.random.default_rng(seed)
+    keys = make_keys(n_keys, n_repos, seed)
+
+    # Zipf over keys: hot keys receive many updates
+    w = 1.0 / np.arange(1, n_keys + 1, dtype=np.float64) ** 1.1
+    w /= w.sum()
+    key_idx = rng.choice(n_keys, size=n_events, p=w)
+
+    lsn = np.arange(1, n_events + 1, dtype=np.int64)
+    # op: first touch of a key is I; subsequent are U except delete_rate D.
+    first_touch = np.zeros(n_events, dtype=bool)
+    seen: set[int] = set()
+    # vectorized "first occurrence" via pandas duplicated
+    first_touch = ~pd.Series(key_idx).duplicated().to_numpy()
+    del seen
+    op = np.where(first_touch, "I", np.where(rng.random(n_events) < delete_rate, "D", "U"))
+
+    repo = keys["repo"].to_numpy()[key_idx]
+    path = keys["path"].to_numpy()[key_idx]
+    lang = keys["lang"].to_numpy()[key_idx]
+
+    df = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "repo": repo,
+            "path": path,
+            "lang": lang,
+        }
+    )
+    df["ts"] = EPOCH_2024 + pd.to_timedelta(lsn * 37 + rng.integers(0, 29, n_events), unit="s")
+    version = lsn  # content version == lsn: unique content per event
+    content = _content(df["repo"], df["path"], version, min_len=content_min_len)
+    df["commit"] = _commit_hex(df["repo"] + "@" + df["path"] + "@" + pd.Series(version).astype(str))
+    df["content"] = content
+    is_del = df["op"].to_numpy() == "D"
+    df.loc[is_del, ["commit", "lang", "content"]] = None
+    df["schema_version"] = np.int32(1)
+    df["props"] = None
+
+    # SCHEMA markers at requested LSN positions
+    if schema_change_lsns:
+        rows = []
+        for i, at in enumerate(schema_change_lsns):
+            rows.append(
+                {
+                    "lsn": np.int64(at),
+                    "op": "SCHEMA",
+                    "repo": None,
+                    "path": None,
+                    "lang": None,
+                    "ts": EPOCH_2024 + pd.to_timedelta(int(at) * 37, unit="s"),
+                    "commit": None,
+                    "content": None,
+                    "schema_version": np.int32(2 + i),
+                    "props": '{"action": "add_column", "name": "extra_%d", "type": "long"}' % i,
+                }
+            )
+        df = pd.concat([df, pd.DataFrame(rows)], ignore_index=True)
+        df = df.sort_values("lsn", kind="stable").reset_index(drop=True)
+
+    # duplicates: resample some rows (exact redelivery)
+    n_dup = int(len(df) * duplicate_rate)
+    if n_dup:
+        dup_pos = rng.choice(len(df), size=n_dup, replace=False)
+        df = pd.concat([df, df.iloc[dup_pos]], ignore_index=True)
+
+    # bounded out-of-order delivery: jitter the delivery position
+    jitter = rng.integers(0, max(1, shuffle_window), size=len(df))
+    order = np.argsort(np.arange(len(df)) + jitter, kind="stable")
+    df = df.iloc[order].reset_index(drop=True)
+    df["schema_version"] = df["schema_version"].astype("int32")
+    df["lsn"] = df["lsn"].astype("int64")
+    return df
+
+
+def expected_final_state(events: pd.DataFrame) -> pd.DataFrame:
+    """Oracle: replay the log in LSN order → final (repo, path) state.
+
+    Per key, the event with max LSN wins; key survives iff that op != 'D'.
+    This is the pandas twin of the engine's W1 dedup + MERGE semantics,
+    mirroring the reference's idempotent-upsert convergence property
+    (``region_repository.go:38-42``).
+    """
+    ev = events[events["op"] != "SCHEMA"]
+    ev = ev.sort_values("lsn").drop_duplicates(["repo", "path"], keep="last")
+    live = ev[ev["op"] != "D"]
+    out = live[["repo", "path", "commit", "lang", "content"]].reset_index(drop=True)
+    out["content_sha"] = out["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)

@@ -1,0 +1,70 @@
+"""Ordered change-event log source (the engine's generalized input).
+
+The reference tails a large ordered record file through a bounded channel
+(``csv_extractor.go:106-126``); the engine tails an ordered change-event
+log stored as parquet (stand-in for a binlog/WAL topic — at cluster scale
+the same code reads an Iceberg/ Kafka source; only this module changes).
+
+Two access patterns:
+- **LSN-windowed incremental batches** (``batches_by_lsn``): deterministic,
+  replayable slices for the incremental batch driver — scan pruned by the
+  ``lsn`` range predicate (parquet min/max row-group stats make this cheap).
+- **Structured Streaming** (``read_stream``): file-source stream over the
+  log directory for the foreachBatch pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("schema_version", T.IntegerType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+class EventLog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+
+    def max_lsn(self) -> int:
+        row = self.read().agg(F.max("lsn").alias("m")).collect()[0]
+        return int(row["m"] or 0)
+
+    def lsn_range(self, lo: int, hi: int) -> DataFrame:
+        """Events with lo <= lsn < hi (pushed to the scan as min/max pruning)."""
+        return self.read().filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    def batches_by_lsn(self, batch_lsns: int, start_lsn: int = 0) -> Iterator[tuple[int, int, DataFrame]]:
+        """Yield (lo, hi, df) windows of width batch_lsns up to max lsn."""
+        hi_all = self.max_lsn() + 1
+        lo = start_lsn
+        while lo < hi_all:
+            hi = lo + batch_lsns
+            yield lo, hi, self.lsn_range(lo, hi)
+            lo = hi
+
+    def read_stream(self, max_files_per_trigger: int = 4) -> DataFrame:
+        return (
+            self.spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(self.path)
+        )

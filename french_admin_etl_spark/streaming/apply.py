@@ -1,0 +1,272 @@
+"""The CDC apply job: change-event batches → exactly-once MERGE into repos.
+
+This is the engine's industrialized version of the reference's whole
+pipeline (``cmd/main.go:110-120`` → processor → transformer → repository):
+
+  batch → validate-and-split (P4/P5/S9 analog)
+        → normalize + vectorized sha256 (U1 / input_hint)
+        → schema-epoch split on SCHEMA events (main.go's dimension-before-
+          fact DAG ordering, generalized)
+        → W1 max-LSN dedup (map-side-combining, skew-proof)
+        → MERGE INTO LakeTable with batch-id fencing (S6/S7/S8/T5)
+        → per-bucket lineage + throughput metrics (S10/A2/A3)
+
+Both drivers share ``apply_batch``:
+- ``run_incremental``: deterministic LSN-windowed batches with a JSON
+  checkpoint (replay from any checkpoint reconverges — north_rule).
+- ``run_stream``: Structured Streaming foreachBatch over the log directory
+  (file-source checkpointing; the same fence makes epoch replays no-ops).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.functions.hashing import content_sha, sha256_udf
+from french_admin_etl_spark.operators.dedup import dedup_max_seq
+from french_admin_etl_spark.operators.validate import validate_split
+from french_admin_etl_spark.sources.event_log import EventLog
+from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.table.lake_table import LakeTable, MergeStats, SchemaOp
+
+REPOS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("content_sha", T.StringType(), True),
+    ]
+)
+
+KEYS = ["repo", "path"]
+
+VALIDATION_RULES = {
+    "bad_op": F.col("op").isin("I", "U", "D"),
+    "null_key": F.col("repo").isNotNull() & F.col("path").isNotNull(),
+    "null_content": (F.col("op") == "D") | F.col("content").isNotNull(),
+}
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    n_events: int
+    n_rejects: int
+    merge: MergeStats | None
+    schema_evolutions: int
+    wall_ms: int
+
+
+class CDCApplyJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        dead_letter_dir: str | None = None,
+        lineage_dir: str | None = None,
+        use_pandas_sha: bool = True,
+        merge_mode: str = "overwrite",
+    ):
+        self.spark = spark
+        self.table = table
+        self.dead_letter_dir = dead_letter_dir
+        self.lineage_dir = lineage_dir
+        self.use_pandas_sha = use_pandas_sha
+        self.merge_mode = merge_mode
+
+    # ------------------------------------------------------------- per batch
+
+    def _normalize(self, df: DataFrame) -> DataFrame:
+        """Project to MERGE-source shape + derived sha (vectorized; never
+        per-row Python — input_hint)."""
+        sha = (
+            F.when(F.col("content").isNotNull(), sha256_udf(F.col("content")))
+            if self.use_pandas_sha
+            else F.when(F.col("content").isNotNull(), content_sha("content"))
+        )
+        logical = [
+            f["name"]
+            for f in self.table.snapshot()["schemas"][str(self.table.snapshot()["schema_version"])][
+                "fields"
+            ]
+        ]
+        cols = [F.col("lsn"), F.col("op")]
+        for c in logical:
+            if c == "content_sha":
+                cols.append(sha.alias("content_sha"))
+            elif c in df.columns:
+                cols.append(F.col(c))
+            else:  # column added by schema evolution, absent in older events
+                cols.append(F.lit(None).alias(c))
+        return df.select(*cols)
+
+    def _apply_schema_event(self, ev_row) -> bool:
+        """Apply one SCHEMA event idempotently: skip when the table has
+        already reached the event's schema_version (replay safety)."""
+        target_version = int(ev_row["schema_version"])
+        snap = self.table.snapshot()
+        if snap["schema_version"] >= target_version:
+            return False
+        props = json.loads(ev_row["props"])
+        action = props["action"]
+        if action == "add_column":
+            op = SchemaOp(action="add_column", name=props["name"], type=props["type"])
+        elif action == "widen":
+            op = SchemaOp(action="widen", name=props["name"], type=props["type"])
+        elif action == "rename_column":
+            op = SchemaOp(action="rename_column", from_name=props["from"], to_name=props["to"])
+        else:
+            raise ValueError(f"unknown schema action {action}")
+        self.table.evolve([op])
+        return True
+
+    def apply_batch(self, events: DataFrame, batch_id: int) -> BatchResult:
+        """Apply one micro-batch exactly-once. Replays are no-ops (fence)."""
+        t0 = time.monotonic()
+        events = events.cache()
+        n_events = events.count()
+
+        # 1. schema-change markers, applied in LSN order; data events split
+        #    into schema epochs so evolution lands between the right events
+        #    (SURVEY §7 hard-part 3).
+        schema_events = sorted(
+            events.filter(F.col("op") == "SCHEMA").collect(), key=lambda r: r["lsn"]
+        )
+        data = events.filter(F.col("op") != "SCHEMA")
+
+        # 2. validate-and-split (dead-letter rejects; batch survives — P5/S9)
+        valid, rejects = validate_split(data, VALIDATION_RULES)
+        n_rejects = rejects.count()
+        if n_rejects and self.dead_letter_dir:
+            rejects.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                self.dead_letter_dir
+            )
+
+        evolutions = 0
+        merge_stats: MergeStats | None = None
+        epochs: list[tuple[DataFrame, object]] = []
+        lo = None
+        for ev in schema_events:
+            epochs.append((valid.filter(F.col("lsn") < ev["lsn"]) if lo is None
+                           else valid.filter((F.col("lsn") >= lo) & (F.col("lsn") < ev["lsn"])), ev))
+            lo = ev["lsn"]
+        tail = valid if lo is None else valid.filter(F.col("lsn") >= lo)
+
+        sub = 0
+        for epoch_df, schema_ev in epochs:
+            merge_stats = self._merge_epoch(epoch_df, batch_id, sub, merge_stats)
+            sub += 1
+            if self._apply_schema_event(schema_ev):
+                evolutions += 1
+        merge_stats = self._merge_epoch(tail, batch_id, sub, merge_stats)
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        if self.lineage_dir and merge_stats is not None:
+            self._write_lineage(valid, batch_id, merge_stats, wall_ms)
+        events.unpersist()
+        return BatchResult(batch_id, n_events, n_rejects, merge_stats, evolutions, wall_ms)
+
+    def _merge_epoch(
+        self, df: DataFrame, batch_id: int, sub: int, prev: MergeStats | None
+    ) -> MergeStats | None:
+        """Dedup + MERGE one schema epoch. Sub-batches share the batch fence
+        through a composite id (batch_id * 1024 + sub) so replay skips
+        exactly the epochs already committed."""
+        normalized = self._normalize(df)
+        deduped = dedup_max_seq(normalized, KEYS, "lsn")
+        if not deduped.take(1):
+            return prev
+        stats = self.table.merge(
+            deduped,
+            seq_col="lsn",
+            op_col="op",
+            batch_id=batch_id * 1024 + sub,
+            mode=self.merge_mode,
+        )
+        if prev is not None and not stats.fenced:
+            stats.rows_upserted += prev.rows_upserted
+            stats.rows_deleted += prev.rows_deleted
+        return stats if not stats.fenced else (prev or stats)
+
+    def _write_lineage(
+        self, valid: DataFrame, batch_id: int, stats: MergeStats, wall_ms: int
+    ) -> None:
+        """Per-bucket lineage: LSN range + op counts (§1.5; the structured
+        version of csv_processor.go:131's throughput log line)."""
+        snap = self.table.snapshot()
+        nb = snap["num_buckets"]
+        lineage = (
+            valid.groupBy(
+                F.pmod(F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(nb)).cast("int").alias(
+                    "partition_id"
+                )
+            )
+            .agg(
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_applied"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("commit_snapshot_id", F.lit(stats.snapshot_version).cast("long"))
+            .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
+        )
+        lineage.write.mode("append").parquet(self.lineage_dir)
+
+    # ---------------------------------------------------------------- drivers
+
+    def run_incremental(
+        self,
+        log: EventLog,
+        checkpoint: CheckpointStore,
+        batch_lsns: int = 10_000,
+        max_batches: int | None = None,
+    ) -> list[BatchResult]:
+        """Deterministic LSN-windowed micro-batches with checkpoint resume.
+        Kill it anywhere; rerunning reconverges to the identical final state
+        (fence makes the replayed window a no-op)."""
+        state = checkpoint.load() or {"batch_id": 0, "next_lsn": 0}
+        results = []
+        hi_all = log.max_lsn() + 1
+        while state["next_lsn"] < hi_all:
+            if max_batches is not None and len(results) >= max_batches:
+                break
+            lo, hi = state["next_lsn"], state["next_lsn"] + batch_lsns
+            res = self.apply_batch(log.lsn_range(lo, hi), state["batch_id"])
+            results.append(res)
+            state = {"batch_id": state["batch_id"] + 1, "next_lsn": hi}
+            checkpoint.save(state)
+        return results
+
+    def run_stream(
+        self,
+        log: EventLog,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 4,
+    ) -> list[BatchResult]:
+        """Structured Streaming driver: foreachBatch over the log directory,
+        availableNow trigger (bounded replay), Spark-managed offsets +
+        table-side fence = exactly-once."""
+        results: list[BatchResult] = []
+
+        def handle(df: DataFrame, epoch_id: int) -> None:
+            results.append(self.apply_batch(df, int(epoch_id)))
+
+        q = (
+            log.read_stream(max_files_per_trigger)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return results

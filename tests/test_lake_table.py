@@ -1,0 +1,152 @@
+"""LakeTable: MERGE semantics, fencing, schema evolution, vacuum, conflict."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.table.lake_table import CommitConflict, LakeTable, SchemaOp
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "lsn long, op string, repo string, path string, content string"
+    )
+
+
+def _state(table):
+    return {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_root):
+    return LakeTable.create(spark, tmp_root + "/t", SCHEMA, ["repo", "path"], num_buckets=4)
+
+
+def test_insert_update_delete(spark, table):
+    table.merge(_src(spark, [(1, "I", "a", "f", "v1"), (2, "I", "b", "g", "w1")]), batch_id=0)
+    assert _state(table) == {("a", "f"): "v1", ("b", "g"): "w1"}
+    table.merge(_src(spark, [(3, "U", "a", "f", "v2"), (4, "D", "b", "g", None)]), batch_id=1)
+    assert _state(table) == {("a", "f"): "v2"}
+
+
+def test_stale_lsn_ignored_across_batches(spark, table):
+    table.merge(_src(spark, [(10, "I", "a", "f", "new")]), batch_id=0)
+    # an older event arrives in a LATER batch (out-of-order across batches)
+    table.merge(_src(spark, [(5, "U", "a", "f", "stale")]), batch_id=1)
+    assert _state(table) == {("a", "f"): "new"}
+
+
+def test_delete_tombstone_blocks_stale_resurrection(spark, table):
+    table.merge(_src(spark, [(10, "I", "a", "f", "v1")]), batch_id=0)
+    table.merge(_src(spark, [(20, "D", "a", "f", None)]), batch_id=1)
+    # stale pre-delete update must NOT resurrect the row
+    table.merge(_src(spark, [(15, "U", "a", "f", "zombie")]), batch_id=2)
+    assert _state(table) == {}
+    # but a genuinely newer reinsert revives it
+    table.merge(_src(spark, [(30, "I", "a", "f", "back")]), batch_id=3)
+    assert _state(table) == {("a", "f"): "back"}
+
+
+def test_delete_unseen_key_leaves_guarding_tombstone(spark, table):
+    table.merge(_src(spark, [(20, "D", "a", "f", None)]), batch_id=0)
+    assert _state(table) == {}
+    table.merge(_src(spark, [(10, "I", "a", "f", "late")]), batch_id=1)
+    assert _state(table) == {}  # late insert older than the delete
+
+
+def test_batch_fence_replay_noop(spark, table):
+    s1 = table.merge(_src(spark, [(1, "I", "a", "f", "v1")]), batch_id=7)
+    assert not s1.fenced and s1.rows_upserted == 1
+    s2 = table.merge(_src(spark, [(1, "I", "a", "f", "OTHER")]), batch_id=7)
+    assert s2.fenced
+    assert _state(table) == {("a", "f"): "v1"}
+
+
+def test_coalesce_merge_mode(spark, table):
+    """S7: partial-column merge — new non-null wins, old survives nulls."""
+    table.merge(_src(spark, [(1, "I", "a", "f", "v1")]), batch_id=0)
+    table.merge(_src(spark, [(2, "U", "a", "f", None)]), batch_id=1, mode="coalesce")
+    assert _state(table) == {("a", "f"): "v1"}  # null did not clobber
+    table.merge(_src(spark, [(3, "U", "a", "f", "v3")]), batch_id=2, mode="coalesce")
+    assert _state(table) == {("a", "f"): "v3"}
+
+
+def test_bucket_pruning_rewrites_only_touched_buckets(spark, table):
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}") for i in range(1, 41)]
+    table.merge(_src(spark, rows), batch_id=0)
+    before = {g["bucket"]: g["files"] for g in table.snapshot()["file_groups"]}
+    stats = table.merge(_src(spark, [(100, "U", "r1", "p1", "new")]), batch_id=1)
+    after = {g["bucket"]: g["files"] for g in table.snapshot()["file_groups"]}
+    assert stats.buckets_touched == 1
+    unchanged = [b for b in before if before[b] == after.get(b)]
+    assert len(unchanged) == len(before) - 1  # all other buckets carried by reference
+
+
+def test_schema_evolution_add_widen_rename(spark, table):
+    table.merge(_src(spark, [(1, "I", "a", "f", "v1")]), batch_id=0)
+    table.evolve([SchemaOp(action="add_column", name="stars", type="int")])
+    # old files upgraded on read: stars is null
+    assert table.read().select("stars").collect()[0]["stars"] is None
+    src2 = spark.createDataFrame(
+        [(2, "I", "b", "g", "w1", 5)],
+        "lsn long, op string, repo string, path string, content string, stars int",
+    )
+    table.merge(src2, batch_id=1)
+    got = {r["repo"]: r["stars"] for r in table.read().collect()}
+    assert got == {"a": None, "b": 5}
+    table.evolve([SchemaOp(action="widen", name="stars", type="bigint")])
+    assert dict(table.read().dtypes)["stars"] == "bigint"
+    table.evolve([SchemaOp(action="rename_column", from_name="content", to_name="body")])
+    assert {r["repo"]: r["body"] for r in table.read().collect()} == {"a": "v1", "b": "w1"}
+    # illegal ops
+    with pytest.raises(ValueError):
+        table.evolve([SchemaOp(action="widen", name="stars", type="int")])
+    with pytest.raises(ValueError):
+        table.evolve([SchemaOp(action="rename_column", from_name="repo", to_name="x")])
+
+
+def test_time_travel_and_history(spark, table):
+    table.merge(_src(spark, [(1, "I", "a", "f", "v1")]), batch_id=0)
+    v_after_first = table.current_version()
+    table.merge(_src(spark, [(2, "U", "a", "f", "v2")]), batch_id=1)
+    assert table.read(version=v_after_first).collect()[0]["content"] == "v1"
+    assert table.read().collect()[0]["content"] == "v2"
+    assert len(table.history()) == table.current_version()
+
+
+def test_vacuum_tombstones(spark, table):
+    table.merge(_src(spark, [(1, "I", "a", "f", "v1"), (2, "I", "b", "g", "w1")]), batch_id=0)
+    table.merge(_src(spark, [(3, "D", "a", "f", None)]), batch_id=1)
+    raw_before = table.read_raw().count()
+    assert raw_before == 2  # one live + one tombstone
+    table.vacuum_tombstones(watermark_lsn=10)
+    assert table.read_raw().count() == 1
+    assert _state(table) == {("b", "g"): "w1"}
+
+
+def test_commit_conflict(spark, table):
+    snap = table.snapshot()
+    clash = dict(snap)
+    clash["version"] = snap["version"] + 1
+    table._commit(clash)
+    with pytest.raises(CommitConflict):
+        table._commit(clash)
+
+
+def test_overwrite_bootstrap(spark, table):
+    base = spark.createDataFrame(
+        [("a", "f", "boot")], "repo string, path string, content string"
+    )
+    table.overwrite(base)
+    assert _state(table) == {("a", "f"): "boot"}
+    # CDC events with lsn > 0 win over the bootstrap load
+    table.merge(_src(spark, [(1, "U", "a", "f", "after")]), batch_id=0)
+    assert _state(table) == {("a", "f"): "after"}
