@@ -179,7 +179,8 @@ def gen_change_events(
     df = df.iloc[order].reset_index(drop=True)
     df["schema_version"] = df["schema_version"].astype("int32")
     df["lsn"] = df["lsn"].astype("int64")
-    return df
+    # canonical column order == sources.event_log.EVENT_SCHEMA
+    return df[["lsn", "ts", "op", "repo", "path", "commit", "lang", "content", "schema_version", "props"]]
 
 
 def expected_final_state(events: pd.DataFrame) -> pd.DataFrame:

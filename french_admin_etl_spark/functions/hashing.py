@@ -23,10 +23,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-@F.pandas_udf(T.StringType())
-def sha256_udf(s: pd.Series) -> pd.Series:
-    """Arrow-batched sha256 hex digest; None -> None."""
-    return s.map(lambda v: hashlib.sha256(v.encode()).hexdigest() if v is not None else None)
+_sha256_udf_cached = None
+
+
+def sha256_udf(col):
+    """Arrow-batched sha256 hex digest pandas UDF; None -> None.
+
+    Constructed lazily (UDF registration needs a live session) from a local
+    closure so cloudpickle serializes it BY VALUE — executors never need the
+    package importable (works with or without spark-submit --py-files)."""
+    global _sha256_udf_cached
+    if _sha256_udf_cached is None:
+        def _batch(s: pd.Series) -> pd.Series:
+            import hashlib as _h
+            return s.map(lambda v: _h.sha256(v.encode()).hexdigest() if v is not None else None)
+
+        _sha256_udf_cached = F.pandas_udf(_batch, T.StringType())
+    return _sha256_udf_cached(col)
 
 
 def content_sha(col: str | Column, jvm: bool = True) -> Column:

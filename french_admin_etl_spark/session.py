@@ -36,6 +36,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores if cores else (os.cpu_count() or 8)
 
+    # make this package importable on executor python workers (local mode
+    # inherits env, cluster mode uses spark-submit --py-files instead)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -49,11 +49,14 @@ REPOS_SCHEMA = T.StructType(
 
 KEYS = ["repo", "path"]
 
-VALIDATION_RULES = {
-    "bad_op": F.col("op").isin("I", "U", "D"),
-    "null_key": F.col("repo").isNotNull() & F.col("path").isNotNull(),
-    "null_content": (F.col("op") == "D") | F.col("content").isNotNull(),
-}
+def validation_rules() -> dict:
+    """Engine-mandated invariants before apply (the CHECK-constraint analog,
+    migrations/000005:5-37): built lazily — Column exprs need a live session."""
+    return {
+        "bad_op": F.col("op").isin("I", "U", "D"),
+        "null_key": F.col("repo").isNotNull() & F.col("path").isNotNull(),
+        "null_content": (F.col("op") == "D") | F.col("content").isNotNull(),
+    }
 
 
 @dataclass
@@ -144,7 +147,7 @@ class CDCApplyJob:
         data = events.filter(F.col("op") != "SCHEMA")
 
         # 2. validate-and-split (dead-letter rejects; batch survives — P5/S9)
-        valid, rejects = validate_split(data, VALIDATION_RULES)
+        valid, rejects = validate_split(data, validation_rules())
         n_rejects = rejects.count()
         if n_rejects and self.dead_letter_dir:
             rejects.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
