@@ -1,0 +1,208 @@
+"""Replay-equivalence golden tests (SURVEY §5 engine strategy):
+streamed vs one-batch vs checkpoint-restart must converge to the identical
+final state, verified by per-row content sha256 equality — the reference's
+idempotent-upsert property T5 promoted to the acceptance criterion, plus
+the BASELINE.json mandated scenarios."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.datagen import expected_final_state, gen_change_events
+from french_admin_etl_spark.sources.event_log import EVENT_SCHEMA, EventLog
+from french_admin_etl_spark.streaming.apply import KEYS, REPOS_SCHEMA, CDCApplyJob
+from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+
+def _write_log(spark, tmp_root, ev):
+    log_dir = os.path.join(tmp_root, "events")
+    spark.createDataFrame(ev, schema=EVENT_SCHEMA).write.mode("overwrite").parquet(log_dir)
+    return EventLog(spark, log_dir)
+
+
+def _mk(spark, tmp_root, name="repos", **job_kw):
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, name), REPOS_SCHEMA, KEYS, num_buckets=8
+    )
+    return table, CDCApplyJob(spark, table, **job_kw)
+
+
+def _sha_state(table):
+    return {(r["repo"], r["path"]): r["content_sha"] for r in table.read().collect()}
+
+
+def _oracle_state(ev):
+    o = expected_final_state(ev)
+    return {(r.repo, r.path): r.content_sha for r in o.itertuples()}
+
+
+@pytest.fixture(scope="module")
+def events():
+    return gen_change_events(
+        n_events=2000, n_keys=300, seed=11, duplicate_rate=0.04, delete_rate=0.08, shuffle_window=60
+    )
+
+
+def test_one_shot_batch_matches_oracle(spark, tmp_root, events):
+    log = _write_log(spark, tmp_root, events)
+    table, job = _mk(spark, tmp_root)
+    res = job.apply_batch(log.read(), batch_id=0)
+    assert res.merge is not None and not res.merge.fenced
+    assert _sha_state(table) == _oracle_state(events)
+
+
+def test_incremental_batches_match_oracle(spark, tmp_root, events):
+    log = _write_log(spark, tmp_root, events)
+    table, job = _mk(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "ckpt.json"))
+    results = job.run_incremental(log, ckpt, batch_lsns=500)
+    assert len(results) == 5  # windows [0,500) .. [2000,2500): lsn 1..2000
+    assert _sha_state(table) == _oracle_state(events)
+
+
+def test_checkpoint_restart_reconverges(spark, tmp_root, events):
+    """Kill after 2 batches, LOSE the last checkpoint write, restart."""
+    log = _write_log(spark, tmp_root, events)
+    table, job = _mk(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "ckpt.json"))
+    job.run_incremental(log, ckpt, batch_lsns=500, max_batches=2)
+    state = ckpt.load()
+    state["next_lsn"] -= 500
+    state["batch_id"] -= 1
+    ckpt.save(state)  # simulate crash between table commit and checkpoint
+    results = job.run_incremental(log, ckpt, batch_lsns=500)
+    assert any(r.merge is not None and r.merge.fenced for r in results[:1])
+    assert _sha_state(table) == _oracle_state(events)
+
+
+def test_full_replay_is_noop(spark, tmp_root, events):
+    log = _write_log(spark, tmp_root, events)
+    table, job = _mk(spark, tmp_root)
+    job.run_incremental(log, CheckpointStore(os.path.join(tmp_root, "c1.json")), batch_lsns=500)
+    v = table.current_version()
+    job.run_incremental(log, CheckpointStore(os.path.join(tmp_root, "c2.json")), batch_lsns=500)
+    assert _sha_state(table) == _oracle_state(events)
+    # fenced merges create no new snapshots
+    assert table.current_version() == v
+
+
+def test_delete_then_reinsert_within_one_batch(spark, tmp_root):
+    """SURVEY §7 hard-part 2: max-LSN dedup must keep the reinsert."""
+    rows = [
+        (1, "I", "a", "f", "x1"),
+        (2, "D", "a", "f", None),
+        (3, "I", "a", "f", "x3"),  # reinsert after delete, same batch
+        (4, "I", "b", "g", "y1"),
+        (5, "D", "b", "g", None),  # ends deleted
+    ]
+    ev = spark.createDataFrame(
+        [(l, None, op, r, p, None, None, c, 1, None) for (l, op, r, p, c) in rows],
+        schema=EVENT_SCHEMA,
+    )
+    table, job = _mk(spark, tmp_root)
+    job.apply_batch(ev, batch_id=0)
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got == {("a", "f"): "x3"}
+
+
+def test_out_of_order_across_batches(spark, tmp_root):
+    """Event delivered one batch LATE must not clobber newer state."""
+    table, job = _mk(spark, tmp_root)
+    b0 = [(10, "I", "a", "f", "new10")]
+    b1 = [(7, "U", "a", "f", "old7"), (12, "U", "b", "g", "first12")]
+    for i, rows in enumerate([b0, b1]):
+        ev = spark.createDataFrame(
+            [(l, None, op, r, p, None, None, c, 1, None) for (l, op, r, p, c) in rows],
+            schema=EVENT_SCHEMA,
+        )
+        job.apply_batch(ev, batch_id=i)
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got == {("a", "f"): "new10", ("b", "g"): "first12"}
+
+
+def test_mid_stream_schema_change(spark, tmp_root):
+    """SURVEY §7 hard-part 3: SCHEMA event interleaved with data events for
+    both schema versions, inside ONE batch — epochs apply in LSN order."""
+    table, job = _mk(spark, tmp_root)
+    rows = [
+        (1, "I", "a", "f", "v1", 1, None),
+        (2, "SCHEMA", None, None, None, 2, '{"action": "add_column", "name": "stars", "type": "int"}'),
+        (3, "U", "a", "f", "v3", 2, None),
+        (4, "I", "b", "g", "w1", 2, None),
+    ]
+    ev = spark.createDataFrame(
+        [(l, None, op, r, p, None, None, c, sv, props) for (l, op, r, p, c, sv, props) in rows],
+        schema=EVENT_SCHEMA,
+    )
+    res = job.apply_batch(ev, batch_id=0)
+    assert res.schema_evolutions == 1
+    snap = table.snapshot()
+    assert snap["schema_version"] == 2
+    cols = [f["name"] for f in snap["schemas"]["2"]["fields"]]
+    assert "stars" in cols
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got == {("a", "f"): "v3", ("b", "g"): "w1"}
+    # replaying the same batch is fully fenced even though it contains an
+    # evolution (idempotent schema apply + per-epoch fence)
+    res2 = job.apply_batch(ev, batch_id=0)
+    assert res2.schema_evolutions == 0 and (res2.merge is None or res2.merge.fenced)
+
+
+def test_rejects_dead_lettered_batch_survives(spark, tmp_root):
+    """P5/S9: bad rows quarantined with reasons; good rows applied."""
+    dead = os.path.join(tmp_root, "dead")
+    table, job = _mk(spark, tmp_root, dead_letter_dir=dead)
+    rows = [
+        (1, "I", "a", "f", "ok", 1, None),
+        (2, "X", "a", "g", "badop", 1, None),
+        (3, "I", None, "h", "nullkey", 1, None),
+        (4, "I", "b", "i", None, 1, None),  # null content on insert
+    ]
+    ev = spark.createDataFrame(
+        [(l, None, op, r, p, None, None, c, sv, props) for (l, op, r, p, c, sv, props) in rows],
+        schema=EVENT_SCHEMA,
+    )
+    res = job.apply_batch(ev, batch_id=0)
+    assert res.n_rejects == 3
+    assert {(r["repo"], r["path"]) for r in table.read().collect()} == {("a", "f")}
+    dl = spark.read.parquet(dead)
+    reasons = {r["_reject_reason"] for r in dl.collect()}
+    assert reasons == {"bad_op", "null_key", "null_content"}
+
+
+def test_determinism_across_parallelism(spark, tmp_root, events):
+    """Reference pattern csv_processor_test.go:49-71 (worker counts 1/2/4)
+    re-expressed as shuffle-partition counts: identical final state."""
+    states = []
+    for i, parts in enumerate([1, 4]):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            log = _write_log(spark, tmp_root, events)
+            table, job = _mk(spark, tmp_root, name=f"repos_p{parts}")
+            job.run_incremental(
+                log, CheckpointStore(os.path.join(tmp_root, f"c{i}.json")), batch_lsns=700
+            )
+            states.append(_sha_state(table))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert states[0] == states[1] == _oracle_state(events)
+
+
+def test_streaming_driver_matches_oracle(spark, tmp_root, events):
+    """Structured Streaming foreachBatch driver (availableNow) over the log
+    directory written as multiple files → same final state."""
+    log_dir = os.path.join(tmp_root, "events_multi")
+    (
+        spark.createDataFrame(events, schema=EVENT_SCHEMA)
+        .repartition(6)
+        .write.mode("overwrite")
+        .parquet(log_dir)
+    )
+    log = EventLog(spark, log_dir)
+    table, job = _mk(spark, tmp_root)
+    results = job.run_stream(log, os.path.join(tmp_root, "sckpt"), max_files_per_trigger=2)
+    assert len(results) >= 3  # several micro-batches
+    assert _sha_state(table) == _oracle_state(events)
