@@ -16,16 +16,20 @@ from pyspark.sql import functions as F
 
 
 def normalize_decimal(col: str | Column) -> Column:
-    """F1+F2: ','→'.' then cast to double (commune_population_princ.go:66-68)."""
+    """F1+F2: ','→'.' then cast to double (commune_population_princ.go:66-68).
+
+    try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast THROW
+    on malformed input, but the reference's semantics are drop-on-error
+    (ParseFloat error ⇒ skip row) — null-out and let validate_split reject."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, ",", ".").cast("double")
+    return F.regexp_replace(c, ",", ".").try_cast("double")
 
 
 def parse_round_int(col: str | Column) -> Column:
     """F1-F3: normalize decimal separator, parse, round-half-up to int
     (commune_population_princ.go:66-73; math.Round on the non-negative
     domain == Spark HALF_UP round)."""
-    return F.round(normalize_decimal(col)).cast("int")
+    return F.round(normalize_decimal(col)).try_cast("int")
 
 
 def valid_code(col: str | Column, allowed: list[str] | None = None, length: int | None = None) -> Column:

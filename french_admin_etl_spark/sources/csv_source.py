@@ -27,6 +27,10 @@ def read_csv_stream_shaped(
     """Explicit-schema CSV scan (never inferSchema in the engine proper —
     SURVEY §1.4). dead_letter=True returns (good, corrupt) built from ONE
     permissive scan instead of dropping malformed rows silently."""
+    # CSV column pruning makes zero-column plans (e.g. count()) skip parsing
+    # entirely, silently keeping malformed rows — the reference's arity check
+    # (csv_extractor.go:77-84) must hold regardless of the consuming query.
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     if not dead_letter:
         return (
             spark.read.option("delimiter", delimiter)

@@ -1,0 +1,123 @@
+"""Unit tests per operator (SURVEY §2), mirroring the reference's
+layer-isolated table-driven style (§5)."""
+
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.functions.hashing import content_sha, sha256_udf
+from french_admin_etl_spark.functions.normalize import (
+    normalize_decimal,
+    parse_round_int,
+    valid_code,
+)
+from french_admin_etl_spark.operators.dedup import dedup_max_seq, dedup_max_seq_window
+from french_admin_etl_spark.operators.filters import allow_list_filter
+from french_admin_etl_spark.operators.pivot import pivot_last_write_wins
+from french_admin_etl_spark.operators.salting import add_salt, hot_keys
+from french_admin_etl_spark.operators.validate import validate_split
+
+
+def test_allow_list_filter(spark):
+    """CsvRecordFilter semantics (CsvRecordFilter_test.go:20-335)."""
+    df = spark.createDataFrame(
+        [("COM", "a"), ("ARM", "b"), ("DEP", "c"), ("com", "d")], "geo string, v string"
+    )
+    # AND across columns, IN within column
+    assert allow_list_filter(df, {"geo": ["COM", "ARM"]}).count() == 2
+    # empty allow-list accepts all
+    assert allow_list_filter(df, {}).count() == 4
+    # case-sensitive
+    assert allow_list_filter(df, {"geo": ["com"]}).count() == 1
+    # missing column rejects everything
+    assert allow_list_filter(df, {"nope": ["x"]}).count() == 0
+    # conjunction
+    assert allow_list_filter(df, {"geo": ["COM", "DEP"], "v": ["a"]}).count() == 1
+
+
+def test_dedup_both_strategies_agree(spark):
+    rows = [(k, l, f"v{l}") for k in ["a", "b", "c"] for l in [3, 1, 2]] + [("a", 9, "v9")]
+    df = spark.createDataFrame(rows, "k string, lsn long, v string")
+    got1 = {(r["k"], r["v"]) for r in dedup_max_seq(df, ["k"]).collect()}
+    got2 = {(r["k"], r["v"]) for r in dedup_max_seq_window(df, ["k"]).collect()}
+    assert got1 == got2 == {("a", "v9"), ("b", "v3"), ("c", "v3")}
+    assert dedup_max_seq(df, ["k"]).columns == df.columns
+
+
+def test_dedup_exact_duplicate_redelivery(spark):
+    df = spark.createDataFrame(
+        [("a", 5, "x"), ("a", 5, "x"), ("a", 5, "x")], "k string, lsn long, v string"
+    )
+    out = dedup_max_seq(df, ["k"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "x"
+
+
+def test_validate_split_reasons_in_rule_order(spark):
+    df = spark.createDataFrame(
+        [(1, "ok"), (None, "nullid"), (2, None), (None, None)], "id int, name string"
+    )
+    valid, rejects = validate_split(
+        df, {"null_id": F.col("id").isNotNull(), "null_name": F.col("name").isNotNull()}
+    )
+    assert valid.count() == 1
+    reasons = sorted(r["_reject_reason"] for r in rejects.collect())
+    # (None,None) fails BOTH → first rule in order wins
+    assert reasons == ["null_id", "null_id", "null_name"]
+
+
+def test_pivot_last_write_wins(spark):
+    """A1: the reference's 33-cell scatter, reduced to 2×2 (age×sex folded
+    into one pivot key), with explicit LSN order."""
+    rows = [
+        ("c1", 2020, "Y_T", 10.0, 1),
+        ("c1", 2020, "Y_T", 99.0, 5),  # later seq overwrites
+        ("c1", 2020, "Y_M", 4.0, 2),
+        ("c2", 2021, "Y_T", 7.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "code string, annee int, cell string, pop double, lsn long")
+    out = pivot_last_write_wins(
+        df, ["code", "annee"], "cell", ["Y_T", "Y_M"], "pop", seq_col="lsn"
+    )
+    got = {(r["code"], r["annee"]): (r["Y_T"], r["Y_M"], r["entity_count"]) for r in out.collect()}
+    assert got == {("c1", 2020): (99.0, 4.0, 3), ("c2", 2021): (7.0, None, 1)}
+
+
+def test_normalize_and_casts(spark):
+    """F1-F6 against the reference's parse rules (commune_population_princ.go:38-82)."""
+    df = spark.createDataFrame(
+        [("34,527109", "2020", "75056"), ("7.2", "bad", "123")],
+        "obs string, year string, geo string",
+    )
+    out = df.select(
+        normalize_decimal("obs").alias("d"),
+        parse_round_int("obs").alias("i"),
+        F.col("year").try_cast("int").alias("y"),  # F4: Atoi error ⇒ null ⇒ drop
+        valid_code("geo", length=5).alias("vlen"),
+    ).collect()
+    assert out[0]["d"] == 34.527109 and out[0]["i"] == 35 and out[0]["y"] == 2020
+    assert out[0]["vlen"] is True
+    assert out[1]["i"] == 7 and out[1]["y"] is None and out[1]["vlen"] is False
+    # round-half-up matches Go math.Round on the non-negative domain
+    half = spark.createDataFrame([("2,5",), ("3,5",)], "obs string")
+    assert [r["i"] for r in half.select(parse_round_int("obs").alias("i")).collect()] == [3, 4]
+
+
+def test_sha256_udf_equals_jvm_sha2(spark):
+    df = spark.createDataFrame([("hello",), (None,), ("Ω unicode",)], "c string")
+    out = df.select(
+        sha256_udf(F.col("c")).alias("py"), content_sha("c").alias("jvm")
+    ).collect()
+    for r in out:
+        assert r["py"] == r["jvm"]
+
+
+def test_hot_keys_and_salt(spark):
+    rows = [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, lsn long")
+    hk = hot_keys(df, ["k"], sample_fraction=0.5, min_share=0.5, seed=1).collect()
+    assert [r["k"] for r in hk] == ["hot"]
+    salted = add_salt(df, 8)
+    vals = {r["_salt"] for r in salted.select("_salt").distinct().collect()}
+    assert vals.issubset(set(range(8))) and len(vals) > 1
+    # deterministic across invocations (replay-safe)
+    again = {r["lsn"]: r["_salt"] for r in add_salt(df, 8).collect()}
+    first = {r["lsn"]: r["_salt"] for r in salted.collect()}
+    assert again == first
