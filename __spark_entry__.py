@@ -18,9 +18,21 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from french_admin_etl_spark.functions.text import bpe_ish_token_count, lang_id
 from french_admin_etl_spark.operators.dedup import dedup_max_seq
 from french_admin_etl_spark.operators.filters import allow_list_filter
+from french_admin_etl_spark.operators.multimodal import media_metadata
 from french_admin_etl_spark.operators.pivot import pivot_last_write_wins
+from french_admin_etl_spark.operators.similarity import (
+    near_dup_pairs_cosine,
+    signature_bucket_ann,
+)
+from french_admin_etl_spark.operators.textdedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash32,
+)
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -242,6 +254,76 @@ def e1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-hit argmax heuristic (functions.text.lang_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def t6_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs, digit runs, single punct."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+def d1_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: 16-hash MinHash signature → 4-band LSH
+    (operators.textdedup). md5-based hashing so the oracle is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+
+
+def d2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-shingle Jaccard similarity pairs ≥ 0.5 (LSH verifier path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (operators.textdedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text")
+
+
+def e2_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-bucket LSH pruning then exact cosine top-10
+    (operators.similarity.signature_bucket_ann)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    out = signature_bucket_ann(corpus, q, k=10, bits=8)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+def e3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-bucket blocking + cosine ≥ 0.25."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = near_dup_pairs_cosine(emb, threshold=0.25, bits=4)
+    return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
+def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass: opaque binary payload → byte length,
+    magic prefix, content hash — no decode, scan-speed (operators.multimodal).
+    Payload synthesized from document text (no media libs in container)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = media_metadata(media)
+    return out.select(
+        "media_id", "n_bytes", F.lower("magic_hex").alias("magic_hex"), "sha256"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the engine's CDC final-state semantics at sf0.001."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -264,7 +346,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_exact_dedup": t3_exact_dedup,
         "t5_fingerprint": t5_fingerprint,
         "e1_knn_bruteforce": e1_knn_bruteforce,
+        "t4_lang_id": t4_lang_id,
+        "t6_bpe_tokens": t6_bpe_tokens,
+        "d1_minhash_lsh_pairs": d1_minhash_lsh_pairs,
+        "d2_jaccard_pairs": d2_jaccard_pairs,
+        "d3_simhash": d3_simhash,
+        "e2_ann_bucket": e2_ann_bucket,
+        "e3_embedding_near_dup": e3_embedding_near_dup,
+        "m1_media_metadata": m1_media_metadata,
     }
+
+
+# ----------------------------------------------------- oracle SQL fragments
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SHINGLES3 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(t) - 2, 1)), "
+    "i -> array_to_string(list_slice(t, i, i + 2), ' ')))"
+)
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+    """
+
+
+def _lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 50) -> str:
+    r = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_minhash_sig_sql(num_hashes)},
+        banded AS ({band_selects}),
+        bsz AS (
+          SELECT band_id, band_hash FROM banded
+          GROUP BY band_id, band_hash
+          HAVING count(*) > 1 AND count(*) <= {max_bucket}
+        ),
+        sized AS (SELECT banded.* FROM banded JOIN bsz USING (band_id, band_hash))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b USING (band_id, band_hash)
+        WHERE a.doc_id < b.doc_id
+    """
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n             ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(32)
+    )
+    sim = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        hashed AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+        ),
+        bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits
+    """
+
+
+_LANGS_SQL = {
+    "en": "['the','and','of','to','in','is','that','it','for','with']",
+    "fr": "['le','la','les','de','des','et','est','que','pour','dans']",
+    "de": "['der','die','das','und','ist','von','mit','nicht','ein','zu']",
+    "es": "['el','la','los','de','y','es','que','para','con','una']",
+}
+
+
+def _lang_id_sql() -> str:
+    scores = ", ".join(
+        f"len(list_intersect(dt, {_LANGS_SQL[lg]})) AS s_{lg}" for lg in sorted(_LANGS_SQL)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
+        scored AS (SELECT doc_id, {scores} FROM toks)
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                    WHEN s_es > greatest(s_de, s_en) THEN 'es'
+                    WHEN s_en > s_de THEN 'en'
+                    ELSE 'de' END AS lang_guess
+        FROM scored
+    """
+
+
+def _bucket_sql(col: str, bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -400,5 +580,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
             FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "t4_lang_id": _lang_id_sql(),
+        "t6_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "d1_minhash_lsh_pairs": _lsh_pairs_sql(),
+        "d2_jaccard_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(c / (na.n + nb.n - c), 4) AS jaccard_r
+            FROM common
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE c / (na.n + nb.n - c) >= 0.5
+        """,
+        "d3_simhash": _simhash_sql(),
+        "e2_ann_bucket": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_bucket_sql("embedding", 8)} AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT embedding AS q_emb, bucket AS qbucket FROM b WHERE vec_id = 0),
+            cand AS (
+              SELECT b.vec_id, b.embedding, q.q_emb FROM b, q
+              WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+            ),
+            pairs AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(q_emb)::DOUBLE AS y
+              FROM cand
+            ),
+            sims AS (
+              SELECT vec_id, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos_sim
+              FROM pairs GROUP BY vec_id
+            )
+            SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
+            FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "e3_embedding_near_dup": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {_bucket_sql("embedding", 4)} AS bucket
+              FROM embeddings
+            ),
+            cand AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.embedding AS ea, b.embedding AS eb
+              FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ),
+            pairs AS (
+              SELECT id_a, id_b, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
+              FROM cand
+            ),
+            sims AS (
+              SELECT id_a, id_b,
+                     sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos_sim
+              FROM pairs GROUP BY id_a, id_b
+            )
+            SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim_r
+            FROM sims WHERE cos_sim >= 0.25
+        """,
+        "m1_media_metadata": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+                   sha256(text) AS sha256
+            FROM documents
         """,
     }

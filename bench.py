@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and, as the engine headline, a full CDC
+apply of a deterministic synthetic change-event log (datagen → LakeTable
+MERGE replay, the north_rule job) sized proportionally to the scale
+factor. Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carry the CDC throughput (events/sec) so BENCH_r{N}.json can
+be compared against BASELINE.md's target metric directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from french_admin_etl_spark.session import get_spark
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.0
+
+
+def _force(df) -> int:
+    """Execute the full plan (noop sink: no collect/driver transfer cost)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        t0 = time.monotonic()
+        _force(df)
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_cdc_apply(spark, sf: float, workdir: str, n_batches: int = 4) -> dict:
+    """The headline: replay a synthetic ordered change log into the lake
+    table via exactly-once MERGE micro-batches; report events/sec applied."""
+    from french_admin_etl_spark.datagen import gen_change_events
+    from french_admin_etl_spark.sources.event_log import EVENT_SCHEMA, EventLog
+    from french_admin_etl_spark.streaming.apply import KEYS, REPOS_SCHEMA, CDCApplyJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    n_events = max(50_000, int(10_000_000 * sf))
+    n_keys = max(5_000, n_events // 10)
+    pdf = gen_change_events(n_events=n_events, n_keys=n_keys, n_repos=max(50, n_keys // 100))
+    log_dir = os.path.join(workdir, "event_log")
+    spark.createDataFrame(pdf, schema=EVENT_SCHEMA).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+
+    table_root = os.path.join(workdir, "repos_table")
+    table = LakeTable.create(
+        spark, table_root, schema=REPOS_SCHEMA, key_cols=KEYS, num_buckets=32
+    )
+    job = CDCApplyJob(spark, table, use_pandas_sha=True)
+    log = EventLog(spark, log_dir)
+    ckpt = CheckpointStore(os.path.join(workdir, "ckpt.json"))
+
+    t0 = time.monotonic()
+    results = job.run_incremental(log, ckpt, batch_lsns=max(1, n_events // n_batches) + 1)
+    wall = time.monotonic() - t0
+    applied = sum(r.n_events for r in results)
+    final_rows = table.read().count()
+    return {
+        "cdc_events": applied,
+        "cdc_wall_sec": round(wall, 3),
+        "cdc_events_per_sec": round(applied / wall, 1),
+        "cdc_batches": len(results),
+        "cdc_final_rows": final_rows,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    spark = get_spark("bench")
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        t_all = time.monotonic()
+        qtimes = bench_queries(spark, sf_dir)
+        cdc = bench_cdc_apply(spark, sf, workdir)
+        total = round(time.monotonic() - t_all, 3)
+        out = {
+            "metric": "total_bench_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {**qtimes, "cdc_apply": cdc["cdc_wall_sec"]},
+            "sf": sf,
+            **cdc,
+            "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

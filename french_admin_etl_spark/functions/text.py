@@ -1,0 +1,99 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` Column expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path (input_hint mandate; the
+reference's scalar-transform seam is ``internal/model/transformers.go:4-6``).
+Each function has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql``.
+
+Scale note: every expression here is embarrassingly parallel per-row —
+no shuffle, no skew exposure; at 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists (public, language-characteristic function
+# words). The heuristic scores text by stopword hits per language and picks
+# the argmax — the classic cheap language-ID baseline (n-gram/function-word
+# profiling, Cavnar & Trenkle 1994).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "para", "con", "una"],
+}
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: str | Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens (the unit for shingling / stopword scoring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"\S+"), 0))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single punctuation
+    each count as one token (a cheap proxy for subword tokenizer load)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
+
+
+def stopword_hits(col: str | Column, lang: str) -> Column:
+    """Number of distinct stopwords of ``lang`` present in the text."""
+    toks = F.array_distinct(tokens(col))
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Cheap language ID: argmax of per-language stopword hits; 'und'
+    (undetermined) when no list scores > 0. Ties break by language-code
+    order (deterministic)."""
+    scored = None
+    best = None
+    for lg in sorted(STOPWORDS):
+        hits = stopword_hits(col, lg)
+        if scored is None:
+            scored, best = hits, F.lit(lg)
+        else:
+            better = hits > scored
+            best = F.when(better, F.lit(lg)).otherwise(best)
+            scored = F.when(better, hits).otherwise(scored)
+    return F.when(scored > 0, best).otherwise(F.lit("und"))
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """Quality-scoring features: length, alpha/space/punct ratios, mean
+    token length — the usual cheap pre-filters for web-scale corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    n1 = F.greatest(n, F.lit(1))
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    n_space = F.length(F.regexp_replace(c, "[^ ]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    n_tok = token_count(c)
+    return {
+        "n_chars": n,
+        "n_tokens": n_tok,
+        "alpha_ratio": n_alpha / n1,
+        "space_ratio": n_space / n1,
+        "punct_ratio": n_punct / n1,
+        "mean_token_len": (n - n_space) / F.greatest(n_tok, F.lit(1)),
+    }
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Canonical document fingerprint: md5 of whitespace-collapsed,
+    lowercased text (exact-dup detection robust to whitespace noise)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

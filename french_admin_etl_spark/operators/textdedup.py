@@ -1,0 +1,193 @@
+"""Near-duplicate detection for document corpora: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+All four are pure DataFrame compositions (explode → hash → groupBy →
+self-join); no Python UDFs anywhere, so the whole pipeline stays inside
+whole-stage codegen and scales by adding executors.
+
+Scale design (the part that matters at 100 TB):
+
+- Exact dedup is one hash-aggregate on the fingerprint — map-side partial
+  aggregation makes the shuffle carry one row per distinct fingerprint per
+  map task, not per input row.
+- MinHash signatures are computed with ONE explode + ONE groupBy carrying
+  H ``min()`` aggregates (H ≈ 16): again map-side combinable, so shuffle
+  volume is |docs| × H hashes regardless of document length.
+- LSH banding turns the quadratic all-pairs problem into a groupBy on
+  (band_id, band_hash): only documents agreeing on a full band meet in a
+  shuffle partition. Candidate pairs are emitted per-bucket; buckets are
+  tiny by construction (hash equality on r concatenated minhashes), so the
+  per-bucket self-join never sees skew unless the corpus has massive true
+  duplicate classes — those are capped via ``max_bucket`` (documents in
+  an over-full bucket are still deduped transitively through the exact
+  fingerprint path).
+- n-gram Jaccard (the verifier for LSH candidates) joins on shingle — at
+  scale you run it ONLY on LSH candidate pairs, never all-pairs; the
+  all-pairs form here is the small-scale oracle twin.
+
+Hash choice: ``md5`` (hex string) rather than ``xxhash64``, deliberately —
+md5 exists verbatim in DuckDB/Trino/Flink SQL, which makes every step
+oracle-checkable bit-for-bit (``__spark_entry__.oracle_sql``). Min over
+hex strings = min over the 128-bit integers (fixed-width lexicographic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.functions.text import fingerprint, tokens
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Texts shorter than ``n`` tokens
+    yield one whole-text shingle (greatest(size-n+1, 1) start positions)."""
+    toks = tokens(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the whitespace-normalized fingerprint: one canonical
+    (min id) survivor per distinct content + the duplicate count."""
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias("canonical_" + id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .withColumnRenamed("_fp", "fingerprint")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: ``mh_i = min(md5(i || '|' || shingle))``.
+
+    One explode + one combinable groupBy; signature width ``num_hashes``.
+    """
+    sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_sh")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """LSH banding over a MinHash signature → candidate near-dup pairs.
+
+    Signature splits into ``bands`` bands of ``num_hashes // bands`` rows;
+    band hash = md5 of the concatenated minhashes. Two documents are a
+    candidate pair iff they agree on at least one full band. Buckets larger
+    than ``max_bucket`` are dropped (degenerate dup classes — handled by
+    exact dedup) so no self-join quadratic blowup on pathological data.
+    """
+    r = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for other in band_rows[1:]:
+        banded = banded.unionByName(other)
+
+    sized = banded.join(
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter((F.col("_bsz") > 1) & (F.col("_bsz") <= max_bucket)),
+        ["band_id", "band_hash"],
+    )
+    a = sized.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    b = sized.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    |A∩B| via a self-join on shingle; |A|,|B| from per-doc shingle counts;
+    J = common / (|A| + |B| − common). QUADRATIC in dup-class size — at
+    scale, feed it LSH candidate pairs (semi-join ``sh`` against
+    ``lsh_candidate_pairs`` output) instead of the full corpus.
+    """
+    sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    common = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens (with
+    multiplicity). Token hash = first 8 hex chars of md5 → int; simhash
+    bit j is 1 iff the (count-weighted) sum of (2·bit_j − 1) over tokens
+    is positive.
+
+    One explode + one groupBy with 32 combinable sums + a fold — stays
+    JVM-side. Near-dups then cluster by hamming distance on the int.
+    """
+    tok = df.select(id_col, F.explode(tokens(text_col)).alias("_t"))
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("_h", h)
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{j}")
+        for j in range(32)
+    ]
+    bits = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(32):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return bits.select(id_col, sim.alias("simhash"))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

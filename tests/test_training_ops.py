@@ -1,0 +1,213 @@
+"""Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+Jaccard), similarity search, text analysis, multimodal plumbing.
+
+Strategy mirrors the reference's structural-assertion style
+(``internal/transformers/csv_transformer_test.go``): tiny planted fixtures
+with known dup/nn structure, assert the operator recovers it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from french_admin_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_image_features,
+    media_metadata,
+    sample_video_frames,
+)
+from french_admin_etl_spark.operators.similarity import (
+    cosine_topk,
+    near_dup_pairs_cosine,
+    sign_bucket,
+    signature_bucket_ann,
+)
+from french_admin_etl_spark.operators.textdedup import (
+    exact_dedup,
+    hamming32,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash32,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different text about spark shuffle partitions and join skew"),
+    (4, "THE  quick brown fox jumps over the lazy dog near the river bank today"),  # ws/case dup of 1
+    (5, "le chat est dans la maison et le chien est dans le jardin pour la nuit"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_collapses_whitespace_case(docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    by_canon = {r["canonical_doc_id"]: r["n_copies"] for r in out.collect()}
+    assert by_canon[1] == 2  # docs 1 and 4 share a fingerprint
+    assert by_canon[2] == 1 and by_canon[3] == 1 and by_canon[5] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    assert len(sig.columns) == 17
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup lands in ≥1 band
+    assert not any(3 in p or 5 in p for p in pairs)  # distinct docs don't
+
+
+def test_jaccard_verifies_pairs(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    assert out[(1, 4)] == 1.0  # identical shingle sets
+    assert 0.5 < out[(1, 2)] < 1.0
+    assert (1, 3) not in out
+
+
+def test_simhash_clusters_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash32(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[4]  # token multiset identical after lower/split
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert d12 < d13  # near-dup closer in hamming space than unrelated doc
+    assert all(0 <= v < 2**32 for v in sh.values())
+
+
+def test_hamming32_column(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], ["a", "b"])
+    assert df.select(hamming32(F.col("a"), F.col("b")).alias("h")).first()["h"] == 2
+
+
+def test_lang_id_heuristic(docs):
+    out = {r["doc_id"]: r["lang_guess"] for r in
+           docs.select("doc_id", lang_id("text").alias("lang_guess")).collect()}
+    assert out[1] == "en" and out[5] == "fr"
+
+
+def test_text_feature_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2 done.")], ["id", "text"])
+    row = df.select(
+        token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+        fingerprint("text").alias("fp"),
+        *[v.alias(k) for k, v in quality_features("text").items()],
+    ).first()
+    assert row["ws"] == 4
+    # Hello , world ! x 2 done .  → 8 BPE-ish tokens
+    assert row["bpe"] == 8
+    assert row["fp"] == hashlib.md5(b"hello, world! x2 done.").hexdigest()
+    assert row["n_chars"] == 22 and row["n_tokens"] == 4
+    assert 0 < row["alpha_ratio"] < 1 and row["punct_ratio"] > 0
+
+
+# ------------------------------------------------------------- similarity
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.5, 0.2]),
+    (1, [0.9, 0.1, 0.5, 0.2]),   # nearest to 0, same sign pattern
+    (2, [-1.0, 0.3, -0.5, 0.1]),  # different bucket
+    (3, [0.8, 0.0, 0.4, 0.3]),   # same bucket as 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"]).cache()
+
+
+def _query(vecs):
+    return vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_bruteforce_topk_order(vecs):
+    out = cosine_topk(vecs.filter("vec_id != 0"), _query(vecs), k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_sign_bucket_deterministic(vecs):
+    got = {r["vec_id"]: r["b"] for r in
+           vecs.select("vec_id", sign_bucket("embedding", 4).alias("b")).collect()}
+    # bits: component i>0 → bit i. vec0: dims 1,3,4 positive (idx 0,2,3) → 0b1101
+    assert got[0] == 0b1101 and got[1] == 0b1111 and got[2] == 0b1010
+    assert got[3] == 0b1101
+
+
+def test_ann_bucket_prunes_but_finds_same_bucket_nn(vecs):
+    out = signature_bucket_ann(
+        vecs.filter("vec_id != 0"), _query(vecs), k=5, bits=4
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 3 in ids and 2 not in ids  # bucket pruning removed vec 2
+
+
+def test_near_dup_pairs_blocking(vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             near_dup_pairs_cosine(vecs, threshold=0.9, bits=4).collect()}
+    assert (0, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG" + b"a" * 100),
+        (2, "image", "image/png", b"\x89PNG" + b"b" * 200),
+        (3, "video", "video/mp4", b"\x00\x00ftyp" + b"c" * 300),
+        (4, "image", "image/png", None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).cache()
+
+
+def test_media_metadata_scan_only(media):
+    out = {r["media_id"]: r for r in media_metadata(media).collect()}
+    assert out[1]["n_bytes"] == 104
+    assert out[1]["magic_hex"] == "89504E47"
+    assert out[1]["sha256"] == hashlib.sha256(b"\x89PNG" + b"a" * 100).hexdigest()
+    assert out[4]["n_bytes"] is None
+
+
+def test_image_feature_extraction_stub(media):
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert set(out) == {1, 2, 4}  # images only; null payload propagates nulls
+    assert out[1]["sha256"] == hashlib.sha256(b"\x89PNG" + b"a" * 100).hexdigest()
+    assert len(out[1]["feature"]) == 8
+    assert 64 <= out[1]["width"] < 256 and 64 <= out[1]["height"] < 256
+    assert out[4]["width"] is None
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert again[2]["feature"] == out[2]["feature"]
+
+
+def test_image_decode_stub_gate(media):
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        extract_image_features(media, decode_stub=False).collect()
+
+
+def test_video_frame_sampling(media):
+    frames = sample_video_frames(media, every_nth=30).collect()
+    assert all(r["media_id"] == 3 for r in frames)
+    idxs = sorted(r["frame_idx"] for r in frames)
+    assert idxs[0] == 0 and all(i % 30 == 0 for i in idxs)
+    assert len({r["frame_sha"] for r in frames}) == len(frames)
