@@ -324,6 +324,22 @@ def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a3_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defusing two-phase aggregation (operators.salting.add_salt):
+    salted partial counts → final rollup. Result is identical to the direct
+    groupBy — the oracle proves the rewrite is semantics-preserving."""
+    from french_admin_etl_spark.operators.salting import add_salt
+
+    ev = _t(spark, sf_dir, "events")
+    salted = add_salt(ev, n_salts=8, entropy_col="event_id")
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("value").alias("_v")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("_c").alias("n_events"), F.round(F.sum("_v"), 4).alias("sum_value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the engine's CDC final-state semantics at sf0.001."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -354,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_ann_bucket": e2_ann_bucket,
         "e3_embedding_near_dup": e3_embedding_near_dup,
         "m1_media_metadata": m1_media_metadata,
+        "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
     }
 
 
@@ -648,6 +665,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim_r
             FROM sims WHERE cos_sim >= 0.25
+        """,
+        "a3_salted_two_phase_agg": """
+            SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id
         """,
         "m1_media_metadata": """
             SELECT doc_id AS media_id,

@@ -69,9 +69,10 @@ def bench_cdc_apply(spark, sf: float, workdir: str, n_batches: int = 4) -> dict:
 
     table_root = os.path.join(workdir, "repos_table")
     table = LakeTable.create(
-        spark, table_root, schema=REPOS_SCHEMA, key_cols=KEYS, num_buckets=32
+        spark, table_root, schema=REPOS_SCHEMA, key_cols=KEYS, num_buckets=32,
+        write_mode="mor",
     )
-    job = CDCApplyJob(spark, table, use_pandas_sha=True)
+    job = CDCApplyJob(spark, table)
     log = EventLog(spark, log_dir)
     ckpt = CheckpointStore(os.path.join(workdir, "ckpt.json"))
 

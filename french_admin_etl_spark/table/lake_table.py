@@ -12,12 +12,18 @@ table format with exactly those properties:
 
 Design for 100 TB:
 
-- **Hash-bucketed copy-on-write.** Every row belongs to bucket
-  ``pmod(xxhash64(key...), num_buckets)``. A MERGE only reads and rewrites
-  the buckets its source batch touches (bucket pruning mirrors Iceberg
-  partition/file pruning); untouched file groups are carried by reference
-  into the new snapshot. At cluster scale num_buckets is sized so one
-  bucket ≈ one task's worth of data.
+- **Hash-bucketed, two write modes.** Every row belongs to bucket
+  ``pmod(xxhash64(key...), num_buckets)``. In **copy-on-write** ('cow'), a
+  MERGE only reads and rewrites the buckets its source batch touches
+  (bucket pruning mirrors Iceberg partition/file pruning); untouched file
+  groups are carried by reference into the new snapshot. In
+  **merge-on-read** ('mor', the CDC scale path), a MERGE appends the
+  deduped batch as delta file groups — O(batch) write, no target read, no
+  join — and reads resolve max-LSN per key across base+delta;
+  ``compact()`` (auto past ``compact.max-delta-files``) folds deltas back.
+  At 10^10 events, COW's per-micro-batch rewrite is O(table × batches) —
+  MOR is how Hudi/Paimon/Iceberg-MOR make the same trade. At cluster
+  scale num_buckets is sized so one bucket ≈ one task's worth of data.
 - **Atomic commit / optimistic concurrency.** A snapshot JSON names the
   complete set of live files. Writers stage data files first, then attempt
   an exclusive create of the next version file; a loser raises
@@ -119,8 +125,23 @@ class LakeTable:
         key_cols: list[str],
         num_buckets: int = 16,
         properties: dict | None = None,
+        write_mode: str = "cow",
     ) -> "LakeTable":
-        """CREATE TABLE: logical schema only (internal cols added physically)."""
+        """CREATE TABLE: logical schema only (internal cols added physically).
+
+        write_mode:
+        - 'cow' (copy-on-write): MERGE joins source against the touched
+          buckets and rewrites them — reads stay single-pass, writes cost
+          O(touched table data) per batch.
+        - 'mor' (merge-on-read): MERGE appends the deduped source as DELTA
+          file groups — writes cost O(batch); reads resolve max-LSN per key
+          across base+delta, and ``compact()`` (auto-triggered past
+          ``compact.max-delta-files``) folds deltas back into the base.
+          This is the CDC-ingest scale path: at 10^10 events, rewriting
+          every touched bucket per micro-batch is O(table x batches).
+        """
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write_mode {write_mode}")
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -131,6 +152,7 @@ class LakeTable:
             "schema_ops": [],
             "key_cols": key_cols,
             "num_buckets": num_buckets,
+            "write_mode": write_mode,
             "file_groups": [],
             "properties": dict(properties or {}),
             "parent": None,
@@ -208,9 +230,20 @@ class LakeTable:
                 raise ValueError(f"unknown schema op {op.action}")
         return df
 
-    def read_raw(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+    def read_raw(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        resolve: bool = True,
+    ) -> DataFrame:
         """All physical rows (incl. tombstones + internal cols), optionally
-        pruned to a bucket subset (the MERGE fast path)."""
+        pruned to a bucket subset (the MERGE fast path).
+
+        On a 'mor' table with outstanding deltas, rows are RESOLVED by
+        default: per key, the max-``_lsn`` row across base+delta wins
+        (bucket pruning is safe before resolution — a key's rows all share
+        one bucket). ``resolve=False`` exposes the raw multiplicity (used
+        by compaction metrics/debugging)."""
         snap = self.snapshot(version)
         cur_v = snap["schema_version"]
         groups = snap["file_groups"]
@@ -233,7 +266,16 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         # column order normalized to current schema
-        return out.select(*[f.name for f in phys_cur.fields])
+        out = out.select(*[f.name for f in phys_cur.fields])
+        if resolve and any(g.get("delta") for g in groups):
+            cols = out.columns
+            payload = F.struct(*[F.col(c) for c in cols])
+            out = (
+                out.groupBy(*snap["key_cols"])
+                .agg(F.max_by(payload, F.col("_lsn")).alias("_r"))
+                .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+            )
+        return out
 
     def read(self, version: int | None = None) -> DataFrame:
         """Logical view: live rows, logical columns (SELECT * semantics)."""
@@ -328,6 +370,11 @@ class LakeTable:
         logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
         data_cols = [c for c in logical if c not in keys]
 
+        if snap.get("write_mode", "cow") == "mor":
+            return self._merge_mor(
+                source, snap, seq_col, op_col, batch_id, extra_properties
+            )
+
         src = source.withColumn("_bucket", _bucket_expr(keys, nb))
         touched = sorted(r[0] for r in src.select("_bucket").distinct().collect())
         tgt = self.read_raw(buckets=touched)
@@ -404,6 +451,111 @@ class LakeTable:
             len(touched),
         )
 
+    def _merge_mor(
+        self,
+        source: DataFrame,
+        snap: dict,
+        seq_col: str,
+        op_col: str,
+        batch_id: int | None,
+        extra_properties: dict | None,
+    ) -> MergeStats:
+        """Merge-on-read apply: append the (pre-deduped) source as delta
+        file groups — NO read of the target, NO join; write cost is
+        O(batch) regardless of table size. Deletes become tombstone rows;
+        the read path resolves max-LSN per key. Counts report source ops
+        applied (upserts/deletes in the batch), since the net effect
+        against current state is unknowable without reading it."""
+        keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
+        data_cols = [c for c in logical if c not in keys]
+        phys = self._schema_at(snap, sv)
+
+        is_del = F.col(op_col) == F.lit("D")
+        out_cols = [F.col(k) for k in keys]
+        for c in data_cols:
+            out_cols.append(
+                F.when(is_del, F.lit(None).cast(phys[c].dataType)).otherwise(F.col(c)).alias(c)
+            )
+        out_cols.append(F.col(seq_col).cast("long").alias("_lsn"))
+        out_cols.append(is_del.alias("_deleted"))
+
+        obs = Observation()
+        delta = (
+            source.select(*out_cols)
+            .observe(
+                obs,
+                F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias("upserts"),
+                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
+            )
+            .withColumn("_bucket", _bucket_expr(keys, nb))
+        )
+        groups = self._stage_write(delta, sv)
+        got = obs.get
+        for g in groups:
+            g["delta"] = True
+
+        new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
+        props = dict(snap["properties"])
+        if batch_id is not None:
+            props["last_batch_id"] = batch_id
+        for k, v in (extra_properties or {}).items():
+            props[k] = v
+        new = dict(snap)
+        new.update(
+            version=snap["version"] + 1,
+            file_groups=new_groups,
+            properties=props,
+            parent=snap["version"],
+        )
+        self._commit(new)
+        stats = MergeStats(
+            batch_id,
+            new["version"],
+            int(got["upserts"] or 0),
+            int(got["deletes"] or 0),
+            len(groups),
+        )
+        # auto-compaction: fold deltas into the base for any bucket past the
+        # threshold (a maintenance commit, separate from the fenced commit —
+        # a crash in between leaves deltas in place, correctness unaffected)
+        threshold = int(props.get("compact.max-delta-files", 8))
+        from collections import Counter
+
+        counts = Counter(g["bucket"] for g in new_groups if g.get("delta"))
+        over = [b for b, c in counts.items() if c >= threshold]
+        if over:
+            self.compact(buckets=over)
+        return stats
+
+    def compact(self, buckets: list[int] | None = None, min_delta_files: int = 1) -> int:
+        """Fold delta file groups into resolved base groups (MOR
+        maintenance). Only rewrites buckets that actually hold deltas;
+        tombstones survive compaction (they still shadow late out-of-order
+        events) until ``vacuum_tombstones`` reclaims them."""
+        snap = self.snapshot()
+        keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        from collections import Counter
+
+        counts = Counter(g["bucket"] for g in snap["file_groups"] if g.get("delta"))
+        target = sorted(b for b, c in counts.items() if c >= min_delta_files)
+        if buckets is not None:
+            bs = set(buckets)
+            target = [b for b in target if b in bs]
+        if not target:
+            return snap["version"]
+        resolved = self.read_raw(buckets=target).withColumn(
+            "_bucket", _bucket_expr(keys, nb)
+        )
+        groups = self._stage_write(resolved, sv)
+        tset = set(target)
+        new_groups = [g for g in snap["file_groups"] if g["bucket"] not in tset] + groups
+        new_groups.sort(key=lambda g: g["bucket"])
+        new = dict(snap)
+        new.update(version=snap["version"] + 1, file_groups=new_groups, parent=snap["version"])
+        self._commit(new)
+        return new["version"]
+
     # ------------------------------------------------------------- evolution
 
     def evolve(self, ops: list[SchemaOp]) -> int:
@@ -451,6 +603,9 @@ class LakeTable:
         source guarantees no event older than watermark can still arrive).
         Rewrites only buckets that contain vacuumable tombstones."""
         snap = self.snapshot()
+        if any(g.get("delta") for g in snap["file_groups"]):
+            self.compact()
+            snap = self.snapshot()
         sv, nb, keys = snap["schema_version"], snap["num_buckets"], snap["key_cols"]
         raw = self.read_raw()
         dead = (

@@ -1,0 +1,166 @@
+"""Merge-on-read write mode: delta appends + read-side resolution +
+compaction must be observationally identical to copy-on-write.
+
+The invariant mirrors the engine acceptance criterion (north_rule):
+replaying the same event log into a COW table and a MOR table yields the
+same final state (per-row content sha equality), through any interleaving
+of compactions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark import datagen
+from french_admin_etl_spark.sources.event_log import EVENT_SCHEMA, EventLog
+from french_admin_etl_spark.streaming.apply import KEYS, REPOS_SCHEMA, CDCApplyJob
+from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"]): r["content_sha"]
+        for r in table.read().select("repo", "path", "content_sha").collect()
+    }
+
+
+def _expected(ev):
+    return {
+        (r.repo, r.path): r.content_sha
+        for r in datagen.expected_final_state(ev).itertuples()
+    }
+
+
+@pytest.fixture(scope="module")
+def event_log(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mor_log"))
+    ev = datagen.gen_change_events(
+        n_events=4000, n_keys=300, seed=11, duplicate_rate=0.04, delete_rate=0.08,
+        shuffle_window=60,
+    )
+    log_dir = os.path.join(root, "events")
+    spark.createDataFrame(ev, schema=EVENT_SCHEMA).write.mode("overwrite").parquet(log_dir)
+    return ev, EventLog(spark, log_dir)
+
+
+def _apply(spark, tmp, name, log, write_mode, batch_lsns=500, **table_kw):
+    table = LakeTable.create(
+        spark, os.path.join(tmp, name), schema=REPOS_SCHEMA, key_cols=KEYS,
+        num_buckets=8, write_mode=write_mode, **table_kw
+    )
+    job = CDCApplyJob(spark, table)
+    job.run_incremental(log, CheckpointStore(os.path.join(tmp, f"{name}.ck")), batch_lsns)
+    return table
+
+
+def test_mor_replay_matches_oracle_and_cow(spark, tmp_root, event_log):
+    ev, log = event_log
+    cow = _apply(spark, tmp_root, "cow", log, "cow")
+    mor = _apply(spark, tmp_root, "mor", log, "mor")
+    exp = _expected(ev)
+    assert _state(cow) == exp
+    assert _state(mor) == exp
+
+
+def test_mor_writes_are_delta_and_compaction_folds(spark, tmp_root, event_log):
+    ev, log = event_log
+    # threshold high enough that auto-compaction never fires in 8 batches
+    mor = _apply(
+        spark, tmp_root, "morx", log, "mor",
+        properties={"compact.max-delta-files": 99},
+    )
+    groups = mor.snapshot()["file_groups"]
+    assert any(g.get("delta") for g in groups)
+    exp = _expected(ev)
+    assert _state(mor) == exp  # resolved read over base+delta
+    v = mor.compact()
+    groups2 = mor.snapshot()["file_groups"]
+    assert not any(g.get("delta") for g in groups2)
+    assert v == mor.current_version()
+    assert _state(mor) == exp  # unchanged by compaction
+
+
+def test_mor_auto_compaction_caps_delta_files(spark, tmp_root, event_log):
+    ev, log = event_log
+    mor = _apply(
+        spark, tmp_root, "mora", log, "mor",
+        properties={"compact.max-delta-files": 2},
+    )
+    from collections import Counter
+
+    counts = Counter(
+        g["bucket"] for g in mor.snapshot()["file_groups"] if g.get("delta")
+    )
+    assert all(c < 2 for c in counts.values()) or not counts
+    assert _state(mor) == _expected(ev)
+
+
+def test_mor_fencing_replay_noop(spark, tmp_root, event_log):
+    ev, log = event_log
+    mor = _apply(spark, tmp_root, "morf", log, "mor")
+    before = _state(mor)
+    job = CDCApplyJob(spark, mor)
+    results = job.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "morf2.ck")), batch_lsns=500
+    )
+    assert all(r.merge.fenced for r in results if r.merge is not None)
+    assert _state(mor) == before
+
+
+def test_mor_tombstone_shadows_late_event(spark, tmp_root):
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "ts"), schema=REPOS_SCHEMA, key_cols=KEYS,
+        num_buckets=4, write_mode="mor",
+    )
+    cols = (
+        "repo string, path string, commit string, lang string, content string,"
+        " content_sha string, lsn long, op string"
+    )
+    up = spark.createDataFrame(
+        [("r", "p", "c1", "py", "v1", "s1", 10, "I")], cols
+    )
+    de = spark.createDataFrame([("r", "p", None, None, None, None, 20, "D")], cols)
+    stale = spark.createDataFrame(
+        [("r", "p", "c0", "py", "v0", "s0", 15, "U")], cols
+    )
+    table.merge(up, batch_id=1)
+    table.merge(de, batch_id=2)
+    table.merge(stale, batch_id=3)  # out-of-order pre-delete update
+    assert table.read().count() == 0  # tombstone (lsn 20) still wins
+    table.compact()
+    assert table.read().count() == 0
+    # vacuum past the watermark physically drops the tombstone
+    table.vacuum_tombstones(watermark_lsn=100)
+    raw = table.read_raw(resolve=False)
+    assert raw.count() == 0
+
+
+def test_mor_schema_evolution_mid_stream(spark, tmp_root):
+    """Delta groups written under different schema versions stitch on read."""
+    from french_admin_etl_spark.table.lake_table import SchemaOp
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "se"), schema=REPOS_SCHEMA, key_cols=KEYS,
+        num_buckets=4, write_mode="mor",
+    )
+    cols = (
+        "repo string, path string, commit string, lang string, content string,"
+        " content_sha string, lsn long, op string"
+    )
+    table.merge(spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], cols),
+                batch_id=1)
+    table.evolve([SchemaOp(action="add_column", name="stars", type="bigint")])
+    cols2 = cols.replace(" lsn long", " stars bigint, lsn long")
+    table.merge(
+        spark.createDataFrame([("r", "b", "c", "py", "v2", "s2", 2, 7, "I")], cols2),
+        batch_id=2,
+    )
+    rows = {r["path"]: r for r in table.read().collect()}
+    assert rows["a"]["stars"] is None and rows["b"]["stars"] == 2
+    table.compact()
+    rows2 = {r["path"]: r for r in table.read().collect()}
+    assert rows2["a"]["stars"] is None and rows2["b"]["stars"] == 2
