@@ -9,9 +9,13 @@ explicit: per (key...), keep the row with the greatest sequence number (LSN).
 Two physical strategies, same semantics:
 
 - ``dedup_max_seq`` (default): ``groupBy(keys).agg(max_by(struct(*), seq))``.
-  Hash aggregation with **map-side partial aggregation**, so a hot key with
-  millions of duplicates in one batch is reduced locally on every task
-  before the shuffle — inherently skew-resistant; this is the 100-TB path.
+  **Map-side partial aggregation**, so a hot key with millions of
+  duplicates in one batch is reduced locally on every task before the
+  shuffle (≤ one row per key per map task crosses the wire) — inherently
+  skew-resistant; this is the 100-TB path. Physical note: Spark compiles
+  struct-valued ``max_by`` to SortAggregate (struct agg buffers aren't
+  mutable-hash-able), but the partial/final split and single Exchange are
+  what matter at scale — verified by ``tools/explain_audit.py``.
 - ``dedup_max_seq_window``: ``row_number() over (partition by keys order by
   seq desc) = 1``. One full shuffle + sort per key; all rows of a key land
   on one task (skew-prone). Kept for plan comparison and as the
