@@ -282,6 +282,18 @@ def d2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d4_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup SCALE PATH end-to-end: MinHash → LSH candidates →
+    Jaccard verification restricted to candidates (never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.4, candidates=cand
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
 def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (operators.textdedup)."""
     docs = _t(spark, sf_dir, "documents")
@@ -367,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_minhash_lsh_pairs": d1_minhash_lsh_pairs,
         "d2_jaccard_pairs": d2_jaccard_pairs,
         "d3_simhash": d3_simhash,
+        "d4_lsh_verified_near_dups": d4_lsh_verified_near_dups,
         "e2_ann_bucket": e2_ann_bucket,
         "e3_embedding_near_dup": e3_embedding_near_dup,
         "m1_media_metadata": m1_media_metadata,
@@ -415,6 +428,45 @@ def _lsh_pairs_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 50) -
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sized a JOIN sized b USING (band_id, band_hash)
         WHERE a.doc_id < b.doc_id
+    """
+
+
+def _lsh_verified_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 50,
+                      threshold: float = 0.4) -> str:
+    r = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_minhash_sig_sql(num_hashes)},
+        banded AS ({band_selects}),
+        bsz AS (
+          SELECT band_id, band_hash FROM banded
+          GROUP BY band_id, band_hash
+          HAVING count(*) > 1 AND count(*) <= {max_bucket}
+        ),
+        sized AS (SELECT banded.* FROM banded JOIN bsz USING (band_id, band_hash)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sized a JOIN sized b USING (band_id, band_hash)
+          WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a
+          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, round(c / (na.n + nb.n - c), 4) AS jaccard_r
+        FROM common
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE c / (na.n + nb.n - c) >= {threshold}
     """
 
 
@@ -623,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c / (na.n + nb.n - c) >= 0.5
         """,
         "d3_simhash": _simhash_sql(),
+        "d4_lsh_verified_near_dups": _lsh_verified_sql(),
         "e2_ann_bucket": f"""
             WITH b AS (
               SELECT vec_id, embedding, {_bucket_sql("embedding", 8)} AS bucket

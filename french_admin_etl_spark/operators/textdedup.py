@@ -135,24 +135,33 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard similarity ≥ threshold.
+    """n-gram Jaccard similarity ≥ threshold over pairs.
 
     |A∩B| via a self-join on shingle; |A|,|B| from per-doc shingle counts;
-    J = common / (|A| + |B| − common). QUADRATIC in dup-class size — at
-    scale, feed it LSH candidate pairs (semi-join ``sh`` against
-    ``lsh_candidate_pairs`` output) instead of the full corpus.
+    J = common / (|A| + |B| − common). Without ``candidates`` this is
+    all-pairs — QUADRATIC in dup-class size, the small-scale oracle form.
+    At scale pass ``candidates`` (columns id_a < id_b, e.g. the output of
+    ``lsh_candidate_pairs``): the shingle join is then semi-restricted to
+    candidate pairs, so cost is O(candidates × shingles), independent of
+    corpus size — the standard LSH-then-verify pipeline.
     """
     sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    if candidates is not None:
+        a = a.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
     common = (
         a.join(b, "_sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
+    if candidates is not None:
+        common = common.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     return (
