@@ -24,7 +24,7 @@ timed window, and runs best-of-N trials to de-noise the shared host.
 Caveat recorded in BASELINE.md: all workers share one machine's memory
 bandwidth and disk, so this UNDERSTATES what distinct cluster nodes give.
 
-Usage: python tools/scaling_bench.py [n_events_total] [N_cores] [write_mode]
+Usage: python tools/scaling_bench.py [n_events_total] [N_cores] [write_mode] [content_len]
 Writes BENCH_scaling.json at the repo root and prints the JSON.
 """
 
@@ -196,12 +196,13 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     wmode = sys.argv[3] if len(sys.argv) > 3 else "mor"
+    content_len = int(sys.argv[4]) if len(sys.argv) > 4 else 512
     batches = 4
     # work on tmpfs when available: emulates per-executor local disks
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="scaling_bench_", dir=base)
     t = time.monotonic()
-    parts = gen_partitions(work, n_events)
+    parts = gen_partitions(work, n_events, content_len)
     gen_s = round(time.monotonic() - t, 1)
 
     lo = best_of(2, parts[:1], n, os.path.join(work, "lo"), batches, wmode)
@@ -211,6 +212,7 @@ def main() -> None:
     result = {
         "n_events_total": n_events,
         "write_mode": wmode,
+        "content_len": content_len,
         "gen_sec": gen_s,
         "topology": (
             "key-partitioned WAL, one worker JVM per partition "
