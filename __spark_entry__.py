@@ -336,6 +336,58 @@ def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof): each purchase attributed to the latest
+    prior click by the same user (union+window composition, one shuffle)."""
+    from french_admin_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.round("value", 4).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.round("value", 4).alias("click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "event_id", "click_id",
+        payload=["click_id", "click_value"],
+    )
+    # sentinel for unattributed purchases (NULL sorts break the driver's
+    # order-insensitive compare when the null column sorts first)
+    return out.select(
+        "user_id", "event_id", "purchase_value",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+    )
+
+
+def x2_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.asof.point_in_interval_join): points matched
+    to overlapping [lo, lo+7) intervals via coarse-bucket equi-join."""
+    from french_admin_etl_spark.operators.asof import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    intervals = spark.range(20).select(
+        (F.col("id") * 5.0).alias("lo"), (F.col("id") * 5.0 + 7.0).alias("hi")
+    )
+    out = point_in_interval_join(ev, intervals, "value", "lo", "hi", bucket_width=5.0)
+    return out.select("event_id", F.col("lo").alias("interval_lo"))
+
+
+def r1_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per (event_type, day) count
+    and sum — the time-bucketed rollup a CDC metrics pipeline maintains."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def a3_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defusing two-phase aggregation (operators.salting.add_salt):
     salted partial counts → final rollup. Result is identical to the direct
@@ -384,6 +436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_embedding_near_dup": e3_embedding_near_dup,
         "m1_media_metadata": m1_media_metadata,
         "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
+        "x1_asof_attribution": x1_asof_attribution,
+        "x2_range_bucket_join": x2_range_bucket_join,
+        "r1_time_rollup": r1_time_rollup,
     }
 
 
@@ -722,6 +777,31 @@ def oracle_sql() -> dict[str, str]:
         "a3_salted_two_phase_agg": """
             SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "x1_asof_attribution": """
+            WITH p AS (
+              SELECT user_id, event_id, round(value, 4) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, event_id AS click_id, round(value, 4) AS click_value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.event_id, p.purchase_value,
+                   coalesce(c.click_id, -1) AS click_id,
+                   coalesce(c.click_value, -1.0) AS click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.event_id >= c.click_id
+        """,
+        "x2_range_bucket_join": """
+            SELECT e.event_id, g.i * 5.0 AS interval_lo
+            FROM events e
+            JOIN (SELECT unnest(range(20)) AS i) g
+              ON e.value >= g.i * 5.0 AND e.value < g.i * 5.0 + 7.0
+        """,
+        "r1_time_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
         """,
         "m1_media_metadata": """
             SELECT doc_id AS media_id,

@@ -1,0 +1,87 @@
+"""As-of join and range join operators (operators/asof.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.operators.asof import asof_join, point_in_interval_join
+
+STATES = [  # (key, seq, state)
+    ("k1", 10, "a"),
+    ("k1", 20, "b"),
+    ("k1", 30, "c"),
+    ("k2", 15, "x"),
+]
+EVENTS = [  # (key, seq)
+    ("k1", 5),    # before any state -> null
+    ("k1", 10),   # tie -> inclusive matches 'a', strict doesn't
+    ("k1", 25),   # between -> 'b'
+    ("k1", 99),   # after all -> 'c'
+    ("k2", 20),   # -> 'x'
+    ("k3", 50),   # key with no states -> null
+]
+
+
+def _frames(spark):
+    left = spark.createDataFrame(EVENTS, ["key", "seq"])
+    right = spark.createDataFrame(STATES, ["key", "sseq", "state"])
+    return left, right
+
+
+def test_asof_inclusive(spark):
+    left, right = _frames(spark)
+    out = {(r["key"], r["seq"]): r["state"]
+           for r in asof_join(left, right, ["key"], "seq", "sseq").collect()}
+    assert out == {
+        ("k1", 5): None, ("k1", 10): "a", ("k1", 25): "b", ("k1", 99): "c",
+        ("k2", 20): "x", ("k3", 50): None,
+    }
+
+
+def test_asof_strict(spark):
+    left, right = _frames(spark)
+    out = {(r["key"], r["seq"]): r["state"]
+           for r in asof_join(left, right, ["key"], "seq", "sseq", strict=True).collect()}
+    assert out[("k1", 10)] is None  # tie excluded under strict <
+    assert out[("k1", 25)] == "b"
+
+
+def test_asof_multi_payload_and_left_columns_survive(spark):
+    left = spark.createDataFrame([("k1", 25, "keepme")], ["key", "seq", "extra"])
+    right = spark.createDataFrame(
+        [("k1", 20, "b", 2.0)], ["key", "sseq", "state", "score"]
+    )
+    row = asof_join(left, right, ["key"], "seq", "sseq").first()
+    assert row["extra"] == "keepme" and row["state"] == "b" and row["score"] == 2.0
+
+
+def test_point_in_interval_join(spark):
+    pts = spark.createDataFrame([(1, 3.0), (2, 7.5), (3, 11.0)], ["id", "v"])
+    ivs = spark.createDataFrame(
+        [(0.0, 5.0, "lo"), (4.0, 10.0, "mid"), (10.0, 12.0, "hi")],
+        ["lo", "hi", "name"],
+    )
+    out = {(r["id"], r["name"]) for r in
+           point_in_interval_join(pts, ivs, "v", "lo", "hi", bucket_width=4.0).collect()}
+    assert out == {(1, "lo"), (2, "mid"), (3, "hi")}
+    # boundary semantics: lo inclusive, hi exclusive
+    edge = spark.createDataFrame([(9, 5.0), (10, 10.0)], ["id", "v"])
+    out2 = {(r["id"], r["name"]) for r in
+            point_in_interval_join(edge, ivs, "v", "lo", "hi", bucket_width=4.0).collect()}
+    assert out2 == {(9, "mid"), (10, "hi")}
+
+
+def test_range_join_is_equi_join_not_cross(spark):
+    """The physical plan must join on the coarse bucket (equi), never
+    BroadcastNestedLoop/cartesian."""
+    import io
+    from contextlib import redirect_stdout
+
+    pts = spark.range(100).select(F.col("id"), (F.col("id") % 50.0).alias("v"))
+    ivs = spark.range(10).select((F.col("id") * 5.0).alias("lo"), (F.col("id") * 5.0 + 5.0).alias("hi"))
+    out = point_in_interval_join(pts, ivs, "v", "lo", "hi", bucket_width=5.0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
