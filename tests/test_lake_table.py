@@ -150,3 +150,24 @@ def test_overwrite_bootstrap(spark, table):
     # CDC events with lsn > 0 win over the bootstrap load
     table.merge(_src(spark, [(1, "U", "a", "f", "after")]), batch_id=0)
     assert _state(table) == {("a", "f"): "after"}
+
+
+def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_root):
+    import os
+
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    schema = "k string, v int"
+    from pyspark.sql import types as T
+    st = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())])
+    t = LakeTable.create(spark, os.path.join(tmp_root, "vac"), schema=st, key_cols=["k"], num_buckets=2)
+    src = spark.createDataFrame([("a", 1, 1, "I"), ("b", 2, 2, "I")], "k string, v int, lsn long, op string")
+    t.merge(src, batch_id=1)
+    # plant an orphan (a failed commit's staged file)
+    orphan = os.path.join(tmp_root, "vac", "data", "s1-b0-deadbeef-9.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not-a-real-file")
+    removed = t.vacuum_orphans()
+    assert removed == 1
+    assert not os.path.exists(orphan)
+    assert {r["k"] for r in t.read().collect()} == {"a", "b"}  # live files intact
