@@ -495,20 +495,37 @@ class LakeTable:
         for g in groups:
             g["delta"] = True
 
-        new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
-        props = dict(snap["properties"])
-        if batch_id is not None:
-            props["last_batch_id"] = batch_id
-        for k, v in (extra_properties or {}).items():
-            props[k] = v
-        new = dict(snap)
-        new.update(
-            version=snap["version"] + 1,
-            file_groups=new_groups,
-            properties=props,
-            parent=snap["version"],
-        )
-        self._commit(new)
+        # commit with bounded retry: a MOR delta append is independent of
+        # target state (no bucket was read), so on CommitConflict we simply
+        # rebase the already-staged file groups onto the newest snapshot —
+        # this makes concurrent compactor/ingest (or two log partitions
+        # into one table) safe, unlike COW where a conflict invalidates the
+        # merge read and must surface to the caller
+        for attempt in range(10):
+            snap = self.snapshot()
+            if batch_id is not None:
+                fence = snap["properties"].get("last_batch_id")
+                if fence is not None and batch_id <= fence:
+                    return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
+            new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
+            props = dict(snap["properties"])
+            if batch_id is not None:
+                props["last_batch_id"] = batch_id
+            for k, v in (extra_properties or {}).items():
+                props[k] = v
+            new = dict(snap)
+            new.update(
+                version=snap["version"] + 1,
+                file_groups=new_groups,
+                properties=props,
+                parent=snap["version"],
+            )
+            try:
+                self._commit(new)
+                break
+            except CommitConflict:
+                if attempt == 9:
+                    raise
         stats = MergeStats(
             batch_id,
             new["version"],

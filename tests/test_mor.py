@@ -164,3 +164,40 @@ def test_mor_schema_evolution_mid_stream(spark, tmp_root):
     table.compact()
     rows2 = {r["path"]: r for r in table.read().collect()}
     assert rows2["a"]["stars"] is None and rows2["b"]["stars"] == 2
+
+
+def test_mor_commit_conflict_rebase_retry(spark, tmp_root):
+    """A concurrent commit between a MOR merge's snapshot read and its
+    commit must not lose either side: the merge rebases its staged deltas
+    onto the newest snapshot and retries."""
+    import json
+    import shutil
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "cc"), schema=REPOS_SCHEMA, key_cols=KEYS,
+        num_buckets=4, write_mode="mor",
+    )
+    cols = (
+        "repo string, path string, commit string, lang string, content string,"
+        " content_sha string, lsn long, op string"
+    )
+    table.merge(spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], cols),
+                batch_id=1)
+
+    # simulate a racing writer: pre-create the NEXT version file so the
+    # merge's first commit attempt collides
+    v = table.current_version()
+    racer = table.snapshot()
+    racer.update(version=v + 1, parent=v,
+                 properties={**racer["properties"], "racer": True})
+    with open(table._version_path(v + 1), "w") as fh:
+        json.dump(racer, fh)
+
+    stats = table.merge(
+        spark.createDataFrame([("r", "b", "c", "py", "v2", "s2", 2, "I")], cols),
+        batch_id=2,
+    )
+    assert stats.snapshot_version == v + 2  # rebased past the racer
+    snap = table.snapshot()
+    assert snap["properties"].get("racer") is True  # racer's commit survived
+    assert {r["path"] for r in table.read().collect()} == {"a", "b"}
