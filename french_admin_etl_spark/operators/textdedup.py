@@ -95,19 +95,22 @@ def lsh_candidate_pairs(
     exact dedup) so no self-join quadratic blowup on pathological data.
     """
     r = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    # SINGLE-PASS banding: one explode over an inline array of
+    # (band_id, band_hash) structs — the signature frame is scanned ONCE,
+    # not `bands` times (a unionByName of per-band selects re-runs the
+    # upstream shingle explode + groupBy per band).
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+            ).alias("band_hash"),
         )
-    banded = band_rows[0]
-    for other in band_rows[1:]:
-        banded = banded.unionByName(other)
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_bd")
+    ).select(id_col, F.col("_bd.band_id").alias("band_id"), F.col("_bd.band_hash").alias("band_hash"))
     if persist:
         # banded feeds three consumers (bucket sizing + both self-join
         # sides); without this the signature explode+agg runs three times

@@ -24,12 +24,20 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
+    # TYPE-FAITHFUL: int vs float (and bool vs int) must NOT compare equal —
+    # the driver's pandas-side hash distinguishes them (a DuckDB HUGEINT
+    # rendered as 13.0 vs Spark's long 13 is a real hash mismatch; this gate
+    # must predict it rather than hide behind Python's 13 == 13.0).
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return float(f"{v:.9g}")
+            return ("float", "nan")
+        return ("float", float(f"{v:.9g}"))
+    if isinstance(v, int):
+        return ("int", v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
