@@ -114,14 +114,26 @@ def w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def j1_dim_validation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: existence-probe semi-join with null-out fallback
-    (commune_repository.go:53-64) as a broadcast left join."""
-    orders = _t(spark, sf_dir, "orders")
-    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000).select("c_custkey")
-    return orders.join(F.broadcast(rich), orders.o_custkey == rich.c_custkey, "left").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.when(F.col("c_custkey").isNotNull(), F.col("o_custkey")).alias("validated_custkey"),
+    (commune_repository.go:53-64) via operators.dim_join.fk_validate."""
+    from french_admin_etl_spark.operators.dim_join import fk_validate
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("validated_custkey")
     )
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return fk_validate(orders, rich, "validated_custkey", "c_custkey")
+
+
+def j2_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: FK anti-join assertion frame (operators.dim_join.fk_orphans) —
+    orders whose custkey has no matching 'rich' dimension row (the
+    assertable twin of the reference's declarative FK graph,
+    migrations/000003:28,63-65)."""
+    from french_admin_etl_spark.operators.dim_join import fk_orphans
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return fk_orphans(orders, rich, "o_custkey", "c_custkey")
 
 
 def s7_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_pivot_counts": a1_pivot_counts,
         "w1_dedup_latest": w1_dedup_latest,
         "j1_dim_validation_join": j1_dim_validation_join,
+        "j2_fk_orphans": j2_fk_orphans,
         "s7_coalesce_merge": s7_coalesce_merge,
         "o1_topk_per_group": o1_topk_per_group,
         "cdc_final_state": cdc_final_state,
@@ -634,6 +647,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000) c
               ON o.o_custkey = c.c_custkey
+        """,
+        "j2_fk_orphans": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_acctbal > 7000 AND c.c_custkey = o.o_custkey
+              )
         """,
         "s7_coalesce_merge": """
             WITH old AS (

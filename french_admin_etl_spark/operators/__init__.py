@@ -1,4 +1,5 @@
 from french_admin_etl_spark.operators.dedup import dedup_max_seq, dedup_max_seq_window
+from french_admin_etl_spark.operators.dim_join import assert_fk, fk_orphans, fk_validate
 from french_admin_etl_spark.operators.filters import allow_list_filter, allow_list_predicate
 from french_admin_etl_spark.operators.validate import validate_split
 from french_admin_etl_spark.operators.pivot import pivot_last_write_wins
@@ -35,4 +36,7 @@ __all__ = [
     "pivot_last_write_wins",
     "add_salt",
     "hot_keys",
+    "fk_validate",
+    "fk_orphans",
+    "assert_fk",
 ]

@@ -17,12 +17,18 @@ from pyspark.sql import functions as F
 
 
 def validate_split(
-    df: DataFrame, rules: dict[str, Column], cache: bool = True
+    df: DataFrame, rules: dict[str, Column], cache: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """rules: {reason: predicate-that-must-hold}. Returns (valid, rejects).
 
     rejects carries a ``_reject_reason`` column (first failing rule, in
     rule order — mirrors the reference's logged per-row error).
+
+    ``cache=True`` persists the tagged frame so consuming BOTH halves costs
+    one source scan — but the cache is never auto-unpersisted, so callers
+    in long-running drivers must ``.unpersist()`` one of the returned
+    frames themselves (default False: the engine's own apply path caches
+    the upstream batch instead, ``streaming/apply.py``).
     """
     reason = F.lit(None).cast("string")
     for name, pred in reversed(list(rules.items())):

@@ -26,11 +26,19 @@ def read_csv_stream_shaped(
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Explicit-schema CSV scan (never inferSchema in the engine proper —
     SURVEY §1.4). dead_letter=True returns (good, corrupt) built from ONE
-    permissive scan instead of dropping malformed rows silently."""
-    # CSV column pruning makes zero-column plans (e.g. count()) skip parsing
-    # entirely, silently keeping malformed rows — the reference's arity check
-    # (csv_extractor.go:77-84) must hold regardless of the consuming query.
-    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    permissive scan instead of dropping malformed rows silently.
+
+    SESSION-LEVEL REQUIREMENT (documented side effect): this disables
+    ``spark.sql.csv.parser.columnPruning.enabled`` for the session. CSV
+    column pruning makes zero-column plans (e.g. ``count()``) skip parsing
+    entirely, silently keeping malformed rows — the reference's arity check
+    (csv_extractor.go:77-84) must hold regardless of the consuming query,
+    and the conf is read at EXECUTION time, so a set/restore scoped to this
+    call would not stick. The trade: other CSV scans in the same session
+    parse all columns even under projection. Parquet/JSON scans (the
+    engine's hot paths) are unaffected."""
+    if spark.conf.get("spark.sql.csv.parser.columnPruning.enabled", "true") != "false":
+        spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
     if not dead_letter:
         return (
             spark.read.option("delimiter", delimiter)

@@ -2,11 +2,28 @@
 
 Reference: ``internal/extractors/geojson_extractor.go:35-108`` — a
 token-streaming parser that walks to the "features" array and decodes one
-nested feature at a time for bounded memory. Spark's JSON scan is already
-streaming/columnar; ``multiLine`` handles a whole FeatureCollection file,
-and the opaque geometry blob (``internal/model/entities.go:28-42``) becomes
-``to_json(struct)`` — an opaque string content column, exactly the shape
-the engine's `content` column generalizes.
+nested feature at a time for bounded memory. The Spark analog keeps the
+same contract with a declarative scan:
+
+- ``read_feature_collection``: a ``multiLine`` JSON scan with the explicit
+  feature schema. Jackson token-streams the file inside the scan task (no
+  whole-file text row is ever materialized, unlike a ``wholetext`` +
+  ``from_json`` plan, which holds the raw text AND the parsed tree in one
+  task's heap); schema pruning drops unrequested fields at parse time.
+  Memory is bounded per FILE (one FeatureCollection object = one record),
+  and a directory of collections parallelizes per file — the standard
+  layout for bulk GeoJSON exports.
+- ``read_features_ndjson``: the true 100-TB path — features pre-split one
+  JSON object per line (ndjson/GeoJSONSeq, as produced by ``ogr2ogr -f
+  GeoJSONSeq`` or a one-pass splitter). Line-delimited JSON is SPLITTABLE
+  WITHIN a file, so memory is bounded per feature and parallelism is
+  bounded only by block count.
+
+The opaque geometry blob (``internal/model/entities.go:28-42``) maps to a
+``StringType`` field in the feature schema: Spark's JacksonParser captures
+the raw JSON substring verbatim for object-valued fields declared as
+string — exactly the "don't decode what you only store" P6 contract, and
+the shape the engine's ``content`` column generalizes.
 """
 
 from __future__ import annotations
@@ -17,58 +34,47 @@ from pyspark.sql import types as T
 
 
 def feature_schema(properties: T.StructType) -> T.StructType:
-    """FeatureCollection schema with typed properties and open geometry."""
-    feat = T.StructType(
+    """One GeoJSON Feature: typed properties + geometry kept as a raw JSON
+    string (coordinates depth varies by geometry type; a fixed-depth array
+    type would be lossy — the raw text is the faithful opaque blob)."""
+    return T.StructType(
         [
             T.StructField("type", T.StringType()),
             T.StructField("properties", properties),
-            T.StructField(
-                "geometry",
-                T.StructType(
-                    [
-                        T.StructField("type", T.StringType()),
-                        # coordinates depth varies by geometry type; keep the
-                        # raw JSON text as the opaque blob instead of a
-                        # lossy fixed-depth array type.
-                    ]
-                ),
-            ),
+            T.StructField("geometry", T.StringType()),
         ]
     )
+
+
+def collection_schema(properties: T.StructType) -> T.StructType:
+    """FeatureCollection wrapper around :func:`feature_schema`."""
     return T.StructType(
-        [T.StructField("type", T.StringType()), T.StructField("features", T.ArrayType(feat))]
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("features", T.ArrayType(feature_schema(properties))),
+        ]
     )
 
 
 def read_feature_collection(
     spark: SparkSession, path: str, properties: T.StructType
 ) -> DataFrame:
-    """FeatureCollection file → one row per feature:
-    typed property columns + `geometry_json` opaque string (P6)."""
-    raw = spark.read.option("multiLine", "true").text(path, wholetext=True)
-    # Parse twice from the same text scan: typed properties via from_json
-    # with an explicit schema, geometry kept verbatim via get_json_object
-    # per feature index — but per-feature JSON extraction needs the array
-    # exploded first, so parse features as raw strings then re-parse.
-    feats_as_str = T.StructType(
-        [
-            T.StructField("type", T.StringType()),
-            T.StructField("features", T.ArrayType(T.StringType())),
-        ]
+    """FeatureCollection file(s) → one row per feature: typed property
+    columns + ``geometry_json`` opaque string (P6). Bounded memory: the
+    scan parses with Jackson token streaming under the explicit schema —
+    no whole-file text row (S4; geojson_extractor.go:35-81 contract)."""
+    raw = spark.read.option("multiLine", "true").schema(collection_schema(properties)).json(path)
+    return (
+        raw.select(F.explode("features").alias("f"))
+        .select("f.properties.*", F.col("f.geometry").alias("geometry_json"))
     )
-    # from_json with ArrayType(StringType) keeps each feature's raw JSON? No —
-    # Spark re-serializes; use schema_of_json-free explicit approach:
-    exploded = (
-        raw.select(F.from_json("value", feats_as_str).alias("fc"))
-        .select(F.explode("fc.features").alias("feature_json"))
-    )
-    prop_schema = T.StructType(
-        [
-            T.StructField("type", T.StringType()),
-            T.StructField("properties", properties),
-        ]
-    )
-    return exploded.select(
-        F.from_json("feature_json", prop_schema).alias("f"),
-        F.get_json_object("feature_json", "$.geometry").alias("geometry_json"),
-    ).select("f.properties.*", "geometry_json")
+
+
+def read_features_ndjson(
+    spark: SparkSession, path: str, properties: T.StructType
+) -> DataFrame:
+    """Line-delimited features (GeoJSONSeq/ndjson) → same output shape as
+    :func:`read_feature_collection`, but splittable WITHIN files: per-task
+    memory is one feature, not one collection — the 100-TB ingest path."""
+    raw = spark.read.schema(feature_schema(properties)).json(path)
+    return raw.select("properties.*", F.col("geometry").alias("geometry_json"))

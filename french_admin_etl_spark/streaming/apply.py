@@ -79,6 +79,7 @@ class CDCApplyJob:
         lineage_dir: str | None = None,
         use_pandas_sha: bool = False,
         merge_mode: str = "overwrite",
+        writer_id: str | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -86,6 +87,10 @@ class CDCApplyJob:
         self.lineage_dir = lineage_dir
         self.use_pandas_sha = use_pandas_sha
         self.merge_mode = merge_mode
+        # multi-writer topology (one job per log partition into one table):
+        # each job passes a distinct writer_id so its exactly-once fence is
+        # namespaced per writer instead of a shared scalar
+        self.writer_id = writer_id
 
     # ------------------------------------------------------------- per batch
 
@@ -221,6 +226,7 @@ class CDCApplyJob:
                 op_col="op",
                 batch_id=batch_id * 1024 + sub,
                 mode=self.merge_mode,
+                writer_id=self.writer_id,
             )
         finally:
             deduped.unpersist()

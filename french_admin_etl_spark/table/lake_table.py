@@ -113,6 +113,12 @@ class LakeTable:
         self.root = root
         self._meta_dir = os.path.join(root, "_meta")
         self._data_dir = os.path.join(root, "data")
+        # committed snapshots are immutable → cache the parsed JSON per
+        # version. This removes the dominant fixed per-batch driver cost
+        # (the apply path reads the snapshot several times per merge);
+        # current_version() still lists the directory, so concurrent
+        # writers' commits are always seen.
+        self._snap_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------------ meta
 
@@ -179,16 +185,28 @@ class LakeTable:
         return max(vs)
 
     def snapshot(self, version: int | None = None) -> dict:
+        """Parsed snapshot (cached — committed snapshots are immutable).
+        TREAT THE RESULT AS READ-ONLY: copy before mutating (the write
+        paths all build fresh dicts/lists; mutating the returned dict
+        would corrupt the cache for every later reader)."""
         v = version if version is not None else self.current_version()
-        with open(self._version_path(v)) as fh:
-            return json.load(fh)
+        if v not in self._snap_cache:
+            with open(self._version_path(v)) as fh:
+                self._cache_snap(v, json.load(fh))
+        return self._snap_cache[v]
+
+    def _cache_snap(self, v: int, snap: dict) -> None:
+        if len(self._snap_cache) >= 1024:  # bound driver memory on long runs
+            self._snap_cache.pop(min(self._snap_cache))
+        self._snap_cache[v] = snap
 
     def _commit(self, snap: dict) -> None:
         """The commit point: exclusive create of the next version file."""
         path = self._version_path(snap["version"])
+        payload = json.dumps(snap)
         tmp = path + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
-            json.dump(snap, fh)
+            fh.write(payload)
         try:
             # os.link is atomic and fails if the target exists (POSIX) —
             # the optimistic-concurrency check and the commit in one syscall.
@@ -197,6 +215,8 @@ class LakeTable:
             raise CommitConflict(f"snapshot v{snap['version']} already committed") from e
         finally:
             os.unlink(tmp)
+        # cache a detached copy (callers may go on mutating their dicts)
+        self._cache_snap(snap["version"], json.loads(payload))
 
     def history(self) -> list[dict]:
         return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
@@ -240,9 +260,12 @@ class LakeTable:
         pruned to a bucket subset (the MERGE fast path).
 
         On a 'mor' table with outstanding deltas, rows are RESOLVED by
-        default: per key, the max-``_lsn`` row across base+delta wins
-        (bucket pruning is safe before resolution — a key's rows all share
-        one bucket). ``resolve=False`` exposes the raw multiplicity (used
+        default: per key, the max-``(_lsn, commit seq)`` row across
+        base+delta wins — commit order breaks equal-LSN ties (later commit
+        wins), so reads are DETERMINISTIC even when a bootstrap base row
+        (``_lsn=0``) and a delta, or a replayed delta, carry the same LSN.
+        (Bucket pruning is safe before resolution — a key's rows all share
+        one bucket.) ``resolve=False`` exposes the raw multiplicity (used
         by compaction metrics/debugging)."""
         snap = self.snapshot(version)
         cur_v = snap["schema_version"]
@@ -251,30 +274,43 @@ class LakeTable:
             bs = set(buckets)
             groups = [g for g in groups if g["bucket"] in bs]
         phys_cur = self._schema_at(snap, cur_v)
-        by_schema: dict[int, list[str]] = {}
+        # group files by (schema version, commit seq); seq counts distinct
+        # scans, but outstanding delta commits are bounded by the compaction
+        # threshold so the union stays small
+        by_key: dict[tuple[int, int], list[str]] = {}
         for g in groups:
-            by_schema.setdefault(g["schema_version"], []).extend(g["files"])
+            by_key.setdefault((g["schema_version"], g.get("seq", 0)), []).extend(g["files"])
         parts = []
-        for sv, files in sorted(by_schema.items()):
+        for (sv, seq), files in sorted(by_key.items()):
             df = self.spark.read.schema(self._schema_at(snap, sv)).parquet(
                 *[os.path.join(self.root, f) for f in files]
             )
-            parts.append(self._upgrade(df, snap, sv, cur_v))
+            parts.append(
+                self._upgrade(df, snap, sv, cur_v).withColumn(
+                    "_cseq", F.lit(seq).cast("long")
+                )
+            )
         if not parts:
             return self.spark.createDataFrame([], phys_cur)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         # column order normalized to current schema
-        out = out.select(*[f.name for f in phys_cur.fields])
+        cols = [f.name for f in phys_cur.fields]
+        out = out.select(*cols, "_cseq")
         if resolve and any(g.get("delta") for g in groups):
-            cols = out.columns
             payload = F.struct(*[F.col(c) for c in cols])
             out = (
                 out.groupBy(*snap["key_cols"])
-                .agg(F.max_by(payload, F.col("_lsn")).alias("_r"))
+                .agg(
+                    F.max_by(
+                        payload, F.struct(F.col("_lsn"), F.col("_cseq"))
+                    ).alias("_r")
+                )
                 .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
             )
+        else:
+            out = out.drop("_cseq")
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -342,6 +378,7 @@ class LakeTable:
         batch_id: int | None = None,
         mode: str = "overwrite",
         extra_properties: dict | None = None,
+        writer_id: str | None = None,
     ) -> MergeStats:
         """MERGE INTO this table USING source ON key-equality.
 
@@ -358,12 +395,19 @@ class LakeTable:
         ``region_repository.go:35-42``); mode='coalesce' → per-column
         ``SET c = coalesce(s.c, t.c)`` (reference S7 partial merge,
         ``commune_population_repository.go:201-264``).
+
+        ``writer_id`` namespaces the exactly-once fence: each writer (e.g.
+        one per log partition in a multi-writer topology) gets its own
+        ``last_batch_id.<writer_id>`` property, so independent batch-id
+        sequences never fence each other out. With ``writer_id=None`` the
+        fence is the shared ``last_batch_id`` (single-writer-sequence).
         """
         snap = self.snapshot()
         keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        fence_key = "last_batch_id" if writer_id is None else f"last_batch_id.{writer_id}"
 
         if batch_id is not None:
-            fence = snap["properties"].get("last_batch_id")
+            fence = snap["properties"].get(fence_key)
             if fence is not None and batch_id <= fence:
                 return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
 
@@ -371,8 +415,19 @@ class LakeTable:
         data_cols = [c for c in logical if c not in keys]
 
         if snap.get("write_mode", "cow") == "mor":
+            if mode == "coalesce":
+                # MOR resolution is whole-row max-LSN: a partial-column
+                # delta would clobber prior non-null values wholesale —
+                # the OPPOSITE of coalesce semantics. Refuse loudly rather
+                # than silently merging wrong (per-column last-non-null
+                # resolution is a possible future MOR read mode; until
+                # then use a COW table for S7-style partial merges).
+                raise NotImplementedError(
+                    "mode='coalesce' is not supported on write_mode='mor' "
+                    "tables; use a 'cow' table for partial-column merges"
+                )
             return self._merge_mor(
-                source, snap, seq_col, op_col, batch_id, extra_properties
+                source, snap, seq_col, op_col, batch_id, extra_properties, fence_key
             )
 
         src = source.withColumn("_bucket", _bucket_expr(keys, nb))
@@ -404,7 +459,7 @@ class LakeTable:
                 .otherwise(tc)
                 .alias(c)
             )
-        out_cols.append(F.when(take_s, s_seq).otherwise(t_lsn).alias("_lsn"))
+        out_cols.append(F.when(take_s, s_seq).otherwise(t_lsn).cast("long").alias("_lsn"))
         out_cols.append(
             F.when(take_s, is_del).otherwise(F.coalesce(F.col("t._deleted"), F.lit(False))).alias(
                 "_deleted"
@@ -432,7 +487,7 @@ class LakeTable:
         new_groups.sort(key=lambda g: g["bucket"])
         props = dict(snap["properties"])
         if batch_id is not None:
-            props["last_batch_id"] = batch_id
+            props[fence_key] = batch_id
         for k, v in (extra_properties or {}).items():
             props[k] = v
         new = dict(snap)
@@ -459,6 +514,7 @@ class LakeTable:
         op_col: str,
         batch_id: int | None,
         extra_properties: dict | None,
+        fence_key: str = "last_batch_id",
     ) -> MergeStats:
         """Merge-on-read apply: append the (pre-deduped) source as delta
         file groups — NO read of the target, NO join; write cost is
@@ -498,19 +554,25 @@ class LakeTable:
         # commit with bounded retry: a MOR delta append is independent of
         # target state (no bucket was read), so on CommitConflict we simply
         # rebase the already-staged file groups onto the newest snapshot —
-        # this makes concurrent compactor/ingest (or two log partitions
-        # into one table) safe, unlike COW where a conflict invalidates the
-        # merge read and must surface to the caller
+        # this makes a concurrent compactor plus ingest writers safe. Two
+        # log partitions feeding one table each carry their OWN batch-id
+        # sequence, so each must pass a distinct ``writer_id`` (per-writer
+        # fence property) — a shared scalar fence would treat writer B's
+        # fresh batch as writer A's replay and silently drop it.
         for attempt in range(10):
             snap = self.snapshot()
             if batch_id is not None:
-                fence = snap["properties"].get("last_batch_id")
+                fence = snap["properties"].get(fence_key)
                 if fence is not None and batch_id <= fence:
                     return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
+            # commit seq = the version this attempt will commit as; the read
+            # path uses it to break equal-LSN ties by commit order
+            for g in groups:
+                g["seq"] = snap["version"] + 1
             new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
             props = dict(snap["properties"])
             if batch_id is not None:
-                props["last_batch_id"] = batch_id
+                props[fence_key] = batch_id
             for k, v in (extra_properties or {}).items():
                 props[k] = v
             new = dict(snap)
@@ -542,7 +604,14 @@ class LakeTable:
         counts = Counter(g["bucket"] for g in new_groups if g.get("delta"))
         over = [b for b, c in counts.items() if c >= threshold]
         if over:
-            self.compact(buckets=over)
+            try:
+                self.compact(buckets=over)
+            except CommitConflict:
+                # best-effort maintenance: the batch's fenced commit already
+                # succeeded; a concurrent writer winning the compaction
+                # version race leaves deltas in place (correctness
+                # unaffected) — never fail the streaming batch over it
+                pass
         return stats
 
     def compact(self, buckets: list[int] | None = None, min_delta_files: int = 1) -> int:

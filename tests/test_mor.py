@@ -187,7 +187,7 @@ def test_mor_commit_conflict_rebase_retry(spark, tmp_root):
     # simulate a racing writer: pre-create the NEXT version file so the
     # merge's first commit attempt collides
     v = table.current_version()
-    racer = table.snapshot()
+    racer = dict(table.snapshot())  # snapshot() results are shared/read-only
     racer.update(version=v + 1, parent=v,
                  properties={**racer["properties"], "racer": True})
     with open(table._version_path(v + 1), "w") as fh:
@@ -201,3 +201,79 @@ def test_mor_commit_conflict_rebase_retry(spark, tmp_root):
     snap = table.snapshot()
     assert snap["properties"].get("racer") is True  # racer's commit survived
     assert {r["path"] for r in table.read().collect()} == {"a", "b"}
+
+
+def _mk_mor(spark, tmp_root, name, num_buckets=4, **kw):
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, name), schema=REPOS_SCHEMA, key_cols=KEYS,
+        num_buckets=num_buckets, write_mode="mor", **kw
+    )
+
+
+_COLS = (
+    "repo string, path string, commit string, lang string, content string,"
+    " content_sha string, lsn long, op string"
+)
+
+
+def test_mor_coalesce_mode_rejected(spark, tmp_root):
+    """Partial-column COALESCE semantics cannot hold under whole-row
+    max-LSN resolution — merge must refuse, not silently clobber."""
+    table = _mk_mor(spark, tmp_root, "co")
+    src = spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS)
+    with pytest.raises(NotImplementedError, match="coalesce"):
+        table.merge(src, batch_id=0, mode="coalesce")
+
+
+def test_mor_per_writer_fences_independent(spark, tmp_root):
+    """Two writers with independent batch-id sequences into ONE table:
+    writer B's fresh batch with an id <= writer A's last id must APPLY,
+    not be dropped as a replay (per-writer fence namespacing)."""
+    table = _mk_mor(spark, tmp_root, "pw")
+    a5 = spark.createDataFrame([("r", "a", "c", "py", "va", "sa", 50, "I")], _COLS)
+    b1 = spark.createDataFrame([("r", "b", "c", "py", "vb", "sb", 51, "I")], _COLS)
+    s1 = table.merge(a5, batch_id=5, writer_id="w_a")
+    assert not s1.fenced
+    s2 = table.merge(b1, batch_id=1, writer_id="w_b")  # id 1 <= 5, other writer
+    assert not s2.fenced, "writer B's first batch was wrongly fenced by writer A"
+    assert {r["path"] for r in table.read().collect()} == {"a", "b"}
+    # each writer's OWN replay is still fenced
+    assert table.merge(a5, batch_id=5, writer_id="w_a").fenced
+    assert table.merge(b1, batch_id=1, writer_id="w_b").fenced
+    snap = table.snapshot()
+    assert snap["properties"]["last_batch_id.w_a"] == 5
+    assert snap["properties"]["last_batch_id.w_b"] == 1
+
+
+def test_mor_equal_lsn_tie_later_commit_wins_deterministically(spark, tmp_root):
+    """Equal-LSN rows from different commits (bootstrap base at _lsn=0 vs
+    a delta at lsn=0) must resolve deterministically: later commit wins."""
+    table = _mk_mor(spark, tmp_root, "tie")
+    base = spark.createDataFrame(
+        [("r", "a", "c", "py", "boot", "s0")],
+        "repo string, path string, commit string, lang string, content string,"
+        " content_sha string",
+    )
+    table.overwrite(base)  # base rows carry _lsn=0
+    delta = spark.createDataFrame([("r", "a", "c2", "py", "delta", "s1", 0, "U")], _COLS)
+    table.merge(delta, batch_id=0)
+    for _ in range(5):  # deterministic across repeated reads
+        rows = table.read().collect()
+        assert len(rows) == 1 and rows[0]["content"] == "delta"
+
+
+def test_mor_auto_compact_commit_conflict_is_swallowed(spark, tmp_root, monkeypatch):
+    """A losing auto-compaction commit must not fail the batch whose
+    fenced commit already succeeded (best-effort maintenance)."""
+    from french_admin_etl_spark.table import lake_table as lt
+
+    table = _mk_mor(spark, tmp_root, "ac", properties={"compact.max-delta-files": 1})
+
+    def boom(*a, **k):
+        raise lt.CommitConflict("racing maintenance writer")
+
+    monkeypatch.setattr(table, "compact", boom)
+    src = spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS)
+    stats = table.merge(src, batch_id=0)  # would trigger auto-compact
+    assert not stats.fenced and stats.rows_upserted == 1
+    assert {r["path"] for r in table.read().collect()} == {"a"}

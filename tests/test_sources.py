@@ -79,3 +79,40 @@ def test_geojson_empty_collection(spark, tmp_root):
     p = _write(tmp_root, "empty.geojson", '{"type": "FeatureCollection", "features": []}')
     props = T.StructType([T.StructField("code", T.StringType())])
     assert read_feature_collection(spark, p, props).count() == 0
+
+
+def test_geojson_scan_is_streaming_json_not_whole_file_text(spark, tmp_root):
+    """S4 bounded-memory contract (geojson_extractor.go:35-81): the plan
+    must be a schema-pruned JSON scan (Jackson token streaming inside the
+    scan task), NOT a whole-file text row piped through from_json."""
+    p = _write(tmp_root, "plan.geojson", GEOJSON)
+    props = T.StructType([T.StructField("code", T.StringType())])
+    df = read_feature_collection(spark, p, props)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan json" in plan, plan
+    assert "FileScan text" not in plan, plan
+
+
+NDJSON = (
+    '{"type": "Feature", "properties": {"code": "01", "nom": "Guadeloupe"},'
+    ' "geometry": {"type": "Point", "coordinates": [-61.7, 16.0]}}\n'
+    '{"type": "Feature", "properties": {"code": "02", "nom": "Martinique"},'
+    ' "geometry": null}\n'
+)
+
+
+def test_ndjson_features_splittable_same_shape(spark, tmp_root):
+    """GeoJSONSeq path: one feature per line, same output contract as the
+    FeatureCollection reader (the within-file-splittable 100-TB path)."""
+    from french_admin_etl_spark.sources.json_source import read_features_ndjson
+
+    p = _write(tmp_root, "regions.ndjson", NDJSON)
+    props = T.StructType(
+        [T.StructField("code", T.StringType()), T.StructField("nom", T.StringType())]
+    )
+    df = read_features_ndjson(spark, p, props)
+    rows = {r["code"]: r for r in df.collect()}
+    assert set(rows) == {"01", "02"}
+    assert '"Point"' in rows["01"]["geometry_json"] and "-61.7" in rows["01"]["geometry_json"]
+    assert rows["02"]["geometry_json"] is None
+    assert df.columns == ["code", "nom", "geometry_json"]

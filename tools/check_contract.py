@@ -27,7 +27,13 @@ def canon(v):
     # TYPE-FAITHFUL: int vs float (and bool vs int) must NOT compare equal —
     # the driver's pandas-side hash distinguishes them (a DuckDB HUGEINT
     # rendered as 13.0 vs Spark's long 13 is a real hash mismatch; this gate
-    # must predict it rather than hide behind Python's 13 == 13.0).
+    # must predict it rather than hide behind Python's 13 == 13.0). Both
+    # result sets therefore go THROUGH pandas (like the driver's compare),
+    # and numpy scalars are unwrapped before typing.
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return None
     if isinstance(v, bool):
@@ -39,8 +45,11 @@ def canon(v):
     if isinstance(v, int):
         return ("int", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, list):
+        # DuckDB .df() renders DATE as midnight Timestamp; Spark toPandas
+        # keeps datetime.date — same driver-side value, so normalize
+        iso = v.isoformat()
+        return iso[:-9] if iso.endswith("T00:00:00") else iso
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(canon(x) for x in v)
     return v
 
@@ -66,8 +75,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             continue
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()  # pandas path = what the driver hashes
+            s_cols = list(s_pdf.columns)
+            s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
@@ -76,9 +86,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             print(f"SKIP  {name}: no oracle (rows-only check) rows={len(s_rows)}")
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            d_pdf = con.execute(oracles[name]).df()
+            d_cols = list(d_pdf.columns)
+            d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
