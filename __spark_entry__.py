@@ -330,6 +330,23 @@ def e2_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
 
 
+def e4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_ann): deterministic one-step
+    k-means inverted file (8 lists, seeds = lowest ids, centroids rounded
+    for cross-engine reproducibility), probe the 2 nearest lists, exact
+    cosine top-10 — the data-adaptive ANN scale path next to e2's
+    data-independent sign-bucket LSH."""
+    from french_admin_etl_spark.operators.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    out = ivf_ann(corpus, q, k=10, k_lists=8, nprobe=2)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
 def e3_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: sign-bucket blocking + cosine ≥ 0.25."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -452,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash": d3_simhash,
         "d4_lsh_verified_near_dups": d4_lsh_verified_near_dups,
         "e2_ann_bucket": e2_ann_bucket,
+        "e4_ivf_ann": e4_ivf_ann,
         "e3_embedding_near_dup": e3_embedding_near_dup,
         "m1_media_metadata": m1_media_metadata,
         "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
@@ -765,6 +783,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
             FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "e4_ivf_ann": """
+            WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+            q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+            seeds AS (
+              SELECT vec_id AS list_id, embedding AS centroid
+              FROM corpus ORDER BY vec_id LIMIT 8
+            ),
+            sim0 AS (
+              SELECT vec_id, list_id,
+                     sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+              FROM (
+                SELECT c.vec_id, s.list_id,
+                       unnest(c.embedding)::DOUBLE AS x,
+                       unnest(s.centroid)::DOUBLE AS y
+                FROM corpus c, seeds s
+              ) AS p(vec_id, list_id, x, y)
+              GROUP BY vec_id, list_id
+            ),
+            assign0 AS (
+              SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, list_id) AS rn
+                FROM sim0
+              ) WHERE rn = 1
+            ),
+            cents AS (
+              SELECT list_id, array_agg(m ORDER BY pos) AS centroid FROM (
+                SELECT a.list_id, pos, round(avg(x), 6) AS m FROM (
+                  SELECT c.vec_id,
+                         unnest(c.embedding)::DOUBLE AS x,
+                         generate_subscripts(c.embedding, 1) AS pos
+                  FROM corpus c
+                ) ex JOIN assign0 a ON ex.vec_id = a.vec_id
+                GROUP BY a.list_id, pos
+              ) GROUP BY list_id
+            ),
+            sim1 AS (
+              SELECT vec_id, list_id,
+                     sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+              FROM (
+                SELECT c.vec_id, t.list_id,
+                       unnest(c.embedding)::DOUBLE AS x,
+                       unnest(t.centroid)::DOUBLE AS y
+                FROM corpus c, cents t
+              ) AS p(vec_id, list_id, x, y)
+              GROUP BY vec_id, list_id
+            ),
+            assign1 AS (
+              SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, list_id) AS rn
+                FROM sim1
+              ) WHERE rn = 1
+            ),
+            qsim AS (
+              SELECT list_id,
+                     sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS sim
+              FROM (
+                SELECT t.list_id,
+                       unnest(q.q_emb)::DOUBLE AS x,
+                       unnest(t.centroid)::DOUBLE AS y
+                FROM q, cents t
+              ) AS p(list_id, x, y)
+              GROUP BY list_id
+            ),
+            probes AS (SELECT list_id FROM qsim ORDER BY sim DESC, list_id LIMIT 2),
+            cand AS (
+              SELECT a.vec_id FROM assign1 a JOIN probes p ON a.list_id = p.list_id
+            ),
+            final AS (
+              SELECT vec_id, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos_sim
+              FROM (
+                SELECT c.vec_id,
+                       unnest(c.embedding)::DOUBLE AS x,
+                       unnest(q.q_emb)::DOUBLE AS y
+                FROM corpus c JOIN cand USING (vec_id), q
+              ) AS p(vec_id, x, y)
+              GROUP BY vec_id
+            )
+            SELECT vec_id, round(cos_sim, 4) AS cos_sim_r
+            FROM final ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         "e3_embedding_near_dup": f"""
             WITH b AS (

@@ -13,6 +13,9 @@ from french_admin_etl_spark.operators.textdedup import (
 )
 from french_admin_etl_spark.operators.similarity import (
     cosine_topk,
+    ivf_ann,
+    ivf_assign,
+    ivf_train,
     near_dup_pairs_cosine,
     sign_bucket,
     signature_bucket_ann,
@@ -26,7 +29,7 @@ from french_admin_etl_spark.operators.multimodal import (
 __all__ = [
     "exact_dedup", "jaccard_pairs", "lsh_candidate_pairs", "minhash_signature",
     "simhash32", "cosine_topk", "near_dup_pairs_cosine", "sign_bucket",
-    "signature_bucket_ann", "extract_image_features", "media_metadata",
+    "signature_bucket_ann", "ivf_ann", "ivf_assign", "ivf_train", "extract_image_features", "media_metadata",
     "sample_video_frames",
     "dedup_max_seq",
     "dedup_max_seq_window",

@@ -141,3 +141,105 @@ def near_dup_pairs_cosine(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (``list_id``).
+
+    ``centroids``: (list_id, centroid) — small by construction (k lists),
+    so the assignment is a broadcast nested-loop over k rows per vector:
+    one corpus scan, no shuffle, embarrassingly parallel at any corpus
+    size. Ties break to the lowest list_id (deterministic)."""
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("list_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    k_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One deterministic k-means step → (list_id, centroid) inverted-file
+    index (IVF-flat, à la FAISS):
+
+    seeds = the ``k_lists`` lowest-id vectors (deterministic, replayable);
+    assign all vectors to seeds; centroid = element-wise mean of each
+    list, ROUNDED to ``round_digits`` so the result is bit-identical
+    across engines/aggregation orders (floating sums are order-sensitive;
+    rounding makes the index reproducible and oracle-checkable).
+
+    Scale: the mean is one posexplode + combinable avg groupBy on
+    (list_id, position) — shuffle volume k·d doubles, independent of
+    corpus size. More Lloyd iterations = re-calling this with the
+    previous centroids via ``ivf_assign``; one step suffices for a
+    bucketing index (FAISS ships few-iteration coarse quantizers too)."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k_lists)
+        .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("centroid"))
+    )
+    assigned = ivf_assign(df, seeds, id_col, vec_col)
+    means = (
+        assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+        .groupBy("list_id", "_pos")
+        .agg(F.round(F.avg(F.col("_x").cast("double")), round_digits).alias("_m"))
+    )
+    return means.groupBy("list_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+        ).getField("_m").alias("centroid")
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    k_lists: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: train a k-list inverted file over the corpus, probe the
+    ``nprobe`` centroids nearest the query, exact cosine top-k over only
+    those lists' vectors. ``query``: one row (q_id, q_emb).
+
+    The 100-TB shape: write the corpus partitioned by ``list_id`` → a
+    query scans nprobe/k_lists of the data (partition pruning does the
+    candidate selection); the centroid table is k rows, always broadcast.
+    Versus ``signature_bucket_ann`` (data-independent buckets), IVF adapts
+    the partitions to the data distribution — better recall per scanned
+    byte on clustered embeddings."""
+    cents = ivf_train(corpus, k_lists, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    probes = (
+        query.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_emb", "list_id", cosine(F.col("q_emb"), F.col("centroid")).alias("_csim"))
+        .orderBy(F.col("_csim").desc(), F.col("list_id"))
+        .limit(nprobe)
+        .select("q_id", "q_emb", "list_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id")
+    return (
+        cand.select(
+            "q_id", id_col, cosine(F.col(vec_col), F.col("q_emb")).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

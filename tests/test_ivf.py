@@ -1,0 +1,68 @@
+"""IVF ANN: deterministic inverted-file index + probe search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.operators.similarity import (
+    cosine_topk,
+    ivf_ann,
+    ivf_assign,
+    ivf_train,
+)
+
+
+@pytest.fixture()
+def emb(spark):
+    # two well-separated clusters around (1,0,0,0) and (0,0,1,0) + noise ids
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + (i % 5) * 0.01, 0.02 * (i % 3), 0.0, 0.01 * i]))
+    for i in range(20, 40):
+        rows.append((i, [0.01 * (i % 4), 0.0, 1.0 + (i % 5) * 0.01, 0.02 * (i % 3)]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_ivf_train_produces_k_rounded_centroids(spark, emb):
+    cents = ivf_train(emb, k_lists=4).collect()
+    assert 1 < len(cents) <= 4
+    for r in cents:
+        assert len(r["centroid"]) == 4
+        for x in r["centroid"]:
+            assert x == round(x, 6)  # reproducibility contract
+
+
+def test_ivf_assign_is_deterministic_and_total(spark, emb):
+    cents = ivf_train(emb, k_lists=4)
+    a1 = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, cents).collect()}
+    a2 = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, cents).collect()}
+    assert a1 == a2 and len(a1) == 40  # every vector assigned exactly once
+
+
+def test_ivf_separates_obvious_clusters(spark, emb):
+    cents = ivf_train(emb, k_lists=2)
+    a = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, cents).collect()}
+    lists_lo = {a[i] for i in range(20)}
+    lists_hi = {a[i] for i in range(20, 40)}
+    assert len(lists_lo) == 1 and len(lists_hi) == 1 and lists_lo != lists_hi
+
+
+def test_ivf_ann_matches_bruteforce_on_clustered_data(spark, emb):
+    """With clean clusters and nprobe covering the query's cluster, IVF
+    top-k == exact brute-force top-k (recall 1.0 here by construction)."""
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(corpus, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_ann(corpus, q, k=5, k_lists=2, nprobe=1).collect()]
+    assert approx == exact
+
+
+def test_ivf_ann_prunes_to_probed_lists(spark, emb):
+    """nprobe=1 on 2 clean clusters must never return the other cluster."""
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    got = [r["vec_id"] for r in ivf_ann(corpus, q, k=30, k_lists=2, nprobe=1).collect()]
+    assert got and all(v < 20 for v in got)  # only the query's cluster
