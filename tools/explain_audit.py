@@ -89,6 +89,46 @@ def main() -> None:
     check("dim validation join broadcasts", p, ["BroadcastHashJoin"], ["SortMergeJoin"])
     sections.append(("J1 dim-validation broadcast join", p))
 
+    # 5. J1/J2 operators: broadcast probe, no sort-merge, anti-join shape
+    from french_admin_etl_spark.operators.dim_join import fk_orphans, fk_validate
+
+    p = plan_of(fk_validate(orders.select("o_orderkey", "o_custkey"), rich,
+                            "o_custkey", "c_custkey"))
+    check("fk_validate broadcasts the dimension probe", p,
+          ["BroadcastHashJoin"], ["SortMergeJoin"])
+    sections.append(("J1 fk_validate (broadcast existence probe + null-out)", p))
+
+    p = plan_of(fk_orphans(orders.select("o_orderkey", "o_custkey"), rich,
+                           "o_custkey", "c_custkey"))
+    check("fk_orphans is a broadcast anti-join", p,
+          ["BroadcastHashJoin", "LeftAnti"], ["SortMergeJoin"])
+    sections.append(("J2 fk_orphans (broadcast left_anti)", p))
+
+    # 6. LSH banding is single-pass: the banded frame is computed once
+    #    (cached) and re-read, not re-derived per consumer
+    from french_admin_etl_spark.operators.textdedup import (
+        lsh_candidate_pairs, minhash_signature,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    p = plan_of(pairs)
+    check("LSH banding computed once, consumers read the cache", p,
+          ["InMemoryTableScan"])
+    sections.append(("LSH banding (single-pass explode, cached fan-out)", p))
+
+    # 7. IVF assignment: broadcast nested-loop over k centroids — one
+    #    corpus scan, no shuffle of the corpus side before assignment
+    from french_admin_etl_spark.operators.similarity import ivf_assign, ivf_train
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = ivf_train(emb, k_lists=8)
+    p = plan_of(ivf_assign(emb, cents))
+    check("IVF assignment broadcasts centroids (no corpus-side shuffle join)", p,
+          ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"])
+    sections.append(("IVF assign (broadcast argmax over k centroids)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
