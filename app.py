@@ -51,7 +51,8 @@ def cmd_apply(args) -> None:
     spark = get_spark(app_name="cdc_apply", cores=args.cores)
     table = _mk_table(spark, args.table_root, args.num_buckets, args.write_mode)
     job = CDCApplyJob(
-        spark, table, dead_letter_dir=args.dead_letter_dir, lineage_dir=args.lineage_dir
+        spark, table, dead_letter_dir=args.dead_letter_dir,
+        lineage_dir=args.lineage_dir, writer_id=args.writer_id,
     )
     log = EventLog(spark, args.log_dir)
     if args.stream:
@@ -137,6 +138,10 @@ def main() -> None:
     ap.add_argument("--dead-letter-dir", default=None)
     ap.add_argument("--lineage-dir", default=None)
     ap.add_argument("--stream", action="store_true", help="use Structured Streaming driver")
+    ap.add_argument("--writer-id", default=None,
+                    help="namespace the exactly-once fence per writer; REQUIRED "
+                         "(distinct per job) when several jobs with independent "
+                         "batch-id sequences feed one table")
     ap.set_defaults(fn=cmd_apply)
 
     dp = sub.add_parser("demo", help="synthetic end-to-end with oracle check")
