@@ -490,8 +490,13 @@ _SHINGLES3 = (
 
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    # mirror of operators.textdedup.minhash_signature: four independent
+    # 32-bit words per md5 (hex chars [8j, 8j+8) as unsigned int)
     mins = ",\n             ".join(
-        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(num_hashes)
+        "min(CAST(('0x' || substr(md5('{g}|' || s), {start}, 8)) AS BIGINT)) AS mh_{i}".format(
+            g=i // 4, start=1 + 8 * (i % 4), i=i
+        )
+        for i in range(num_hashes)
     )
     return f"""
         toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

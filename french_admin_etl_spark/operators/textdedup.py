@@ -66,15 +66,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: ``mh_i = min(md5(i || '|' || shingle))``.
+    """MinHash signature per document, ``num_hashes`` wide.
 
-    One explode + one combinable groupBy; signature width ``num_hashes``.
+    Hash family: each md5 yields FOUR independent 32-bit words, so a
+    16-hash signature costs 4 md5 calls per shingle, not 16 —
+    ``mh_{4g+j} = min over shingles of word_j(md5(g || '|' || shingle))``
+    with ``word_j`` = hex chars [8j, 8j+8) parsed as an unsigned int.
+    md5's words are independent uniform bits, so this is the standard
+    one-hash-many-words minhash trick; 4x less hashing in the scan.
+
+    One explode + one combinable groupBy (map-side partial min) — shuffle
+    volume is |docs| x num_hashes longs regardless of document length.
     """
     sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_sh")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    groups = (num_hashes + 3) // 4
+    aggs = []
+    for g in range(groups):
+        h = F.md5(F.concat(F.lit(f"{g}|"), F.col("_sh")))
+        for j in range(4):
+            i = 4 * g + j
+            if i >= num_hashes:
+                break
+            word = F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+            aggs.append(F.min(word).alias(f"mh_{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
