@@ -318,6 +318,16 @@ def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(docs, "doc_id", "text")
 
 
+def d5_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via byte-band pigeonhole
+    blocking (operators.textdedup.simhash_near_dup_pairs) — the integer-
+    fingerprint dedup scale path beside MinHash/LSH (d1/d4)."""
+    from french_admin_etl_spark.operators.textdedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
 def e2_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-bucket LSH pruning then exact cosine top-10
     (operators.similarity.signature_bucket_ann)."""
@@ -468,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_jaccard_pairs": d2_jaccard_pairs,
         "d3_simhash": d3_simhash,
         "d4_lsh_verified_near_dups": d4_lsh_verified_near_dups,
+        "d5_simhash_near_dups": d5_simhash_near_dups,
         "e2_ann_bucket": e2_ann_bucket,
         "e4_ivf_ann": e4_ivf_ann,
         "e3_embedding_near_dup": e3_embedding_near_dup,
@@ -567,18 +578,44 @@ def _lsh_verified_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 50
     """
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
     bit_sums = ",\n             ".join(
         f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(32)
     )
     sim = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
     return f"""
-        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
         hashed AS (
           SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
         ),
-        bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
-        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits
+        bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+        sim AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bits)
+    """
+
+
+def _simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim"
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    width = 32 // bands
+    mask = (1 << width) - 1
+    return f"""
+        WITH {_simhash_cte()},
+        banded AS (
+          SELECT doc_id, simhash, g.band_id,
+                 (simhash >> (g.band_id * {width})) & {mask} AS band_val
+          FROM sim, (SELECT unnest(range({bands})) AS band_id) g
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.simhash AS sa, b.simhash AS sb
+          FROM banded a
+          JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """
 
 
@@ -767,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "d1_minhash_lsh_pairs": _lsh_pairs_sql(),
         "d2_jaccard_pairs": _lsh_verified_sql(threshold=0.5),
         "d3_simhash": _simhash_sql(),
+        "d5_simhash_near_dups": _simhash_pairs_sql(),
         "d4_lsh_verified_near_dups": _lsh_verified_sql(),
         "e2_ann_bucket": f"""
             WITH b AS (

@@ -222,3 +222,51 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Scale path (the classic simhash-dedup blocking): split the 32-bit
+    fingerprint into ``bands`` contiguous byte bands; by pigeonhole, two
+    fingerprints within hamming distance < ``bands`` agree EXACTLY on at
+    least one band, so candidates come from equi-joins on (band_id,
+    band_value) — never an all-pairs cross join — then the cheap integer
+    hamming check verifies. One explode (docs × bands rows), one shuffle
+    on the band key; at 10^10 docs the band groupBy is combinable and the
+    verify is per-candidate O(1). Requires ``max_hamming < bands`` for
+    exact recall (3 < 4 here, the standard 32-bit configuration)."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole blocking needs max_hamming < bands")
+    sig = simhash32(df, id_col, text_col)
+    width = 32 // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("_bd")
+    ).select(id_col, "simhash", "_bd.band_id", "_bd.band_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band_id", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "band_id", "band_val"
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming32(F.col("_sa"), F.col("_sb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -211,3 +211,32 @@ def test_video_frame_sampling(media):
     idxs = sorted(r["frame_idx"] for r in frames)
     assert idxs[0] == 0 and all(i % 30 == 0 for i in idxs)
     assert len({r["frame_sha"] for r in frames}) == len(frames)
+
+
+def test_simhash_near_dup_pairs_pigeonhole_equals_bruteforce(docs, spark):
+    """Band-blocked simhash pairs at hamming <= 3 must equal the brute-force
+    all-pairs answer exactly (pigeonhole: distance < bands guarantees a
+    shared band, so blocking loses nothing)."""
+    from french_admin_etl_spark.operators.textdedup import simhash_near_dup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    sig = {r["doc_id"]: r["simhash"] for r in simhash32(docs, "doc_id", "text").collect()}
+    exp = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 3:
+                exp[(a, b)] = h
+    assert got == exp
+    assert (1, 4) in got  # whitespace/case dup: identical token multiset -> distance 0
+
+
+def test_simhash_near_dup_rejects_bad_config(docs):
+    from french_admin_etl_spark.operators.textdedup import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
