@@ -164,13 +164,28 @@ def jaccard_pairs(
     candidate pairs, so cost is O(candidates × shingles), independent of
     corpus size — the standard LSH-then-verify pipeline.
     """
+    if candidates is not None:
+        # restrict the corpus ONCE to documents that appear in any
+        # candidate pair — the shingle explode, the size aggregate, and
+        # both self-join sides then see only candidate docs. The candidate
+        # frame is MATERIALIZED first (localCheckpoint truncates lineage):
+        # it feeds three consumers below, and without materialization each
+        # would re-run the whole upstream MinHash+LSH pipeline.
+        candidates = candidates.localCheckpoint(eager=False)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(cand_ids, id_col, "left_semi")
     sh = df.select(id_col, F.explode(word_shingles(text_col, shingle_n)).alias("_sh"))
+    if candidates is not None:
+        # likewise: sizes + both self-join sides re-derive sh; checkpoint
+        # the (small, candidate-restricted) shingle frame once
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
-    if candidates is not None:
-        a = a.join(candidates.select("id_a").distinct(), "id_a", "left_semi")
-        b = b.join(candidates.select("id_b").distinct(), "id_b", "left_semi")
     common = (
         a.join(b, "_sh")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -178,6 +193,8 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("_common"))
     )
     if candidates is not None:
+        # pairs among candidate DOCS are a superset of candidate PAIRS —
+        # keep only the pairs LSH actually proposed
         common = common.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
