@@ -6,6 +6,7 @@ from french_admin_etl_spark.operators.pivot import pivot_last_write_wins
 from french_admin_etl_spark.operators.salting import add_salt, hot_keys
 from french_admin_etl_spark.operators.textdedup import (
     exact_dedup,
+    simhash_near_dup_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signature,
@@ -28,7 +29,7 @@ from french_admin_etl_spark.operators.multimodal import (
 
 __all__ = [
     "exact_dedup", "jaccard_pairs", "lsh_candidate_pairs", "minhash_signature",
-    "simhash32", "cosine_topk", "near_dup_pairs_cosine", "sign_bucket",
+    "simhash32", "simhash_near_dup_pairs", "cosine_topk", "near_dup_pairs_cosine", "sign_bucket",
     "signature_bucket_ann", "ivf_ann", "ivf_assign", "ivf_train", "extract_image_features", "media_metadata",
     "sample_video_frames",
     "dedup_max_seq",

@@ -182,6 +182,10 @@ def interleaved_rounds(rounds: int, part_dirs, cores, work, batches, wmode):
         probe1 = round(_mem_copy_worker(100 + t) / 4.0 / 1024, 2)
         shutil.rmtree(os.path.join(work, f"lo_r{t}"), ignore_errors=True)
         shutil.rmtree(os.path.join(work, f"hi_r{t}"), ignore_errors=True)
+        # settle: tearing down 4 pre-touched JVM heaps + tmpfs data frees
+        # ~30 GB at once; the host's reclaim churn was observed suppressing
+        # the NEXT phase's throughput ~30% — let it drain between rounds
+        time.sleep(20)
         eff = hi["events_per_sec"] / (len(part_dirs) * lo["events_per_sec"])
         # sanity: weak-scaling efficiency > 1 is unphysical — it means the
         # host collapsed during the N half of the round (observed: the
