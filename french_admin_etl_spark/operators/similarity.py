@@ -131,14 +131,33 @@ def near_dup_pairs_cosine(
     """Embedding near-duplicate pairs: candidate pairs share a sign-bucket
     (blocking), then exact cosine ≥ threshold. The bucket join replaces the
     quadratic cross-join — at 10^10 rows the all-pairs form is impossible;
-    this form shuffles each row once by bucket."""
-    b = df.withColumn("_bucket", sign_bucket(vec_col, bits))
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_bucket")
+    this form shuffles each row once by bucket.
+
+    Norms are computed ONCE per vector before the join (each vector meets
+    O(bucket) partners — recomputing its norm per pair would triple the
+    per-pair arithmetic; the division is algebraically and floating-point
+    identical since the per-vector fold is unchanged)."""
+    b = df.withColumn("_bucket", sign_bucket(vec_col, bits)).withColumn(
+        "_norm", l2_norm(F.col(vec_col))
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"), "_bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"), "_bucket",
+    )
     return (
         a.join(c, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -157,8 +176,15 @@ def ivf_assign(
     size. Ties break to the lowest list_id (deterministic)."""
     from pyspark.sql import Window
 
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("centroid"))
+    # norms once per side (vector norm would otherwise be re-folded k
+    # times per vector; float-identical since the fold itself is unchanged)
+    scored = (
+        df.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(centroids.withColumn("_cn", l2_norm(F.col("centroid")))))
+        .withColumn(
+            "_sim",
+            dot(F.col(vec_col), F.col("centroid")) / (F.col("_vn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("list_id"))
     return (
