@@ -433,6 +433,59 @@ def r1_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user gap-based sessions (gap > 1800s starts a
+    new session) via lag + running sum — the standard two-window
+    composition (one shuffle on user_id, both windows share the sort).
+    Emits one row per session with its bounds and size."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    sec = F.unix_timestamp(F.col("ts"))  # TIMESTAMP_NTZ: no direct long cast
+    gap = sec - F.lag(sec).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_sid", F.sum(is_new).over(w))
+        .groupBy("user_id", F.col("_sid").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+    return sess
+
+
+def r2_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (event_type, day) → (event_type) → () in ONE
+    pass — Catalyst expands grouping sets without rescanning; the
+    continuous-aggregate ladder a metrics pipeline maintains."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def o2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation): order-statistics
+    aggregation over o_totalprice by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def a3_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defusing two-phase aggregation (operators.salting.add_salt):
     salted partial counts → final rollup. Result is identical to the direct
@@ -484,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_embedding_near_dup": e3_embedding_near_dup,
         "m1_media_metadata": m1_media_metadata,
         "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
+        "w3_sessionize": w3_sessionize,
+        "r2_rollup_hierarchy": r2_rollup_hierarchy,
+        "o2_percentiles": o2_percentiles,
         "x1_asof_attribution": x1_asof_attribution,
         "x2_range_bucket_join": x2_range_bucket_join,
         "r1_time_rollup": r1_time_rollup,
@@ -936,6 +992,41 @@ def oracle_sql() -> dict[str, str]:
         "a3_salted_two_phase_agg": """
             SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "w3_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ),
+            s AS (
+              SELECT user_id, event_id,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM s GROUP BY user_id, session_id
+        """,
+        "r2_rollup_hierarchy": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+        """,
+        "o2_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
         """,
         "x1_asof_attribution": """
             WITH p AS (
