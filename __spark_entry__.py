@@ -486,6 +486,24 @@ def o2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def r3_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (streaming.windowed composition run in
+    batch mode — same plan the watermarked stream executes): per (1-hour
+    window, event_type) counts + value sum."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("_w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("_w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def a3_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defusing two-phase aggregation (operators.salting.add_salt):
     salted partial counts → final rollup. Result is identical to the direct
@@ -540,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
+        "r3_windowed_counts": r3_windowed_counts,
         "x1_asof_attribution": x1_asof_attribution,
         "x2_range_bucket_join": x2_range_bucket_join,
         "r1_time_rollup": r1_time_rollup,
@@ -1019,6 +1038,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+        """,
+        "r3_windowed_counts": """
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
         """,
         "o2_percentiles": """
             SELECT o_orderpriority,
