@@ -53,6 +53,39 @@ class EventLog:
         """Events with lo <= lsn < hi (pushed to the scan as min/max pruning)."""
         return self.read().filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
 
+    def count_events(self) -> int:
+        return self.read().count()
+
+    def event_balanced_bounds(self, batch_events: int) -> list[int]:
+        """LSN window boundaries that split the log into batches of
+        ~``batch_events`` events EACH, regardless of how unevenly events
+        are distributed over the LSN space (a binlog after a bulk import
+        is dense early and sparse late — fixed-width LSN windows there
+        produce one giant batch and many empty ones).
+
+        Exact percentiles of ``lsn`` (one combinable aggregation, one
+        pass) → DETERMINISTIC boundaries: recomputing over the same
+        immutable log prefix always yields the same cuts, and the apply
+        driver additionally persists them in its checkpoint so a resumed
+        run replays the identical windows (exactly-once fencing needs
+        stable windows). Returns ascending bounds [0, …, max_lsn+1]."""
+        n, mx = self.count_events(), self.max_lsn()
+        k = max(1, -(-n // batch_events))  # ceil
+        if k == 1:
+            return [0, mx + 1]
+        qs = ", ".join(str(i / k) for i in range(1, k))
+        cuts = self.read().select(
+            F.expr(f"percentile(lsn, array({qs}))").alias("c")
+        ).collect()[0]["c"]
+        bounds = [0]
+        for c in cuts:
+            b = int(c) + 1
+            if b > bounds[-1]:
+                bounds.append(b)
+        if mx + 1 > bounds[-1]:
+            bounds.append(mx + 1)
+        return bounds
+
     def batches_by_lsn(self, batch_lsns: int, start_lsn: int = 0) -> Iterator[tuple[int, int, DataFrame]]:
         """Yield (lo, hi, df) windows of width batch_lsns up to max lsn."""
         hi_all = self.max_lsn() + 1

@@ -285,6 +285,38 @@ class CDCApplyJob:
             checkpoint.save(state)
         return results
 
+    def run_incremental_balanced(
+        self,
+        log: EventLog,
+        checkpoint: CheckpointStore,
+        batch_events: int = 1_000_000,
+        max_batches: int | None = None,
+    ) -> list[BatchResult]:
+        """Adaptive micro-batches of ~``batch_events`` events each: window
+        boundaries come from exact LSN percentiles of the log (one pass)
+        so a binlog with skewed LSN density — dense after a bulk import,
+        sparse later — still yields CONSTANT-SIZE batches instead of one
+        giant batch plus empties. The planned boundaries are persisted in
+        the checkpoint on first run and replayed verbatim on resume:
+        exactly-once fencing requires the replayed windows to be identical
+        to the originally-committed ones."""
+        state = checkpoint.load()
+        if state is None or "bounds" not in state:
+            bounds = log.event_balanced_bounds(batch_events)
+            state = {"batch_id": 0, "bounds": bounds}
+            checkpoint.save(state)
+        bounds = state["bounds"]
+        results = []
+        while state["batch_id"] < len(bounds) - 1:
+            if max_batches is not None and len(results) >= max_batches:
+                break
+            i = state["batch_id"]
+            lo, hi = bounds[i], bounds[i + 1]
+            results.append(self.apply_batch(log.lsn_range(lo, hi), i))
+            state = {"batch_id": i + 1, "bounds": bounds}
+            checkpoint.save(state)
+        return results
+
     def run_stream(
         self,
         log: EventLog,
