@@ -442,7 +442,17 @@ def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("event_id")
-    sec = F.unix_timestamp(F.col("ts"))  # TIMESTAMP_NTZ: no direct long cast
+    # timezone-FREE fractional epoch seconds from wall-clock fields (never
+    # unix_timestamp, which interprets the naive ts in the session zone —
+    # across a DST transition that can stretch/shrink a gap by an hour and
+    # flip the session cut; field extraction is zone-independent and
+    # matches DuckDB's epoch(ts) exactly, including microseconds)
+    sec = (
+        F.unix_date(F.col("ts").cast("date")).cast("double") * 86400.0
+        + F.hour("ts") * 3600.0
+        + F.minute("ts") * 60.0
+        + F.expr("date_part('SECOND', ts)").cast("double")
+    )
     gap = sec - F.lag(sec).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = (

@@ -56,28 +56,38 @@ class EventLog:
     def count_events(self) -> int:
         return self.read().count()
 
-    def event_balanced_bounds(self, batch_events: int) -> list[int]:
-        """LSN window boundaries that split the log into batches of
-        ~``batch_events`` events EACH, regardless of how unevenly events
-        are distributed over the LSN space (a binlog after a bulk import
-        is dense early and sparse late — fixed-width LSN windows there
-        produce one giant batch and many empty ones).
+    def event_balanced_bounds(self, batch_events: int, start_lsn: int = 0) -> list[int]:
+        """LSN window boundaries that split the log (from ``start_lsn``)
+        into batches of ~``batch_events`` events EACH, regardless of how
+        unevenly events are distributed over the LSN space (a binlog after
+        a bulk import is dense early and sparse late — fixed-width LSN
+        windows there produce one giant batch and many empty ones).
 
-        Exact percentiles of ``lsn`` (one combinable aggregation, one
-        pass) → DETERMINISTIC boundaries: recomputing over the same
-        immutable log prefix always yields the same cuts, and the apply
-        driver additionally persists them in its checkpoint so a resumed
-        run replays the identical windows (exactly-once fencing needs
-        stable windows). Returns ascending bounds [0, …, max_lsn+1]."""
-        n, mx = self.count_events(), self.max_lsn()
+        ``approx_percentile`` of ``lsn`` with tight accuracy (one
+        bounded-memory combinable aggregation — an exact percentile would
+        buffer every near-unique LSN of a 10^9+-event binlog in a single
+        aggregation buffer). Replay stability does NOT rest on this
+        computation: the apply driver persists the planned bounds in its
+        checkpoint and replays them verbatim, so exactness is unnecessary
+        and per-run sketch variation is harmless. ``start_lsn`` plans over
+        only the suffix ``lsn >= start_lsn`` (used to EXTEND a previously
+        planned window list after the log has grown — the committed prefix
+        is never re-planned). Returns ascending bounds
+        [start_lsn, …, max_lsn+1]."""
+        df = self.read()
+        if start_lsn:
+            df = df.filter(F.col("lsn") >= start_lsn)
+        row = df.agg(F.count(F.lit(1)).alias("n"), F.max("lsn").alias("m")).collect()[0]
+        n = int(row["n"] or 0)
+        mx = int(row["m"]) if row["m"] is not None else start_lsn
         k = max(1, -(-n // batch_events))  # ceil
         if k == 1:
-            return [0, mx + 1]
+            return [start_lsn, max(mx + 1, start_lsn + 1)]
         qs = ", ".join(str(i / k) for i in range(1, k))
-        cuts = self.read().select(
-            F.expr(f"percentile(lsn, array({qs}))").alias("c")
+        cuts = df.select(
+            F.expr(f"approx_percentile(lsn, array({qs}), 10000)").alias("c")
         ).collect()[0]["c"]
-        bounds = [0]
+        bounds = [start_lsn]
         for c in cuts:
             b = int(c) + 1
             if b > bounds[-1]:

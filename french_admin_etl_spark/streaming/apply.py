@@ -145,8 +145,15 @@ class CDCApplyJob:
         self.table.evolve([op])
         return True
 
-    def apply_batch(self, events: DataFrame, batch_id: int) -> BatchResult:
-        """Apply one micro-batch exactly-once. Replays are no-ops (fence)."""
+    def apply_batch(
+        self, events: DataFrame, batch_id: int, fence_writer: str | None = None
+    ) -> BatchResult:
+        """Apply one micro-batch exactly-once. Replays are no-ops (fence).
+
+        ``fence_writer`` overrides the job's ``writer_id`` for the table
+        fence — used by drivers whose batch-id sequence is independent of
+        ``run_incremental``'s (e.g. the balanced driver) so two sequences
+        against one table/checkpoint can never fence each other out."""
         t0 = time.monotonic()
         events = events.cache()
 
@@ -194,13 +201,14 @@ class CDCApplyJob:
             lo = ev["lsn"]
         tail = valid if lo is None else valid.filter(F.col("lsn") >= lo)
 
+        fence_writer = self.writer_id if fence_writer is None else fence_writer
         sub = 0
         for epoch_df, schema_ev in epochs:
-            merge_stats = self._merge_epoch(epoch_df, batch_id, sub, merge_stats)
+            merge_stats = self._merge_epoch(epoch_df, batch_id, sub, merge_stats, fence_writer)
             sub += 1
             if self._apply_schema_event(schema_ev):
                 evolutions += 1
-        merge_stats = self._merge_epoch(tail, batch_id, sub, merge_stats)
+        merge_stats = self._merge_epoch(tail, batch_id, sub, merge_stats, fence_writer)
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         if self.lineage_dir and merge_stats is not None:
@@ -209,11 +217,26 @@ class CDCApplyJob:
         return BatchResult(batch_id, n_events, n_rejects, merge_stats, evolutions, wall_ms)
 
     def _merge_epoch(
-        self, df: DataFrame, batch_id: int, sub: int, prev: MergeStats | None
+        self,
+        df: DataFrame,
+        batch_id: int,
+        sub: int,
+        prev: MergeStats | None,
+        fence_writer: str | None = None,
     ) -> MergeStats | None:
         """Dedup + MERGE one schema epoch. Sub-batches share the batch fence
         through a composite id (batch_id * 1024 + sub) so replay skips
         exactly the epochs already committed."""
+        if sub >= 1024:
+            # the composite fence encodes sub in 10 bits; epoch 1024 of
+            # batch B would reuse batch B+1's fence ids and silently drop
+            # its first epochs on replay — fail loudly instead (a batch
+            # carrying >=1024 SCHEMA events must be split upstream)
+            raise ValueError(
+                f"batch {batch_id} carries >=1024 schema epochs; composite "
+                "fence ids would collide with the next batch — use smaller "
+                "batch windows"
+            )
         normalized = self._normalize(df)
         # persist the deduped MERGE source: it is consumed by two actions
         # (touched-bucket discovery, the merge join) and re-running the
@@ -226,7 +249,7 @@ class CDCApplyJob:
                 op_col="op",
                 batch_id=batch_id * 1024 + sub,
                 mode=self.merge_mode,
-                writer_id=self.writer_id,
+                writer_id=fence_writer if fence_writer is not None else self.writer_id,
             )
         finally:
             deduped.unpersist()
@@ -293,26 +316,50 @@ class CDCApplyJob:
         max_batches: int | None = None,
     ) -> list[BatchResult]:
         """Adaptive micro-batches of ~``batch_events`` events each: window
-        boundaries come from exact LSN percentiles of the log (one pass)
-        so a binlog with skewed LSN density — dense after a bulk import,
-        sparse later — still yields CONSTANT-SIZE batches instead of one
-        giant batch plus empties. The planned boundaries are persisted in
-        the checkpoint on first run and replayed verbatim on resume:
+        boundaries come from LSN percentiles of the log (one pass) so a
+        binlog with skewed LSN density — dense after a bulk import, sparse
+        later — still yields CONSTANT-SIZE batches instead of one giant
+        batch plus empties. The planned boundaries are persisted in the
+        checkpoint on first run and replayed verbatim on resume:
         exactly-once fencing requires the replayed windows to be identical
-        to the originally-committed ones."""
+        to the originally-committed ones.
+
+        Re-entry with a growing log: when the planned windows are
+        exhausted but events have been appended past the last planned
+        bound, NEW windows are planned over only the fresh suffix
+        ``[last_bound, max_lsn+1)`` and APPENDED to the checkpointed list
+        — the committed prefix is never re-planned, so replayed windows
+        stay bit-identical to the ones already fenced. This makes the
+        driver safe to call in a tail-the-log loop.
+
+        Fencing: this driver numbers batches independently of
+        ``run_incremental`` (ids restart at 0 over its own window list),
+        so its table fence is NAMESPACED under ``<writer_id>.balanced`` —
+        switching drivers on one table/checkpoint can never fence out the
+        other driver's fresh windows as replays."""
+        fence_writer = f"{self.writer_id}.balanced" if self.writer_id else "balanced"
         state = checkpoint.load()
         if state is None or "bounds" not in state:
-            bounds = log.event_balanced_bounds(batch_events)
-            state = {"batch_id": 0, "bounds": bounds}
+            state = {"batch_id": 0, "bounds": log.event_balanced_bounds(batch_events)}
             checkpoint.save(state)
         bounds = state["bounds"]
+        if state["batch_id"] >= len(bounds) - 1:
+            # planned windows exhausted — extend over the appended suffix
+            mx = log.max_lsn()
+            if mx + 1 > bounds[-1]:
+                ext = log.event_balanced_bounds(batch_events, start_lsn=bounds[-1])
+                bounds = bounds + ext[1:]
+                state = {"batch_id": state["batch_id"], "bounds": bounds}
+                checkpoint.save(state)
         results = []
         while state["batch_id"] < len(bounds) - 1:
             if max_batches is not None and len(results) >= max_batches:
                 break
             i = state["batch_id"]
             lo, hi = bounds[i], bounds[i + 1]
-            results.append(self.apply_batch(log.lsn_range(lo, hi), i))
+            results.append(
+                self.apply_batch(log.lsn_range(lo, hi), i, fence_writer=fence_writer)
+            )
             state = {"batch_id": i + 1, "bounds": bounds}
             checkpoint.save(state)
         return results

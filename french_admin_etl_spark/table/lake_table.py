@@ -40,7 +40,8 @@ Design for 100 TB:
   (``region_repository.go:38-42``).
 - **LSN-guarded upsert + tombstones.** Each physical row carries
   ``_lsn`` (last applied sequence) and ``_deleted``. MERGE applies a source
-  row only when ``s.lsn > t._lsn``, so stale out-of-order events arriving
+  row only when ``s.lsn >= t._lsn`` (equal LSN: later commit wins — same
+  tie-break both write modes), so stale out-of-order events arriving
   in *later* batches are ignored; deletes leave tombstones so a stale
   pre-delete update cannot resurrect a key. ``vacuum_tombstones`` reclaims
   tombstones once the source watermark has passed them.
@@ -113,12 +114,16 @@ class LakeTable:
         self.root = root
         self._meta_dir = os.path.join(root, "_meta")
         self._data_dir = os.path.join(root, "data")
-        # committed snapshots are immutable → cache the parsed JSON per
+        # committed snapshots are immutable → cache the raw JSON per
         # version. This removes the dominant fixed per-batch driver cost
         # (the apply path reads the snapshot several times per merge);
         # current_version() still lists the directory, so concurrent
-        # writers' commits are always seen.
-        self._snap_cache: dict[int, dict] = {}
+        # writers' commits are always seen. The cache stores the JSON
+        # STRING, not the parsed dict: snapshot() parses per call so every
+        # caller gets a private deep copy — a stray in-place mutation can
+        # never poison later reads (parsing ~KB of JSON is noise next to
+        # the file I/O the cache avoids).
+        self._snap_cache: dict[int, str] = {}
 
     # ------------------------------------------------------------------ meta
 
@@ -185,20 +190,20 @@ class LakeTable:
         return max(vs)
 
     def snapshot(self, version: int | None = None) -> dict:
-        """Parsed snapshot (cached — committed snapshots are immutable).
-        TREAT THE RESULT AS READ-ONLY: copy before mutating (the write
-        paths all build fresh dicts/lists; mutating the returned dict
-        would corrupt the cache for every later reader)."""
+        """Parsed snapshot. The raw JSON is cached (committed snapshots are
+        immutable) but each call returns a FRESH parse — a private deep
+        copy the caller may mutate freely without corrupting other
+        readers."""
         v = version if version is not None else self.current_version()
         if v not in self._snap_cache:
             with open(self._version_path(v)) as fh:
-                self._cache_snap(v, json.load(fh))
-        return self._snap_cache[v]
+                self._cache_snap(v, fh.read())
+        return json.loads(self._snap_cache[v])
 
-    def _cache_snap(self, v: int, snap: dict) -> None:
+    def _cache_snap(self, v: int, payload: str) -> None:
         if len(self._snap_cache) >= 1024:  # bound driver memory on long runs
             self._snap_cache.pop(min(self._snap_cache))
-        self._snap_cache[v] = snap
+        self._snap_cache[v] = payload
 
     def _commit(self, snap: dict) -> None:
         """The commit point: exclusive create of the next version file."""
@@ -215,8 +220,8 @@ class LakeTable:
             raise CommitConflict(f"snapshot v{snap['version']} already committed") from e
         finally:
             os.unlink(tmp)
-        # cache a detached copy (callers may go on mutating their dicts)
-        self._cache_snap(snap["version"], json.loads(payload))
+        # cache the serialized form (callers may go on mutating their dicts)
+        self._cache_snap(snap["version"], payload)
 
     def history(self) -> list[dict]:
         return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
@@ -385,11 +390,20 @@ class LakeTable:
         Semantics (source must be pre-deduped to one row per key — see
         ``operators.dedup.dedup_max_seq``):
 
-          WHEN MATCHED  AND s.seq > t._lsn AND s.op = 'D'  THEN tombstone
-          WHEN MATCHED  AND s.seq > t._lsn AND s.op != 'D' THEN UPDATE
-          WHEN NOT MATCHED AND s.op != 'D'                 THEN INSERT
-          WHEN NOT MATCHED AND s.op = 'D'                  THEN tombstone
-          otherwise (stale seq / replayed row)             THEN no-op
+          WHEN MATCHED  AND s.seq >= t._lsn AND s.op = 'D'  THEN tombstone
+          WHEN MATCHED  AND s.seq >= t._lsn AND s.op != 'D' THEN UPDATE
+          WHEN NOT MATCHED AND s.op != 'D'                  THEN INSERT
+          WHEN NOT MATCHED AND s.op = 'D'                   THEN tombstone
+          otherwise (stale seq, s.seq < t._lsn)             THEN no-op
+
+        Equal-LSN tie-break: the LATER COMMIT WINS (>=, not >) — parity
+        with MOR read resolution, where ``max_by(payload, (_lsn, commit
+        seq))`` lets a later commit's row beat an equal-LSN base row. A
+        bootstrap row (``_lsn=0``) plus a delta at lsn=0 therefore yields
+        the delta on BOTH write modes; write_mode never changes final
+        state. Redelivery of the same event is still idempotent (same row
+        content → same result), and true replays are fenced by batch_id
+        before the guard is ever consulted.
 
         mode='overwrite' → UPDATE SET * (reference S6, full-row upsert,
         ``region_repository.go:35-42``); mode='coalesce' → per-column
@@ -443,7 +457,10 @@ class LakeTable:
         t_lsn = F.col("t._lsn")
         s_present = s_seq.isNotNull()
         t_present = t_lsn.isNotNull()
-        take_s = s_present & (~t_present | (s_seq > t_lsn))
+        # >= : equal-LSN source rows (a later commit by definition — the
+        # target row was committed earlier) win, matching MOR's
+        # (_lsn, commit seq) tie-break so write_mode never changes state
+        take_s = s_present & (~t_present | (s_seq >= t_lsn))
         is_del = s_op == F.lit("D")
 
         out_cols = [F.col(k).alias(k) for k in keys]
@@ -715,17 +732,30 @@ class LakeTable:
         self._commit(new)
         return new["version"]
 
-    def vacuum_orphans(self) -> int:
-        """Delete data files not referenced by ANY snapshot (lost commits)."""
+    def vacuum_orphans(self, min_age_sec: float = 300.0) -> int:
+        """Delete data files not referenced by ANY snapshot (lost commits).
+
+        ``min_age_sec`` guards the stage→commit window: a writer renames
+        its staged files into ``data/`` *before* its snapshot commit, so a
+        file younger than the threshold may belong to an in-flight commit
+        that no snapshot references YET — deleting it would make the
+        commit land pointing at missing files. Files are only removed once
+        older than ``min_age_sec`` (the same age-threshold protocol as
+        Iceberg's ``remove_orphan_files``); pass ``0`` only when no writer
+        can be active (e.g. offline maintenance)."""
+        import time as _time
+
         live: set[str] = set()
         for snap in self.history():
             for g in snap["file_groups"]:
                 live.update(g["files"])
         removed = 0
+        cutoff = _time.time() - min_age_sec
         for fname in os.listdir(self._data_dir):
             rel = f"data/{fname}"
-            if rel not in live:
-                os.unlink(os.path.join(self._data_dir, fname))
+            path = os.path.join(self._data_dir, fname)
+            if rel not in live and os.path.getmtime(path) <= cutoff:
+                os.unlink(path)
                 removed += 1
         return removed
 

@@ -55,34 +55,39 @@ def _oracle(events):
     }
 
 
-@pytest.mark.parametrize("write_mode", ["cow", "mor"])
 @settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(ops=ops_strategy, splits=splits_strategy)
-def test_any_ops_any_batching_converges_to_oracle(
-    spark, tmp_path_factory, write_mode, ops, splits
+def test_any_ops_any_batching_converges_to_oracle_both_modes(
+    spark, tmp_path_factory, ops, splits
 ):
+    """Every generated (op sequence, batching) is replayed into BOTH a COW
+    and a MOR table: each must equal the max-LSN oracle AND each other —
+    write_mode must never change final state (round-2 advice)."""
     events = [
         (lsn, KEYS[ki], op, val) for lsn, (ki, op, val) in enumerate(ops)
     ]
-    root = os.path.join(str(tmp_path_factory.mktemp("prop")), uuid.uuid4().hex)
-    table = LakeTable.create(
-        spark, root, SCHEMA, ["repo", "path"], num_buckets=2, write_mode=write_mode
-    )
     bounds = sorted(b for b in splits if b < len(events))
     batches, prev = [], 0
     for b in bounds + [len(events)]:
         if b > prev:
             batches.append(events[prev:b])
             prev = b
-    for i, batch in enumerate(batches):
-        src = spark.createDataFrame(
-            [(lsn, op, "r", key, f"v{val}") for lsn, key, op, val in batch],
-            "lsn long, op string, repo string, path string, content string",
+    states = {}
+    for write_mode in ("cow", "mor"):
+        root = os.path.join(str(tmp_path_factory.mktemp("prop")), uuid.uuid4().hex)
+        table = LakeTable.create(
+            spark, root, SCHEMA, ["repo", "path"], num_buckets=2, write_mode=write_mode
         )
-        table.merge(dedup_max_seq(src, ["repo", "path"], "lsn"), batch_id=i)
-    got = {r["path"]: r["content"] for r in table.read().collect()}
-    assert got == _oracle(events)
+        for i, batch in enumerate(batches):
+            src = spark.createDataFrame(
+                [(lsn, op, "r", key, f"v{val}") for lsn, key, op, val in batch],
+                "lsn long, op string, repo string, path string, content string",
+            )
+            table.merge(dedup_max_seq(src, ["repo", "path"], "lsn"), batch_id=i)
+        states[write_mode] = {r["path"]: r["content"] for r in table.read().collect()}
+    assert states["cow"] == _oracle(events)
+    assert states["cow"] == states["mor"]
