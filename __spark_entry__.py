@@ -160,6 +160,27 @@ def s7_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s8_coalesce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7×MOR: the per-column last-non-null fold (``dedup_coalesce``) that
+    powers partial-column COALESCE merges on the merge-on-read scale path
+    — each derived column independently keeps its last non-null value in
+    LSN order, 'error' events are delete barriers (pre-delete values never
+    resurrect), keys whose final event is the delete come back op='D'.
+    Reference contract: commune_population_repository.go:201-264."""
+    from french_admin_etl_spark.operators.dedup import dedup_coalesce
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("v_purchase"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("v_click"),
+        F.when(F.col("event_type") == "view", F.col("props")).alias("view_props"),
+    )
+    return dedup_coalesce(src, ["user_id"], "lsn", "op")
+
+
 def o1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1-family deterministic ordering: top-5 orders per priority by
     totalprice (tie-broken by key)."""
@@ -545,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_dim_validation_join": j1_dim_validation_join,
         "j2_fk_orphans": j2_fk_orphans,
         "s7_coalesce_merge": s7_coalesce_merge,
+        "s8_coalesce_fold": s8_coalesce_fold,
         "o1_topk_per_group": o1_topk_per_group,
         "cdc_final_state": cdc_final_state,
         "a2_lineage_ranges": a2_lineage_ranges,
@@ -814,6 +836,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(v_new, v_old) AS merged_value,
                    (v_new IS NOT NULL) AS updated
             FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+        """,
+        "s8_coalesce_fold": """
+            WITH b AS (
+              SELECT user_id, event_id AS lsn,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                     CASE WHEN event_type = 'purchase' THEN value END AS v_purchase,
+                     CASE WHEN event_type = 'click' THEN value END AS v_click,
+                     CASE WHEN event_type = 'view' THEN props END AS view_props
+              FROM events
+            ), a AS (
+              SELECT user_id,
+                     max(lsn) AS smax,
+                     max(lsn) FILTER (WHERE op = 'D') AS dmax,
+                     arg_max(v_purchase, lsn) FILTER (WHERE v_purchase IS NOT NULL AND op <> 'D') AS vp,
+                     max(lsn) FILTER (WHERE v_purchase IS NOT NULL AND op <> 'D') AS vp_l,
+                     arg_max(v_click, lsn) FILTER (WHERE v_click IS NOT NULL AND op <> 'D') AS vc,
+                     max(lsn) FILTER (WHERE v_click IS NOT NULL AND op <> 'D') AS vc_l,
+                     arg_max(view_props, lsn) FILTER (WHERE view_props IS NOT NULL AND op <> 'D') AS vv,
+                     max(lsn) FILTER (WHERE view_props IS NOT NULL AND op <> 'D') AS vv_l
+              FROM b GROUP BY user_id
+            )
+            SELECT user_id, smax AS lsn,
+                   CASE WHEN dmax IS NULL OR smax > dmax THEN 'U' ELSE 'D' END AS op,
+                   CASE WHEN (dmax IS NULL OR smax > dmax)
+                         AND vp_l IS NOT NULL AND (dmax IS NULL OR vp_l > dmax)
+                        THEN vp END AS v_purchase,
+                   CASE WHEN (dmax IS NULL OR smax > dmax)
+                         AND vc_l IS NOT NULL AND (dmax IS NULL OR vc_l > dmax)
+                        THEN vc END AS v_click,
+                   CASE WHEN (dmax IS NULL OR smax > dmax)
+                         AND vv_l IS NOT NULL AND (dmax IS NULL OR vv_l > dmax)
+                        THEN vv END AS view_props
+            FROM a
         """,
         "o1_topk_per_group": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (

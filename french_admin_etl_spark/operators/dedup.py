@@ -41,6 +41,70 @@ def dedup_max_seq(df: DataFrame, keys: list[str], seq_col: str = "lsn") -> DataF
     return agg.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
 
 
+def dedup_coalesce(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "lsn",
+    op_col: str = "op",
+    data_cols: list[str] | None = None,
+) -> DataFrame:
+    """Coalesce-aware intra-batch fold: per key, each column keeps its LAST
+    NON-NULL value in LSN order — the per-event semantics of the
+    reference's ``ON CONFLICT DO UPDATE SET c = COALESCE(EXCLUDED.c, t.c)``
+    (``commune_population_repository.go:201-264``) applied to a whole
+    micro-batch at once. ``dedup_max_seq`` would keep only the max-LSN
+    ROW, silently dropping columns set by earlier partial updates in the
+    same batch.
+
+    Delete barriers: a 'D' event discards everything before it — a column
+    survives only if its last non-null assignment came AFTER the last
+    delete. If the batch's final event for a key is the delete itself, the
+    fold emits a single 'D' row (all data columns null).
+
+    ONE groupBy of combinable aggregates (per column:
+    ``max_by(struct(seq, c), seq) FILTER (c IS NOT NULL)``, plus the
+    delete high-water mark) — map-side partial agg, skew-proof, no second
+    pass: the barrier comparison happens in the post-projection. Output
+    columns/order match the input; ``seq_col`` carries max(seq) and
+    ``op_col`` is 'D' or 'U'."""
+    cols = df.columns
+    if data_cols is None:
+        data_cols = [c for c in cols if c not in keys and c not in (seq_col, op_col)]
+    seq = F.col(seq_col)
+    is_del = F.col(op_col) == F.lit("D")
+    aggs = [
+        F.max(seq).alias("_smax"),
+        F.max(F.when(is_del, seq)).alias("_dmax"),
+    ]
+    for c in data_cols:
+        # last non-null assignment: (seq, value) at the greatest seq where
+        # the event set the column (delete rows carry nulls upstream, so
+        # they never count as assignments)
+        aggs.append(
+            F.max_by(
+                F.struct(seq.alias("s"), F.col(c).alias("v")),
+                F.when(F.col(c).isNotNull() & ~is_del, seq),
+            ).alias(f"_l_{c}")
+        )
+    agg = df.groupBy(*keys).agg(*aggs)
+    survived = F.col("_dmax").isNull() | (F.col("_smax") > F.col("_dmax"))
+    out = []
+    for c in cols:
+        if c in keys:
+            out.append(F.col(c))
+        elif c == seq_col:
+            out.append(F.col("_smax").alias(seq_col))
+        elif c == op_col:
+            out.append(F.when(survived, F.lit("U")).otherwise(F.lit("D")).alias(op_col))
+        else:
+            last = F.col(f"_l_{c}")
+            keep = last.isNotNull() & (
+                F.col("_dmax").isNull() | (last["s"] > F.col("_dmax"))
+            )
+            out.append(F.when(survived & keep, last["v"]).alias(c))
+    return agg.select(*out)
+
+
 def dedup_max_seq_window(df: DataFrame, keys: list[str], seq_col: str = "lsn") -> DataFrame:
     """Window-ranking formulation (row_number desc == 1)."""
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())

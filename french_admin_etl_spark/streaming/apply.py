@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from french_admin_etl_spark.functions.hashing import content_sha, sha256_udf
-from french_admin_etl_spark.operators.dedup import dedup_max_seq
+from french_admin_etl_spark.operators.dedup import dedup_coalesce, dedup_max_seq
 from french_admin_etl_spark.operators.validate import validate_split
 from french_admin_etl_spark.sources.event_log import EventLog
 from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
@@ -240,8 +240,14 @@ class CDCApplyJob:
         normalized = self._normalize(df)
         # persist the deduped MERGE source: it is consumed by two actions
         # (touched-bucket discovery, the merge join) and re-running the
-        # dedup shuffle + sha for each would double the work
-        deduped = dedup_max_seq(normalized, KEYS, "lsn").persist()
+        # dedup shuffle + sha for each would double the work.
+        # coalesce mode folds intra-batch PARTIAL updates per column
+        # (dedup_max_seq would keep only the max-LSN row, dropping columns
+        # set by earlier events in the same batch)
+        if self.merge_mode == "coalesce":
+            deduped = dedup_coalesce(normalized, KEYS, "lsn", "op").persist()
+        else:
+            deduped = dedup_max_seq(normalized, KEYS, "lsn").persist()
         try:
             stats = self.table.merge(
                 deduped,

@@ -279,21 +279,22 @@ class LakeTable:
             bs = set(buckets)
             groups = [g for g in groups if g["bucket"] in bs]
         phys_cur = self._schema_at(snap, cur_v)
-        # group files by (schema version, commit seq); seq counts distinct
-        # scans, but outstanding delta commits are bounded by the compaction
-        # threshold so the union stays small
-        by_key: dict[tuple[int, int], list[str]] = {}
+        # group files by (schema version, commit seq, coalesce flag); seq
+        # counts distinct scans, but outstanding delta commits are bounded
+        # by the compaction threshold so the union stays small
+        by_key: dict[tuple[int, int, bool], list[str]] = {}
         for g in groups:
-            by_key.setdefault((g["schema_version"], g.get("seq", 0)), []).extend(g["files"])
+            k = (g["schema_version"], g.get("seq", 0), bool(g.get("coalesce")))
+            by_key.setdefault(k, []).extend(g["files"])
         parts = []
-        for (sv, seq), files in sorted(by_key.items()):
+        for (sv, seq, coal), files in sorted(by_key.items()):
             df = self.spark.read.schema(self._schema_at(snap, sv)).parquet(
                 *[os.path.join(self.root, f) for f in files]
             )
             parts.append(
-                self._upgrade(df, snap, sv, cur_v).withColumn(
-                    "_cseq", F.lit(seq).cast("long")
-                )
+                self._upgrade(df, snap, sv, cur_v)
+                .withColumn("_cseq", F.lit(seq).cast("long"))
+                .withColumn("_coal", F.lit(coal))
             )
         if not parts:
             return self.spark.createDataFrame([], phys_cur)
@@ -302,20 +303,54 @@ class LakeTable:
             out = out.unionByName(p, allowMissingColumns=True)
         # column order normalized to current schema
         cols = [f.name for f in phys_cur.fields]
-        out = out.select(*cols, "_cseq")
+        out = out.select(*cols, "_cseq", "_coal")
         if resolve and any(g.get("delta") for g in groups):
-            payload = F.struct(*[F.col(c) for c in cols])
-            out = (
-                out.groupBy(*snap["key_cols"])
-                .agg(
+            ord_key = F.struct(F.col("_lsn"), F.col("_cseq"))
+            if any(g.get("coalesce") for g in groups):
+                # S7 partial-column resolution: each column independently
+                # takes the value of the greatest (_lsn, commit seq) row
+                # that PARTICIPATES for it. Coalesce rows participate only
+                # where non-null ("not updated" never clears); BARRIER
+                # rows — full-row (non-coalesce) rows and tombstones —
+                # always participate, so an overwrite's null still clobbers
+                # and a delete discards pre-delete values (no resurrection
+                # of columns through a tombstone). Still ONE combinable
+                # groupBy: max_by ignores rows whose ordering key is null.
+                key_cols = snap["key_cols"]
+                data_cols = [
+                    c for c in cols if c not in key_cols and c not in INTERNAL_COLS
+                ]
+                barrier = (~F.col("_coal")) | F.col("_deleted")
+                aggs = [
                     F.max_by(
-                        payload, F.struct(F.col("_lsn"), F.col("_cseq"))
-                    ).alias("_r")
+                        F.struct(F.col("_lsn"), F.col("_deleted")), ord_key
+                    ).alias("_live")
+                ]
+                for c in data_cols:
+                    aggs.append(
+                        F.max_by(
+                            F.col(c),
+                            F.when(F.col(c).isNotNull() | barrier, ord_key),
+                        ).alias(c)
+                    )
+                sel = []
+                for c in cols:
+                    if c == "_lsn":
+                        sel.append(F.col("_live._lsn").alias("_lsn"))
+                    elif c == "_deleted":
+                        sel.append(F.col("_live._deleted").alias("_deleted"))
+                    else:
+                        sel.append(F.col(c))
+                out = out.groupBy(*key_cols).agg(*aggs).select(*sel)
+            else:
+                payload = F.struct(*[F.col(c) for c in cols])
+                out = (
+                    out.groupBy(*snap["key_cols"])
+                    .agg(F.max_by(payload, ord_key).alias("_r"))
+                    .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
                 )
-                .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
-            )
         else:
-            out = out.drop("_cseq")
+            out = out.drop("_cseq", "_coal")
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -429,19 +464,9 @@ class LakeTable:
         data_cols = [c for c in logical if c not in keys]
 
         if snap.get("write_mode", "cow") == "mor":
-            if mode == "coalesce":
-                # MOR resolution is whole-row max-LSN: a partial-column
-                # delta would clobber prior non-null values wholesale —
-                # the OPPOSITE of coalesce semantics. Refuse loudly rather
-                # than silently merging wrong (per-column last-non-null
-                # resolution is a possible future MOR read mode; until
-                # then use a COW table for S7-style partial merges).
-                raise NotImplementedError(
-                    "mode='coalesce' is not supported on write_mode='mor' "
-                    "tables; use a 'cow' table for partial-column merges"
-                )
             return self._merge_mor(
-                source, snap, seq_col, op_col, batch_id, extra_properties, fence_key
+                source, snap, seq_col, op_col, batch_id, extra_properties, fence_key,
+                coalesce=(mode == "coalesce"),
             )
 
         src = source.withColumn("_bucket", _bucket_expr(keys, nb))
@@ -532,13 +557,24 @@ class LakeTable:
         batch_id: int | None,
         extra_properties: dict | None,
         fence_key: str = "last_batch_id",
+        coalesce: bool = False,
     ) -> MergeStats:
         """Merge-on-read apply: append the (pre-deduped) source as delta
         file groups — NO read of the target, NO join; write cost is
         O(batch) regardless of table size. Deletes become tombstone rows;
         the read path resolves max-LSN per key. Counts report source ops
         applied (upserts/deletes in the batch), since the net effect
-        against current state is unknowable without reading it."""
+        against current state is unknowable without reading it.
+
+        ``coalesce=True`` (S7 partial-column merge on the MOR scale path):
+        the delta file groups are FLAGGED, and the read path switches to
+        per-column last-non-null resolution — for each column the winning
+        value comes from the greatest ``(_lsn, commit seq)`` row that
+        actually SET it (nulls in a coalesce delta mean "not updated",
+        never "clear"), with non-coalesce rows and tombstones acting as
+        barriers. Intra-batch partial updates must be pre-folded with
+        ``operators.dedup.dedup_coalesce`` (one row per key, each column
+        already last-non-null within the batch)."""
         keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
         logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
         data_cols = [c for c in logical if c not in keys]
@@ -567,6 +603,8 @@ class LakeTable:
         got = obs.get
         for g in groups:
             g["delta"] = True
+            if coalesce:
+                g["coalesce"] = True
 
         # commit with bounded retry: a MOR delta append is independent of
         # target state (no bucket was read), so on CommitConflict we simply

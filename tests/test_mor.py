@@ -216,13 +216,123 @@ _COLS = (
 )
 
 
-def test_mor_coalesce_mode_rejected(spark, tmp_root):
-    """Partial-column COALESCE semantics cannot hold under whole-row
-    max-LSN resolution — merge must refuse, not silently clobber."""
-    table = _mk_mor(spark, tmp_root, "co")
-    src = spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS)
-    with pytest.raises(NotImplementedError, match="coalesce"):
-        table.merge(src, batch_id=0, mode="coalesce")
+def test_mor_coalesce_partial_merge(spark, tmp_root):
+    """S7 partial-column merge on the MOR scale path (round-2 verdict item
+    2): per column, the last batch that SET it wins; a null in a coalesce
+    delta means "not updated", never "clear". Mirrors
+    test_coalesce_merge_mode on COW."""
+    table = _mk_mor(spark, tmp_root, "coal")
+    table.merge(
+        spark.createDataFrame([("r", "a", "c1", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0, mode="coalesce",
+    )
+    # partial update: only `content` set; commit/lang/content_sha stay
+    table.merge(
+        spark.createDataFrame([("r", "a", None, None, "v2", None, 2, "U")], _COLS),
+        batch_id=1, mode="coalesce",
+    )
+    row = table.read().collect()[0].asDict()
+    assert row == {
+        "repo": "r", "path": "a", "commit": "c1", "lang": "py",
+        "content": "v2", "content_sha": "s1",
+    }
+    # a different partial update: only `lang` set
+    table.merge(
+        spark.createDataFrame([("r", "a", None, "go", None, None, 3, "U")], _COLS),
+        batch_id=2, mode="coalesce",
+    )
+    row = table.read().collect()[0].asDict()
+    assert row["lang"] == "go" and row["content"] == "v2" and row["commit"] == "c1"
+
+
+def test_mor_coalesce_delete_barrier_and_compaction(spark, tmp_root):
+    """A tombstone discards pre-delete column values (no resurrection
+    through a delete), and compaction preserves coalesce semantics —
+    resolved state is identical before and after folding the deltas."""
+    table = _mk_mor(spark, tmp_root, "coalbar")
+    table.merge(
+        spark.createDataFrame([("r", "a", "c1", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0, mode="coalesce",
+    )
+    table.merge(
+        spark.createDataFrame([("r", "a", None, None, None, None, 2, "D")], _COLS),
+        batch_id=1, mode="coalesce",
+    )
+    assert table.read().count() == 0
+    # post-delete partial reinsert: pre-delete columns must NOT resurrect
+    table.merge(
+        spark.createDataFrame([("r", "a", None, None, "v3", None, 3, "I")], _COLS),
+        batch_id=2, mode="coalesce",
+    )
+    before = [r.asDict() for r in table.read().collect()]
+    assert before == [
+        {"repo": "r", "path": "a", "commit": None, "lang": None,
+         "content": "v3", "content_sha": None}
+    ]
+    table.compact()
+    after = [r.asDict() for r in table.read().collect()]
+    assert after == before
+    # post-compaction partial update still coalesces against the base
+    table.merge(
+        spark.createDataFrame([("r", "a", "c4", None, None, None, 4, "U")], _COLS),
+        batch_id=3, mode="coalesce",
+    )
+    row = table.read().collect()[0].asDict()
+    assert row["commit"] == "c4" and row["content"] == "v3"
+
+
+def test_mor_coalesce_overwrite_rows_are_barriers(spark, tmp_root):
+    """Mixing modes on one table: a later FULL-ROW (overwrite) merge must
+    clobber with its nulls; a later coalesce merge must not."""
+    table = _mk_mor(spark, tmp_root, "coalmix")
+    table.merge(
+        spark.createDataFrame([("r", "a", "c1", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0, mode="coalesce",
+    )
+    table.merge(  # overwrite: null commit/lang CLEAR those columns
+        spark.createDataFrame([("r", "a", None, None, "v2", "s2", 2, "U")], _COLS),
+        batch_id=1, mode="overwrite",
+    )
+    row = table.read().collect()[0].asDict()
+    assert row["commit"] is None and row["lang"] is None and row["content"] == "v2"
+    table.merge(  # coalesce after the overwrite: null keeps overwrite's state
+        spark.createDataFrame([("r", "a", "c3", None, None, None, 3, "U")], _COLS),
+        batch_id=2, mode="coalesce",
+    )
+    row = table.read().collect()[0].asDict()
+    assert row["commit"] == "c3" and row["lang"] is None and row["content"] == "v2"
+
+
+def test_mor_coalesce_matches_cow_coalesce_replay(spark, tmp_root):
+    """Write-mode parity under coalesce mode: the same partial-update
+    event stream applied batch-by-batch to a COW and a MOR table yields
+    identical final states (the S7 analog of the main MOR/COW parity
+    invariant), including through a mid-stream compaction."""
+    batches = [
+        [("r", "a", "c1", "py", "v1", "s1", 1, "I"),
+         ("r", "b", "c1", "go", "w1", "t1", 2, "I")],
+        [("r", "a", None, None, "v2", None, 3, "U"),      # partial: content
+         ("r", "b", None, "rs", None, None, 4, "U")],     # partial: lang
+        [("r", "b", None, None, None, None, 5, "D")],     # delete b
+        [("r", "a", "c6", None, None, None, 6, "U"),      # partial: commit
+         ("r", "b", None, None, "w7", None, 7, "I")],     # partial reinsert
+    ]
+    states = {}
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, f"cpar_{mode}"), schema=REPOS_SCHEMA,
+            key_cols=KEYS, num_buckets=4, write_mode=mode,
+        )
+        for i, rows in enumerate(batches):
+            t.merge(spark.createDataFrame(rows, _COLS), batch_id=i, mode="coalesce")
+            if mode == "mor" and i == 2:
+                t.compact()
+        states[mode] = sorted(
+            (r.asDict() for r in t.read().collect()),
+            key=lambda d: (d["repo"], d["path"]),
+        )
+    assert states["cow"] == states["mor"]
+    assert [r["path"] for r in states["mor"]] == ["a", "b"]
 
 
 def test_mor_per_writer_fences_independent(spark, tmp_root):

@@ -50,6 +50,30 @@ def test_dedup_exact_duplicate_redelivery(spark):
     assert len(out) == 1 and out[0]["v"] == "x"
 
 
+def test_dedup_coalesce_folds_partial_updates(spark):
+    from french_admin_etl_spark.operators.dedup import dedup_coalesce
+
+    rows = [
+        # key a: partial updates — each column keeps its LAST NON-NULL
+        ("a", 1, "I", "x1", "y1"),
+        ("a", 2, "U", None, "y2"),
+        ("a", 3, "U", "x3", None),
+        # key b: delete barrier — post-delete assignment only
+        ("b", 1, "I", "bx", "by"),
+        ("b", 2, "D", None, None),
+        ("b", 3, "I", None, "by3"),
+        # key c: ends deleted
+        ("c", 1, "I", "cx", None),
+        ("c", 2, "D", None, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, lsn long, op string, x string, y string")
+    out = {r["k"]: r.asDict() for r in dedup_coalesce(df, ["k"]).collect()}
+    assert dedup_coalesce(df, ["k"]).columns == df.columns
+    assert out["a"] == {"k": "a", "lsn": 3, "op": "U", "x": "x3", "y": "y2"}
+    assert out["b"] == {"k": "b", "lsn": 3, "op": "U", "x": None, "y": "by3"}
+    assert out["c"] == {"k": "c", "lsn": 2, "op": "D", "x": None, "y": None}
+
+
 def test_validate_split_reasons_in_rule_order(spark):
     df = spark.createDataFrame(
         [(1, "ok"), (None, "nullid"), (2, None), (None, None)], "id int, name string"
