@@ -43,23 +43,42 @@ def _mk_table(spark, root: str, num_buckets: int, write_mode: str = "mor"):
 
 
 def cmd_apply(args) -> None:
-    from french_admin_etl_spark.session import get_spark
+    from french_admin_etl_spark.config import EngineConfig
     from french_admin_etl_spark.sources.event_log import EventLog
     from french_admin_etl_spark.streaming.apply import CDCApplyJob
     from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
 
-    spark = get_spark(app_name="cdc_apply", cores=args.cores)
-    table = _mk_table(spark, args.table_root, args.num_buckets, args.write_mode)
-    job = CDCApplyJob(
-        spark, table, dead_letter_dir=args.dead_letter_dir,
-        lineage_dir=args.lineage_dir, writer_id=args.writer_id,
+    # CLI flags > $SPARK_GRAFT_* env > .env file > defaults (the
+    # reference's config bootstrap precedence, load_config.go:57-72)
+    cfg = EngineConfig.load(
+        overrides={
+            k: getattr(args, k)
+            for k in (
+                "log_dir", "table_root", "checkpoint", "batch_lsns",
+                "num_buckets", "write_mode", "dead_letter_dir", "lineage_dir",
+                "writer_id",
+            )
+        }
+        | {"workers": args.cores}
     )
-    log = EventLog(spark, args.log_dir)
+    for req in ("log_dir", "table_root", "checkpoint"):
+        if getattr(cfg, req) is None:
+            raise SystemExit(
+                f"missing --{req.replace('_', '-')} "
+                f"(or $SPARK_GRAFT_{req.upper()})"
+            )
+    spark = cfg.session(app_name="cdc_apply")
+    table = _mk_table(spark, cfg.table_root, cfg.num_buckets, cfg.write_mode)
+    job = CDCApplyJob(
+        spark, table, dead_letter_dir=cfg.dead_letter_dir,
+        lineage_dir=cfg.lineage_dir, writer_id=cfg.writer_id,
+    )
+    log = EventLog(spark, cfg.log_dir)
     if args.stream:
-        results = job.run_stream(log, args.checkpoint)
+        results = job.run_stream(log, cfg.checkpoint)
     else:
         results = job.run_incremental(
-            log, CheckpointStore(args.checkpoint), batch_lsns=args.batch_lsns
+            log, CheckpointStore(cfg.checkpoint), batch_lsns=cfg.batch_lsns
         )
     for r in results:
         print(
@@ -126,12 +145,13 @@ def main() -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ap = sub.add_parser("apply", help="incremental exactly-once apply")
-    ap.add_argument("--log-dir", required=True)
-    ap.add_argument("--table-root", required=True)
-    ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--batch-lsns", type=int, default=1_000_000)
-    ap.add_argument("--num-buckets", type=int, default=32)
-    ap.add_argument("--write-mode", choices=["cow", "mor"], default="mor",
+    # every flag falls back to $SPARK_GRAFT_* / .env via EngineConfig
+    ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--table-root", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--batch-lsns", type=int, default=None)
+    ap.add_argument("--num-buckets", type=int, default=None)
+    ap.add_argument("--write-mode", choices=["cow", "mor"], default=None,
                     help="cow: rewrite touched buckets per batch; "
                          "mor: O(batch) delta appends + compaction (scale path)")
     ap.add_argument("--cores", type=int, default=None)

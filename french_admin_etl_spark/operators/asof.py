@@ -110,3 +110,51 @@ def point_in_interval_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("_b")
+
+
+def _floordiv_expr(sql: str, width: int):
+    """Exact floor division of an integral SQL expression: ``div``
+    truncates toward zero, so subtract the non-negative ``pmod`` first to
+    get a true floor (correct for negatives). ALL-integer arithmetic —
+    no double ever enters, so it is exact over the full long range
+    (a ``/`` would round past 2^53)."""
+    c = f"CAST(({sql}) AS BIGINT)"
+    return F.expr(f"(({c}) - pmod({c}, {width})) div {width}")
+
+
+def point_in_interval_join_exact(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Integer-domain range join with EXACT bucket bounds — the epsilon-free
+    variant of ``point_in_interval_join`` (whose ``hi - 1e-9`` upper-bucket
+    nudge is correct for real-valued data but fragile at double-precision
+    edges). For integral points/bounds the last bucket an interval
+    [lo, hi) touches is exactly ``floor((hi-1)/w)``, computed in pure
+    integer arithmetic (floor-division via pmod, correct for negatives),
+    so no float ever enters the bucketing. Same scale shape: equi-join on
+    bucket id, intervals spanning b buckets emit b rows."""
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be a positive int, got {bucket_width}")
+    p = points.withColumn("_b", _floordiv_expr(point_col, w))
+    i = (
+        intervals.withColumn(
+            "_bs",
+            F.sequence(
+                _floordiv_expr(lo_col, w),
+                _floordiv_expr(f"({hi_col}) - 1", w),
+            ),
+        )
+        .withColumn("_b", F.explode("_bs"))
+        .drop("_bs")
+    )
+    joined = p.join(i, "_b", how).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("_b")

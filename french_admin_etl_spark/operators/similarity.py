@@ -200,37 +200,50 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    iterations: int = 1,
 ) -> DataFrame:
-    """One deterministic k-means step → (list_id, centroid) inverted-file
-    index (IVF-flat, à la FAISS):
+    """Deterministic k-means → (list_id, centroid) inverted-file index
+    (IVF-flat, à la FAISS):
 
     seeds = the ``k_lists`` lowest-id vectors (deterministic, replayable);
-    assign all vectors to seeds; centroid = element-wise mean of each
-    list, ROUNDED to ``round_digits`` so the result is bit-identical
-    across engines/aggregation orders (floating sums are order-sensitive;
-    rounding makes the index reproducible and oracle-checkable).
+    each Lloyd iteration assigns all vectors to the current centroids and
+    recomputes each list's element-wise mean, ROUNDED to ``round_digits``
+    so the result is bit-identical across engines/aggregation orders
+    (floating sums are order-sensitive; rounding makes the index
+    reproducible and oracle-checkable).
 
-    Scale: the mean is one posexplode + combinable avg groupBy on
-    (list_id, position) — shuffle volume k·d doubles, independent of
-    corpus size. More Lloyd iterations = re-calling this with the
-    previous centroids via ``ivf_assign``; one step suffices for a
-    bucketing index (FAISS ships few-iteration coarse quantizers too)."""
-    seeds = (
+    Scale: each iteration is one broadcast assignment scan plus one
+    posexplode + combinable avg groupBy on (list_id, position) — shuffle
+    volume k·d doubles, independent of corpus size. ``iterations=1``
+    suffices for a bucketing index (FAISS ships few-iteration coarse
+    quantizers too) and is what the oracle-checked driver query pins;
+    more iterations tighten the partitions (higher recall per probed
+    list — measured in ``tests/test_ivf.py::test_ivf_recall``). A list
+    that ends an iteration empty drops out (k shrinks), matching k-means
+    on degenerate seeds."""
+    cents = (
         df.orderBy(id_col)
         .limit(k_lists)
         .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("centroid"))
     )
-    assigned = ivf_assign(df, seeds, id_col, vec_col)
-    means = (
-        assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
-        .groupBy("list_id", "_pos")
-        .agg(F.round(F.avg(F.col("_x").cast("double")), round_digits).alias("_m"))
-    )
-    return means.groupBy("list_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
-        ).getField("_m").alias("centroid")
-    )
+    for it in range(iterations):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .groupBy("list_id", "_pos")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), round_digits).alias("_m"))
+        )
+        cents = means.groupBy("list_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+            ).getField("_m").alias("centroid")
+        )
+        if it + 1 < iterations:
+            # the next iteration's assignment broadcast-scans these k·d
+            # values twice (assign + probe) — pin them so the lineage
+            # doesn't recompute the whole previous iteration per action
+            cents = cents.localCheckpoint(eager=True)
+    return cents
 
 
 def ivf_ann(
@@ -241,6 +254,7 @@ def ivf_ann(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iterations: int = 1,
 ) -> DataFrame:
     """IVF ANN: train a k-list inverted file over the corpus, probe the
     ``nprobe`` centroids nearest the query, exact cosine top-k over only
@@ -252,7 +266,7 @@ def ivf_ann(
     Versus ``signature_bucket_ann`` (data-independent buckets), IVF adapts
     the partitions to the data distribution — better recall per scanned
     byte on clustered embeddings."""
-    cents = ivf_train(corpus, k_lists, id_col, vec_col)
+    cents = ivf_train(corpus, k_lists, id_col, vec_col, iterations=iterations)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     probes = (
         query.crossJoin(F.broadcast(cents))

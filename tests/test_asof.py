@@ -85,3 +85,49 @@ def test_range_join_is_equi_join_not_cross(spark):
         out.explain()
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_range_join_property_vs_naive(spark):
+    """Property: the integer-quantized range join equals a naive
+    theta-join filter on RANDOM intervals — negatives, zero-width,
+    bucket-boundary-straddling, and width-1 cases all included — for
+    several bucket widths. No epsilon anywhere."""
+    import random
+
+    from french_admin_etl_spark.operators.asof import point_in_interval_join_exact
+
+    rnd = random.Random(97)
+    pts = [(i, rnd.randint(-50, 50)) for i in range(120)]
+    ivs = []
+    for j in range(40):
+        lo = rnd.randint(-50, 45)
+        ivs.append((j, lo, lo + rnd.randint(0, 12)))  # hi-exclusive, may be empty
+    pdf = spark.createDataFrame(pts, "pid int, v long")
+    idf = spark.createDataFrame(ivs, "iid int, lo long, hi long")
+    naive = {
+        (p, i) for p, v in pts for i, lo, hi in ivs if lo <= v < hi
+    }
+    for width in (1, 3, 7, 64):
+        got = {
+            (r["pid"], r["iid"])
+            for r in point_in_interval_join_exact(
+                pdf, idf, "v", "lo", "hi", bucket_width=width
+            ).collect()
+        }
+        assert got == naive, f"width={width}"
+
+
+def test_exact_range_join_boundary_no_epsilon_leak(spark):
+    """hi lands exactly on a bucket boundary: the interval must NOT probe
+    the bucket starting at hi (the case the float epsilon guarded)."""
+    from french_admin_etl_spark.operators.asof import point_in_interval_join_exact
+
+    pts = spark.createDataFrame([(1, 10), (2, 9)], "pid int, v long")
+    ivs = spark.createDataFrame([(0, 5, 10)], "iid int, lo long, hi long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join_exact(
+            pts, ivs, "v", "lo", "hi", bucket_width=5
+        ).collect()
+    }
+    assert got == {(2, 0)}  # 10 excluded (hi-exclusive), 9 included

@@ -355,6 +355,78 @@ def test_mor_per_writer_fences_independent(spark, tmp_root):
     assert snap["properties"]["last_batch_id.w_b"] == 1
 
 
+def test_mor_concurrent_writers_with_racing_compactor(spark, tmp_root):
+    """TRUE concurrent multi-writer e2e (round-2 verdict item 4): two live
+    CDCApplyJobs with distinct writer_ids apply disjoint log partitions
+    into ONE MOR table from separate threads while a compactor races them.
+    Exercises the commit rebase-retry loop under real contention; final
+    state must equal the pandas oracle over the union of both logs, and
+    both writers' fences must have advanced independently."""
+    import threading
+
+    import pandas as pd
+
+    logs, evs = {}, {}
+    for w, seed in (("w_a", 51), ("w_b", 52)):
+        # disjoint key universes via key_ns → writers never touch the same
+        # key (the multi-writer topology: one writer per log partition)
+        ev = datagen.gen_change_events(
+            n_events=1500, n_keys=150, seed=seed, key_ns=w, delete_rate=0.06
+        )
+        log_dir = os.path.join(tmp_root, f"log_{w}")
+        spark.createDataFrame(ev, schema=EVENT_SCHEMA).write.mode("overwrite").parquet(
+            log_dir
+        )
+        evs[w], logs[w] = ev, EventLog(spark, log_dir)
+
+    root = os.path.join(tmp_root, "multi")
+    LakeTable.create(
+        spark, root, schema=REPOS_SCHEMA, key_cols=KEYS, num_buckets=4,
+        write_mode="mor", properties={"compact.max-delta-files": 64},
+    )
+    errors = []
+    done = threading.Event()
+
+    def run_writer(w):
+        try:
+            table = LakeTable(spark, root)  # own instance (own snap cache)
+            job = CDCApplyJob(spark, table, writer_id=w)
+            job.run_incremental(
+                logs[w], CheckpointStore(os.path.join(tmp_root, f"{w}.ck")),
+                batch_lsns=400,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append((w, e))
+
+    def run_compactor():
+        table = LakeTable(spark, root)
+        from french_admin_etl_spark.table.lake_table import CommitConflict
+
+        while not done.is_set():
+            try:
+                table.compact()
+            except CommitConflict:
+                pass  # lost the version race to an ingest writer — retry
+            done.wait(0.3)
+
+    threads = [threading.Thread(target=run_writer, args=(w,)) for w in logs]
+    compactor = threading.Thread(target=run_compactor)
+    compactor.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    done.set()
+    compactor.join()
+    assert not errors, errors
+
+    table = LakeTable(spark, root)
+    exp = _expected(pd.concat([evs["w_a"], evs["w_b"]], ignore_index=True))
+    assert _state(table) == exp
+    props = table.snapshot()["properties"]
+    assert "last_batch_id.w_a" in props and "last_batch_id.w_b" in props
+
+
 def test_mor_equal_lsn_tie_later_commit_wins_deterministically(spark, tmp_root):
     """Equal-LSN rows from different commits (bootstrap base at _lsn=0 vs
     a delta at lsn=0) must resolve deterministically: later commit wins."""
