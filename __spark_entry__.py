@@ -349,6 +349,19 @@ def d5_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
 
 
+def d6_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup via content-defined chunking
+    (operators.textdedup.content_defined_chunks): rolling-hash chunk
+    boundaries (shift-invariant), chunk fingerprints shared by >= 2
+    distinct documents."""
+    from french_admin_etl_spark.operators.textdedup import shared_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_chunks(docs, "doc_id", "text", mod=32).select(
+        "chunk_hash", "n_docs", "n_occurrences", "chunk_len"
+    )
+
+
 def e2_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-bucket LSH pruning then exact cosine top-10
     (operators.similarity.signature_bucket_ann)."""
@@ -582,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash": d3_simhash,
         "d4_lsh_verified_near_dups": d4_lsh_verified_near_dups,
         "d5_simhash_near_dups": d5_simhash_near_dups,
+        "d6_cdc_chunk_dedup": d6_cdc_chunk_dedup,
         "e2_ann_bucket": e2_ann_bucket,
         "e4_ivf_ann": e4_ivf_ann,
         "e3_embedding_near_dup": e3_embedding_near_dup,
@@ -682,6 +696,39 @@ def _lsh_verified_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 50
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE c / (na.n + nb.n - c) >= {threshold}
+    """
+
+
+def _cdc_chunk_sql(mod: int = 32, gram: int = 4, min_docs: int = 2) -> str:
+    """DuckDB twin of operators.textdedup.shared_chunks: identical base-31
+    window hash, cut positions, and chunk extraction (lists + lateral
+    unnest instead of Spark's higher-order array functions)."""
+    poly = " + ".join(
+        f"ascii(substr(text, CAST(i AS INTEGER) + {k}, 1)) * {31 ** (gram - 1 - k)}"
+        for k in range(gram)
+    )
+    return f"""
+        WITH c AS (
+          SELECT doc_id, text, len(text) AS n,
+                 list_filter(range(2, greatest(len(text) - {gram - 2}, 2)),
+                             i -> ({poly}) % {mod} = 0) AS cuts
+          FROM documents WHERE text IS NOT NULL AND len(text) > 0
+        ), s AS (
+          SELECT doc_id, text,
+                 list_concat([CAST(1 AS BIGINT)], cuts) AS starts,
+                 list_concat(cuts, [CAST(n + 1 AS BIGINT)]) AS ends
+          FROM c
+        ), ch AS (
+          SELECT doc_id,
+                 md5(substr(text, CAST(starts[CAST(j AS INTEGER)] AS INTEGER),
+                            CAST(ends[CAST(j AS INTEGER)] - starts[CAST(j AS INTEGER)] AS INTEGER)))
+                   AS chunk_hash,
+                 ends[CAST(j AS INTEGER)] - starts[CAST(j AS INTEGER)] AS clen
+          FROM s, unnest(range(1, len(starts) + 1)) AS t(j)
+        )
+        SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences, CAST(max(clen) AS INTEGER) AS chunk_len
+        FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= {min_docs}
     """
 
 
@@ -945,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "d2_jaccard_pairs": _lsh_verified_sql(threshold=0.5),
         "d3_simhash": _simhash_sql(),
         "d5_simhash_near_dups": _simhash_pairs_sql(),
+        "d6_cdc_chunk_dedup": _cdc_chunk_sql(),
         "d4_lsh_verified_near_dups": _lsh_verified_sql(),
         "e2_ann_bucket": f"""
             WITH b AS (

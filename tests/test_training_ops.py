@@ -240,3 +240,56 @@ def test_simhash_near_dup_rejects_bad_config(docs):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
+
+
+def test_cdc_chunks_reconstruct_and_are_shift_invariant(spark):
+    """Content-defined chunking: (1) chunks concatenate back to the exact
+    document; (2) boundaries are content-defined, so inserting a prefix
+    shifts every offset yet the later chunks keep IDENTICAL fingerprints
+    — the property that makes sub-document dedup work."""
+    from french_admin_etl_spark.operators.textdedup import content_defined_chunks
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest tonight while the moon rises slowly "
+        "over the silent hills and the river keeps flowing to the sea"
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED PREFIX CHANGES ALL OFFSETS " + body), (3, "ab")],
+        "doc_id int, text string",
+    )
+    rows = content_defined_chunks(docs, "doc_id", "text").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"], r["chunk_hash"]))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, chunks in by.items():
+        assert "".join(c for _, c, _ in sorted(chunks)) == texts[d]
+    assert len(by[3]) == 1  # short doc = one whole-text chunk
+    h1 = {h for _, _, h in by[1]}
+    h2 = {h for _, _, h in by[2]}
+    # every chunk of doc 1 except (at most) the first survives the shift
+    assert len(h1 & h2) >= len(h1) - 1 and len(h1) >= 3
+
+
+def test_shared_chunks_finds_planted_subdocument_dup(spark):
+    """A passage copied between otherwise-different documents must surface
+    as shared chunk fingerprints with n_docs == 2."""
+    from french_admin_etl_spark.operators.textdedup import shared_chunks
+
+    passage = (
+        "this exact passage was copied verbatim between two documents and "
+        "content defined chunking should isolate it as identical chunks "
+        "regardless of what surrounds it in either document body"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "unique opening words here " + passage + " unique closing one"),
+            (2, "totally different framing text " + passage + " other ending"),
+            (3, "unrelated document with none of that shared content at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = shared_chunks(docs, "doc_id", "text").collect()
+    assert out, "no shared chunks found for a planted duplicate passage"
+    assert all(r["n_docs"] == 2 for r in out)
