@@ -129,6 +129,74 @@ def main() -> None:
           ["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"])
     sections.append(("IVF assign (broadcast argmax over k centroids)", p))
 
+    # 8. content-defined chunking: per-row array lambdas only — the chunk
+    #    stream reaches shared_chunks' single groupBy with ONE exchange and
+    #    partial (map-side) aggregation; zero Python anywhere
+    from french_admin_etl_spark.operators.textdedup import shared_chunks
+
+    p = plan_of(shared_chunks(docs, "doc_id", "text", mod=32))
+    # countDistinct plans as TWO hash-agg phases (distinct expand + final)
+    # → 2 shuffles, each map-side partial; anything beyond that (a join, a
+    # window, Python) would show as extra exchanges/operators
+    chunk_ok = p.count("Exchange (") <= 2 and "HashAggregate" in p
+    check("CDC chunking: row-local lambdas, combinable agg shuffles only", p,
+          ["partial_count"], ["BatchEvalPython", "ArrowEvalPython", "Window", "Join"])
+    CHECKS[-1] = (CHECKS[-1][0], CHECKS[-1][1] and chunk_ok, CHECKS[-1][2], CHECKS[-1][3])
+    sections.append(("Sub-document dedup: content-defined chunks → shared_chunks", p))
+
+    # 9. dedup_coalesce (S7 intra-batch fold): ONE hash/sort aggregate with
+    #    map-side partials, no Window, single exchange
+    from french_admin_etl_spark.operators.dedup import dedup_coalesce
+
+    src8 = ev.select(
+        "user_id", F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("v"),
+    )
+    p = plan_of(dedup_coalesce(src8, ["user_id"], "lsn", "op"))
+    check("dedup_coalesce: single combinable aggregation, no window", p,
+          ["partial_max"], ["Window", "BatchEvalPython"])
+    CHECKS[-1] = (CHECKS[-1][0], CHECKS[-1][1] and p.count("Exchange") <= 2,
+                  CHECKS[-1][2], CHECKS[-1][3])
+    sections.append(("S7 dedup_coalesce (per-column last-non-null fold)", p))
+
+    # 10. MOR coalesce read resolution: still ONE groupBy (per-column
+    #     conditional max_by), never a per-column self-join or window
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    with tempfile.TemporaryDirectory(prefix="audit_mor_") as td:
+        t = LakeTable.create(
+            spark, os.path.join(td, "t"),
+            T.StructType([T.StructField("k", T.StringType()),
+                          T.StructField("a", T.StringType()),
+                          T.StructField("b", T.StringType())]),
+            ["k"], num_buckets=2, write_mode="mor",
+        )
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "k string, a string, b string, lsn long, op string"
+        )
+        t.merge(mk([("x", "1", "2", 1, "I")]), batch_id=0, mode="coalesce")
+        t.merge(mk([("x", None, "3", 2, "U")]), batch_id=1, mode="coalesce")
+        p = plan_of(t.read())
+        check("MOR coalesce resolution is one aggregate (no join/window)", p,
+              ["max_by"], ["Window", "SortMergeJoin", "BroadcastHashJoin"])
+        sections.append(("MOR partial-column (coalesce) read resolution", p))
+
+    # 11. exact integer range join: bucket equi-join, never a cross product
+    from french_admin_etl_spark.operators.asof import point_in_interval_join_exact
+
+    pts = ev.select("event_id")
+    ivs = spark.range(50).select((F.col("id") * 100).alias("lo"),
+                                 (F.col("id") * 100 + 150).alias("hi"))
+    p = plan_of(point_in_interval_join_exact(pts, ivs, "event_id", "lo", "hi", 64))
+    check("exact range join is an equi-join on buckets", p, ["Join"],
+          ["CartesianProduct", "BroadcastNestedLoopJoin"])
+    sections.append(("Exact integer range join (bucket equi-join)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
