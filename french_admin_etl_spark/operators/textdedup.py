@@ -372,3 +372,98 @@ def shared_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def content_defined_chunks_clamped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    mod: int = 32,
+    gram: int = 4,
+    min_len: int = 8,
+    max_len: int = 128,
+) -> DataFrame:
+    """Production-grade CDC chunking with min/max chunk clamps (what
+    rsync/LBFS/restic actually ship): a rolling-hash cut is SUPPRESSED
+    while the current chunk is shorter than ``min_len`` (suppression
+    changes every later boundary decision — inherently sequential state,
+    inexpressible as an independent per-position filter), and a cut is
+    FORCED at ``max_len`` so a pathological hash-free stretch cannot
+    produce an unbounded chunk.
+
+    This is the engine's declared Arrow seam (U3 / input_hint: vectorized
+    pandas UDFs, never per-row Python in a JVM-expressible path): one
+    ``mapInPandas`` over Arrow record batches; inside, the window hashes
+    are numpy-vectorized over the whole document (one multiply-add per
+    weight) and only the sparse candidate list is walked sequentially.
+    With ``min_len=1, max_len=inf`` the boundaries equal
+    ``content_defined_chunks`` exactly (tested — the Python and JVM
+    implementations cross-check each other).
+
+    Embarrassingly parallel per document: no shuffle, scales as a corpus
+    scan. Same output shape as ``content_defined_chunks``.
+    """
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk", T.StringType()),
+            T.StructField("chunk_hash", T.StringType()),
+        ]
+    )
+    weights = [31 ** (gram - 1 - k) for k in range(gram)]
+
+    def chunk_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"id": [], "chunk_idx": [], "chunk": [], "chunk_hash": []}
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                n = len(text)
+                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if len(codes) != n:  # non-ascii: fall back to codepoints
+                    codes = np.fromiter(map(ord, text), dtype=np.int64, count=n)
+                codes = codes.astype(np.int64)
+                if n >= gram + 1:
+                    h = np.zeros(n - gram, dtype=np.int64)  # window starts 1..n-gram
+                    for k, w in enumerate(weights):
+                        h += codes[1 + k : n - gram + 1 + k] * w
+                    candidates = (np.nonzero(h % mod == 0)[0] + 1).tolist()
+                else:
+                    candidates = []
+                cuts, start = [], 0
+                for c in candidates:
+                    while c - start >= max_len:  # no cut for a whole window
+                        start += max_len
+                        cuts.append(start)
+                    if c - start >= min_len:
+                        cuts.append(c)
+                        start = c
+                while n - start > max_len:  # clamp the tail too
+                    start += max_len
+                    cuts.append(start)
+                bounds = [0] + cuts + [n]
+                for ci, (s, e) in enumerate(zip(bounds, bounds[1:])):
+                    chunk = text[s:e]
+                    out["id"].append(rid)
+                    out["chunk_idx"].append(ci)
+                    out["chunk"].append(chunk)
+                    out["chunk_hash"].append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_field.name: out["id"],
+                    "chunk_idx": out["chunk_idx"],
+                    "chunk": out["chunk"],
+                    "chunk_hash": out["chunk_hash"],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(chunk_batches, out_schema)

@@ -97,3 +97,42 @@ def test_ivf_ann_prunes_to_probed_lists(spark, emb):
     corpus = emb.filter(F.col("vec_id") != 0)
     got = [r["vec_id"] for r in ivf_ann(corpus, q, k=30, k_lists=2, nprobe=1).collect()]
     assert got and all(v < 20 for v in got)  # only the query's cluster
+
+
+def test_ivf_lloyd_iterations_fix_bad_seeding(spark):
+    """Planted 3-cluster corpus whose k seeds (lowest ids) ALL fall in one
+    cluster — the pathological k-means init. One Lloyd step leaves a
+    cluster split across lists (purity < 0.95); a second step migrates
+    the centroids apart and partitions perfectly. Deterministic: seeded
+    data, deterministic train/assign."""
+    import collections
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dims, k = 8, 3
+    centers = np.eye(dims)[:k]
+    rows = []
+    vid = 0
+    for c in range(k):  # ids 0..39 are ALL cluster 0 → seeds are degenerate
+        for _ in range(40):
+            v = centers[c] + rng.normal(0, 0.15, dims)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id int, embedding array<float>"
+    )
+    truth = {i: c for i, v, c in rows}
+
+    def purity(iters):
+        cents = ivf_train(emb, k_lists=3, iterations=iters)
+        a = {r["vec_id"]: r["list_id"] for r in ivf_assign(emb, cents).collect()}
+        per = []
+        for c in range(k):
+            cnt = collections.Counter(a[i] for i in a if truth[i] == c)
+            per.append(max(cnt.values()) / sum(cnt.values()))
+        return sum(per) / k
+
+    p1, p2 = purity(1), purity(2)
+    assert p1 < 0.95  # bad seeding visibly hurts a single step
+    assert p2 == 1.0  # a second Lloyd step separates the clusters

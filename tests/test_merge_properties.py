@@ -91,3 +91,61 @@ def test_any_ops_any_batching_converges_to_oracle_both_modes(
         states[write_mode] = {r["path"]: r["content"] for r in table.read().collect()}
     assert states["cow"] == _oracle(events)
     assert states["cow"] == states["mor"]
+
+
+# --- coalesce-fold property: dedup_coalesce vs a per-event Python oracle ---
+
+coalesce_ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),          # key index
+        st.sampled_from(["U", "U", "U", "D"]),          # op (deletes rarer)
+        st.one_of(st.none(), st.integers(0, 5)),        # column x assignment
+        st.one_of(st.none(), st.integers(0, 5)),        # column y assignment
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=coalesce_ops_strategy)
+def test_dedup_coalesce_matches_per_event_oracle(spark, ops):
+    """dedup_coalesce (one groupBy over the whole batch) must equal the
+    row-at-a-time reference semantics: apply events in LSN order, each
+    non-null column assignment sticks, a delete resets the row — the
+    ON CONFLICT ... COALESCE loop of commune_population_repository.go
+    replayed per event in plain Python."""
+    from french_admin_etl_spark.operators.dedup import dedup_coalesce
+
+    keys = ["ka", "kb"]
+    rows = []
+    state: dict[str, dict | None] = {}
+    last: dict[str, tuple[int, str]] = {}
+    for lsn, (ki, op, x, y) in enumerate(ops):
+        k = keys[ki]
+        if op == "D":
+            rows.append((k, lsn, "D", None, None))
+            state[k] = None
+        else:
+            rows.append((k, lsn, "U", x, y))
+            cur = state.get(k) or {"x": None, "y": None}
+            if x is not None:
+                cur["x"] = x
+            if y is not None:
+                cur["y"] = y
+            state[k] = cur
+        last[k] = (lsn, op)
+    df = spark.createDataFrame(rows, "k string, lsn long, op string, x int, y int")
+    got = {r["k"]: r.asDict() for r in dedup_coalesce(df, ["k"]).collect()}
+    for k, (lsn, _) in last.items():
+        assert got[k]["lsn"] == lsn
+        if state[k] is None:
+            assert got[k]["op"] == "D"
+            assert got[k]["x"] is None and got[k]["y"] is None
+        else:
+            assert got[k]["op"] == "U"
+            assert got[k]["x"] == state[k]["x"] and got[k]["y"] == state[k]["y"]

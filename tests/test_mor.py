@@ -303,6 +303,35 @@ def test_mor_coalesce_overwrite_rows_are_barriers(spark, tmp_root):
     assert row["commit"] == "c3" and row["lang"] is None and row["content"] == "v2"
 
 
+def test_mor_coalesce_across_schema_evolution(spark, tmp_root):
+    """Coalesce resolution through a mid-stream add_column: pre-evolution
+    rows are read with the new column null-filled (never participating),
+    so a post-evolution partial update owns the new column while the old
+    columns still coalesce across the evolution boundary."""
+    from french_admin_etl_spark.table.lake_table import SchemaOp
+
+    table = _mk_mor(spark, tmp_root, "coalevo")
+    table.merge(
+        spark.createDataFrame([("r", "a", "c1", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0, mode="coalesce",
+    )
+    table.evolve([SchemaOp(action="add_column", name="stars", type="int")])
+    # partial update post-evolution: only the NEW column set
+    table.merge(
+        spark.createDataFrame(
+            [("r", "a", None, None, None, None, 7, 2, "U")],
+            "repo string, path string, commit string, lang string,"
+            " content string, content_sha string, stars int, lsn long, op string",
+        ),
+        batch_id=1, mode="coalesce",
+    )
+    row = table.read().collect()[0].asDict()
+    assert row["stars"] == 7  # new column from the new batch
+    assert row["commit"] == "c1" and row["content"] == "v1"  # old ones kept
+    table.compact()
+    assert table.read().collect()[0].asDict() == row
+
+
 def test_mor_coalesce_matches_cow_coalesce_replay(spark, tmp_root):
     """Write-mode parity under coalesce mode: the same partial-update
     event stream applied batch-by-batch to a COW and a MOR table yields

@@ -293,3 +293,43 @@ def test_shared_chunks_finds_planted_subdocument_dup(spark):
     out = shared_chunks(docs, "doc_id", "text").collect()
     assert out, "no shared chunks found for a planted duplicate passage"
     assert all(r["n_docs"] == 2 for r in out)
+
+
+def test_clamped_chunks_cross_check_and_bounds(spark):
+    """The Arrow (mapInPandas) clamped chunker: (1) with loose clamps its
+    boundaries equal the pure-JVM content_defined_chunks EXACTLY — the
+    Python and JVM implementations cross-check each other; (2) with real
+    clamps every chunk respects min/max bounds and still reconstructs."""
+    from french_admin_etl_spark.operators.textdedup import (
+        content_defined_chunks,
+        content_defined_chunks_clamped,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+
+    jvm = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_hash"]
+        for r in content_defined_chunks(docs, "doc_id", "text", mod=32).collect()
+    }
+    loose = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_hash"]
+        for r in content_defined_chunks_clamped(
+            docs, "doc_id", "text", mod=32, min_len=1, max_len=10**9
+        ).collect()
+    }
+    assert loose == jvm  # bit-identical boundaries + hashes
+
+    clamped = content_defined_chunks_clamped(
+        docs, "doc_id", "text", mod=32, min_len=8, max_len=40
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by = {}
+    for r in clamped:
+        by.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for d, chunks in by.items():
+        ordered = [c for _, c in sorted(chunks)]
+        assert "".join(ordered) == texts[d]  # reconstruction
+        assert all(len(c) <= 40 for c in ordered)  # max clamp
+        # min clamp: every chunk but the last is >= min_len (the tail may
+        # be short — there is nothing after it to merge into)
+        assert all(len(c) >= 8 for c in ordered[:-1])
