@@ -359,6 +359,85 @@ class LakeTable:
         logical = [f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]]
         return self.read_raw(version=version).filter(~F.col("_deleted")).select(*logical)
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """CDF-style incremental read: the change rows committed AFTER
+        ``from_version`` up to ``to_version`` (default: current) — what a
+        downstream consumer tails to cascade this table into the next one
+        (Delta CDF / Iceberg incremental-scan analog).
+
+        Works on the MOR commit structure: every merge appends delta file
+        groups stamped with ``seq`` = their commit version, so the changes
+        are exactly the delta groups with ``from_version < seq <=
+        to_version`` — an O(changed data) file-pruned scan, no diffing.
+        Output = logical columns + ``_lsn``, ``_deleted`` (tombstones
+        appear with ``_deleted=true`` — deletes ARE changes) and
+        ``_commit_version``. Deduped per key to the latest change in the
+        window (same max-(_lsn, seq) rule as read resolution).
+
+        Raises on COW tables (their merges REWRITE buckets — the commit
+        does not record which rows changed; use MOR for tables that feed
+        downstream consumers) and when the window's deltas have already
+        been folded away by compaction (the compacted base, seq = compact
+        commit, no longer separates the window's changes)."""
+        snap = self.snapshot(to_version)
+        to_v = to_version if to_version is not None else snap["version"]
+        if snap.get("write_mode", "cow") != "mor":
+            raise ValueError(
+                "changes() requires write_mode='mor' (COW merges rewrite "
+                "buckets without recording per-row changes)"
+            )
+        if from_version >= to_v:
+            raise ValueError(f"empty window: from {from_version} >= to {to_v}")
+        cur_v = snap["schema_version"]
+        in_window = [
+            g for g in snap["file_groups"]
+            if g.get("delta") and from_version < g.get("seq", 0) <= to_v
+        ]
+        # detect a compacted-away window: a base group whose seq (the
+        # compaction commit) falls inside the window means changes from
+        # before it were folded into unattributable base rows
+        folded = [
+            g for g in snap["file_groups"]
+            if not g.get("delta") and from_version < g.get("seq", 0) <= to_v
+        ]
+        if folded:
+            raise ValueError(
+                f"changes in ({from_version}, {to_v}] were compacted away "
+                "(run changes() before compaction catches up, or lower "
+                "compact.max-delta-files less aggressively)"
+            )
+        logical = [f["name"] for f in snap["schemas"][str(cur_v)]["fields"]]
+        if not in_window:
+            phys = self._schema_at(snap, cur_v)
+            empty = self.spark.createDataFrame([], phys)
+            return empty.withColumn("_commit_version", F.lit(None).cast("long")).select(
+                *logical, "_lsn", "_deleted", "_commit_version"
+            )
+        parts = []
+        for g in in_window:
+            df = self.spark.read.schema(self._schema_at(snap, g["schema_version"])).parquet(
+                *[os.path.join(self.root, f) for f in g["files"]]
+            )
+            parts.append(
+                self._upgrade(df, snap, g["schema_version"], cur_v).withColumn(
+                    "_cseq", F.lit(g["seq"]).cast("long")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        cols = logical + ["_lsn", "_deleted", "_cseq"]
+        out = out.select(*cols)
+        payload = F.struct(*[F.col(c) for c in cols])
+        return (
+            out.groupBy(*snap["key_cols"])
+            .agg(F.max_by(payload, F.struct(F.col("_lsn"), F.col("_cseq"))).alias("_r"))
+            .select(
+                *[F.col(f"_r.{c}").alias(c) for c in logical + ["_lsn", "_deleted"]],
+                F.col("_r._cseq").alias("_commit_version"),
+            )
+        )
+
     # ----------------------------------------------------------------- write
 
     def _stage_write(self, df: DataFrame, schema_version: int) -> list[dict]:
@@ -403,6 +482,8 @@ class LakeTable:
             .withColumn("_bucket", _bucket_expr(keys, nb))
         )
         groups = self._stage_write(phys, sv)
+        for g in groups:  # stamp the writing commit (changes() provenance)
+            g["seq"] = snap["version"] + 1
         new = dict(snap)
         new.update(version=snap["version"] + 1, file_groups=groups, parent=snap["version"])
         self._commit(new)
@@ -689,6 +770,11 @@ class LakeTable:
             "_bucket", _bucket_expr(keys, nb)
         )
         groups = self._stage_write(resolved, sv)
+        for g in groups:
+            # stamp the compaction commit: read resolution is unaffected
+            # (no older delta survives to tie against), and changes()
+            # uses it to detect windows whose deltas were folded away
+            g["seq"] = snap["version"] + 1
         tset = set(target)
         new_groups = [g for g in snap["file_groups"] if g["bucket"] not in tset] + groups
         new_groups.sort(key=lambda g: g["bucket"])

@@ -473,6 +473,68 @@ def test_mor_equal_lsn_tie_later_commit_wins_deterministically(spark, tmp_root):
         assert len(rows) == 1 and rows[0]["content"] == "delta"
 
 
+def test_mor_changes_incremental_read(spark, tmp_root):
+    """CDF-style changes(): the rows committed in a snapshot window —
+    deletes included as tombstones, per-key deduped to the window's
+    latest, stamped with their commit version. COW refuses; a window
+    whose deltas were compacted away refuses loudly."""
+    table = _mk_mor(spark, tmp_root, "cdf", properties={"compact.max-delta-files": 999})
+    v0 = table.current_version()
+    table.merge(
+        spark.createDataFrame(
+            [("r", "a", "c", "py", "v1", "s1", 1, "I"),
+             ("r", "b", "c", "go", "w1", "t1", 2, "I")], _COLS
+        ),
+        batch_id=0,
+    )
+    v1 = table.current_version()
+    table.merge(
+        spark.createDataFrame(
+            [("r", "a", "c", "py", "v2", "s2", 3, "U"),
+             ("r", "b", None, None, None, None, 4, "D"),
+             ("r", "c", "c", "rs", "x1", "u1", 5, "I")], _COLS
+        ),
+        batch_id=1,
+    )
+    v2 = table.current_version()
+
+    # full window: batch-2 rows only, delete visible as tombstone
+    ch = {r["path"]: r.asDict() for r in table.changes(v1, v2).collect()}
+    assert set(ch) == {"a", "b", "c"}
+    assert ch["a"]["content"] == "v2" and not ch["a"]["_deleted"]
+    assert ch["b"]["_deleted"] and ch["b"]["_lsn"] == 4
+    assert all(r["_commit_version"] == v2 for r in ch.values())
+
+    # window covering both commits: per-key latest change wins
+    ch0 = {r["path"]: r.asDict() for r in table.changes(v0).collect()}
+    assert ch0["a"]["content"] == "v2" and ch0["a"]["_commit_version"] == v2
+    assert ch0["b"]["_deleted"]
+
+    # downstream cascade check: applying the changes stream to an empty
+    # table reproduces the source table's live state
+    target = _mk_mor(spark, tmp_root, "cdf_target")
+    src = table.changes(v0).select(
+        "repo", "path", "commit", "lang", "content", "content_sha",
+        F.col("_lsn").alias("lsn"),
+        F.when(F.col("_deleted"), "D").otherwise("U").alias("op"),
+    )
+    target.merge(src, batch_id=0)
+    assert _state(target) == _state(table)
+
+    with pytest.raises(ValueError, match="empty window"):
+        table.changes(v2)
+    cow = LakeTable.create(
+        spark, os.path.join(tmp_root, "cdf_cow"), schema=REPOS_SCHEMA,
+        key_cols=KEYS, num_buckets=4, write_mode="cow",
+    )
+    with pytest.raises(ValueError, match="mor"):
+        cow.changes(1)
+    # compaction folds the window → explicit refusal, not silent wrong rows
+    table.compact()
+    with pytest.raises(ValueError, match="compacted away"):
+        table.changes(v1, table.current_version())
+
+
 def test_mor_auto_compact_commit_conflict_is_swallowed(spark, tmp_root, monkeypatch):
     """A losing auto-compaction commit must not fail the batch whose
     fenced commit already succeeded (best-effort maintenance)."""
