@@ -1,0 +1,110 @@
+"""Lake-to-lake cascade: downstream tables maintained incrementally from
+an upstream table's changes() window, with full-resync fallback."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.streaming.apply import KEYS, REPOS_SCHEMA
+from french_admin_etl_spark.streaming.cascade import CascadeJob
+from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+_COLS = (
+    "repo string, path string, commit string, lang string, content string,"
+    " content_sha string, lsn long, op string"
+)
+
+
+def _mk(spark, tmp_root, name, **kw):
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, name), schema=REPOS_SCHEMA, key_cols=KEYS,
+        num_buckets=4, write_mode="mor", **kw
+    )
+
+
+def _state(t):
+    return {
+        (r["repo"], r["path"]): (r["content"], r["lang"])
+        for r in t.read().collect()
+    }
+
+
+def test_cascade_bootstrap_incremental_and_fallback(spark, tmp_root):
+    source = _mk(spark, tmp_root, "src", properties={"compact.max-delta-files": 999})
+    target = _mk(spark, tmp_root, "dst")
+    job = CascadeJob(spark, source, target)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "cascade.ck"))
+
+    # 1. bootstrap: pre-existing rows reach the target via full resync
+    source.merge(
+        spark.createDataFrame(
+            [("r", "a", "c", "py", "v1", "s1", 1, "I"),
+             ("r", "b", "c", "go", "w1", "t1", 2, "I")], _COLS
+        ),
+        batch_id=0,
+    )
+    r = job.run_once(ckpt)
+    assert r.mode == "full_resync" and _state(target) == _state(source)
+
+    # 2. incremental: only the new commits flow, deletes included
+    source.merge(
+        spark.createDataFrame(
+            [("r", "a", "c", "py", "v2", "s2", 3, "U"),
+             ("r", "b", None, None, None, None, 4, "D")], _COLS
+        ),
+        batch_id=1,
+    )
+    r = job.run_once(ckpt)
+    assert r.mode == "incremental"
+    assert _state(target) == _state(source) == {("r", "a"): ("v2", "py")}
+
+    # 3. nothing new → noop
+    assert job.run_once(ckpt).mode == "noop"
+
+    # 4. crash replay: rewind the checkpoint → the merge is fenced,
+    # state unchanged (exactly-once across the cascade hop)
+    ckpt.save({"from_version": r.from_version, "batch_id": r.batch_id})
+    r2 = job.run_once(ckpt)
+    assert r2.merge is not None and r2.merge.fenced
+    assert _state(target) == _state(source)
+
+    # 5. upstream compaction folds the window → full-resync fallback,
+    # still convergent (incl. a post-compaction delete)
+    source.compact()
+    source.merge(
+        spark.createDataFrame(
+            [("r", "c", "c", "rs", "x1", "u1", 5, "I")], _COLS
+        ),
+        batch_id=2,
+    )
+    r3 = job.run_once(ckpt)
+    assert r3.mode == "full_resync"
+    assert _state(target) == _state(source)
+
+
+def test_cascade_transform_seam(spark, tmp_root):
+    """The transform hook (U3 analog) reshapes the change stream between
+    tables — here a normalization (upper-cased lang) on the silver hop."""
+    source = _mk(spark, tmp_root, "tsrc")
+    target = _mk(spark, tmp_root, "tdst")
+    job = CascadeJob(
+        spark, source, target,
+        transform=lambda df: df.withColumn("lang", F.upper("lang")),
+    )
+    ckpt = CheckpointStore(os.path.join(tmp_root, "tcascade.ck"))
+    source.merge(
+        spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0,
+    )
+    job.run_once(ckpt)
+    assert _state(target) == {("r", "a"): ("v1", "PY")}
+    source.merge(
+        spark.createDataFrame([("r", "a", "c", "go", "v2", "s2", 2, "U")], _COLS),
+        batch_id=1,
+    )
+    r = job.run_once(ckpt)
+    assert r.mode == "incremental"
+    assert _state(target) == {("r", "a"): ("v2", "GO")}
