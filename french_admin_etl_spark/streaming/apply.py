@@ -80,6 +80,7 @@ class CDCApplyJob:
         use_pandas_sha: bool = False,
         merge_mode: str = "overwrite",
         writer_id: str | None = None,
+        cache_batches: bool = True,
     ):
         self.spark = spark
         self.table = table
@@ -87,6 +88,14 @@ class CDCApplyJob:
         self.lineage_dir = lineage_dir
         self.use_pandas_sha = use_pandas_sha
         self.merge_mode = merge_mode
+        # cache_batches: materialize each micro-batch in executor memory
+        # before its 2-3 consumers (schema-marker collect + counts, the
+        # merge pipeline, lineage). With a columnar source and LSN
+        # pushdown, re-scanning parquet can be cheaper than the cache
+        # serialization — measured on this host the difference is inside
+        # run-to-run noise, so caching stays the default (a remote object
+        # store changes the trade decisively toward caching).
+        self.cache_batches = cache_batches
         # multi-writer topology (one job per log partition into one table):
         # each job passes a distinct writer_id so its exactly-once fence is
         # namespaced per writer instead of a shared scalar
@@ -155,7 +164,8 @@ class CDCApplyJob:
         ``run_incremental``'s (e.g. the balanced driver) so two sequences
         against one table/checkpoint can never fence each other out."""
         t0 = time.monotonic()
-        events = events.cache()
+        if self.cache_batches:
+            events = events.cache()
 
         # 1. one driver action does triple duty: collect the SCHEMA markers
         #    (applied in LSN order; data events split into schema epochs so
