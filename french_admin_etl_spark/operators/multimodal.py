@@ -2,12 +2,21 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is REAL and tested — schemas, batch
-iteration, partitioning, UDF signatures. The actual media decode is
-STUBBED (this container has no image/audio libraries): ``decode_stub=True``
-swaps in a deterministic fake decoder so the pipeline shape is exercised
-end-to-end; with ``decode_stub=False`` the decode functions raise
-``NotImplementedError`` at the exact seam where PIL/ffmpeg/torchaudio
-would plug in.
+iteration, partitioning, UDF signatures. Decode status, honestly
+delineated (this container has no PIL/ffmpeg):
+
+- **REAL decode, no libraries needed**: uncompressed raster images
+  (PPM ``P6`` / PGM ``P5`` headers + numpy reshape; 24-bit uncompressed
+  ``BM`` bitmaps incl. bottom-up row order and 4-byte row padding) and
+  PCM WAV audio (stdlib ``wave``). Real nearest-neighbor RESIZE to an
+  8×8 grayscale thumbnail is the image feature; per-segment RMS energy
+  is the audio feature. Rows whose codec needs an external library
+  (JPEG/PNG/MP3/…) get a per-row ``err`` instead of failing the batch —
+  the engine's S9 dead-letter philosophy applied to media.
+- **STUBBED**: compressed codecs and video frame iteration
+  (``decode_stub=True`` swaps in a deterministic fake so the pipeline
+  shape is exercised end-to-end; the real-video seam raises
+  ``NotImplementedError`` exactly where ffmpeg/pyav would plug in).
 
 Design for 100 TB of media:
 - Binary payloads never leave the executor: ``mapInPandas`` streams Arrow
@@ -50,8 +59,103 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("err", T.StringType(), True),
     ]
 )
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms_segments", T.ArrayType(T.FloatType()), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes):
+    """REAL image decode for library-free formats → (width, height, gray)
+    where ``gray`` is a float64 HxW numpy array in [0, 255].
+
+    Supported: binary PPM (``P6``, RGB) / PGM (``P5``, gray) with
+    comment-tolerant headers, and 24-bit uncompressed BMP
+    (BITMAPINFOHEADER; handles the bottom-up row order and 4-byte row
+    padding). Compressed codecs raise ``NotImplementedError`` — the
+    declared seam where PIL plugs in."""
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P5"):
+        # header = magic, width, height, maxval as whitespace-separated
+        # tokens; '#' comments run to end-of-line; pixel data starts one
+        # whitespace byte after maxval
+        tokens, i = [], 2
+        while len(tokens) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM needs wide decode")
+        ch = 3 if payload[:2] == b"P6" else 1
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+        if ch == 3:
+            rgb = px.reshape(h, w, 3).astype(np.float64)
+            gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        else:
+            gray = px.reshape(h, w).astype(np.float64)
+        return w, h, gray
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+        import numpy as np
+
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+        if bottom_up:
+            bgr = bgr[::-1]
+        gray = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
+        return w, h, gray
+    raise NotImplementedError(
+        f"codec not decodable without image libraries (magic {payload[:4]!r})"
+    )
+
+
+def resize_gray(gray, out_h: int = 8, out_w: int = 8):
+    """Nearest-neighbor resize of an HxW array — a REAL resize in pure
+    numpy index arithmetic (the pHash-style thumbnail prep)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return gray[np.ix_(ys, xs)]
+
+
+def thumbnail_feature(gray, size: int = 8) -> list[float]:
+    """Flattened size×size grayscale thumbnail scaled to [0,1] — a real,
+    comparable image feature (L2 distance ≈ perceptual coarse diff)."""
+    t = resize_gray(gray, size, size) / 255.0
+    return [round(float(x), 6) for x in t.ravel()]
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
@@ -74,30 +178,97 @@ def extract_image_features(
     plumbing (schema, batching, null handling) is production-shaped.
     """
 
+    def decode_row(p):
+        if p is None:
+            return (None, None, None, None)
+        if decode_stub:
+            w, h, feat = _fake_decode(p)
+            return (w, h, feat, None)
+        try:
+            w, h, gray = decode_image(p)
+            return (w, h, thumbnail_feature(gray), None)
+        except NotImplementedError as e:
+            # per-row codec isolation (S9): the batch survives; the row
+            # records WHY it needs the external-library decode path
+            return (None, None, None, str(e))
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": pdf["media_id"],
-                "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else None),
-                "sha256": pdf["payload"].map(
-                    lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
-                ),
-            }
-            if decode_stub:
-                decoded = pdf["payload"].map(
-                    lambda p: _fake_decode(p) if p is not None else (None, None, None)
-                )
-                out["width"] = decoded.map(lambda d: d[0])
-                out["height"] = decoded.map(lambda d: d[1])
-                out["feature"] = decoded.map(lambda d: d[2])
-            else:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision — plug in here"
-                )
-            yield pd.DataFrame(out)
+            decoded = pdf["payload"].map(decode_row)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else None
+                    ),
+                    "sha256": pdf["payload"].map(
+                        lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
+                    ),
+                    "width": decoded.map(lambda d: d[0]),
+                    "height": decoded.map(lambda d: d[1]),
+                    "feature": decoded.map(lambda d: d[2]),
+                    "err": decoded.map(lambda d: d[3]),
+                }
+            )
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
     return imgs.mapInPandas(process, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode (PCM WAV via the stdlib ``wave`` module — no
+    external libraries) + featurize: channel/rate/length metadata and an
+    8-segment RMS-energy profile (the coarse loudness contour). Non-WAV
+    or compressed payloads get a per-row ``err`` (S9 isolation) — the
+    seam where torchaudio/ffmpeg would take over."""
+
+    def decode_row(p):
+        if p is None:
+            return (None, None, None, None, None, None)
+        import io
+        import wave
+
+        import numpy as np
+
+        try:
+            with wave.open(io.BytesIO(p)) as wf:
+                nch = wf.getnchannels()
+                rate = wf.getframerate()
+                n = wf.getnframes()
+                width = wf.getsampwidth()
+                raw = wf.readframes(n)
+            if width != 2:
+                return (nch, rate, n, None, None, f"sample width {width} unsupported")
+            x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+            if nch > 1:
+                x = x.reshape(-1, nch).mean(axis=1)
+            segs = np.array_split(x, 8) if len(x) else []
+            rms = [
+                round(float(np.sqrt((s**2).mean())) if len(s) else 0.0, 6)
+                for s in segs
+            ]
+            dur = round(n / rate, 6) if rate else None
+            return (nch, rate, n, dur, rms, None)
+        except wave.Error as e:
+            return (None, None, None, None, None, f"not a PCM WAV: {e}")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d = pdf["payload"].map(decode_row)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_channels": d.map(lambda t: t[0]),
+                    "sample_rate": d.map(lambda t: t[1]),
+                    "n_frames": d.map(lambda t: t[2]),
+                    "duration_sec": d.map(lambda t: t[3]),
+                    "rms_segments": d.map(lambda t: t[4]),
+                    "err": d.map(lambda t: t[5]),
+                }
+            )
+
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(process, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

@@ -200,9 +200,91 @@ def test_image_feature_extraction_stub(media):
     assert again[2]["feature"] == out[2]["feature"]
 
 
-def test_image_decode_stub_gate(media):
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        extract_image_features(media, decode_stub=False).collect()
+def _ppm(w, h, rgb_fn):
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    body = bytes(c for y in range(h) for x in range(w) for c in rgb_fn(x, y))
+    return header + body
+
+
+def _bmp24(w, h, rgb_fn):
+    """Minimal 24-bit bottom-up BMP with 4-byte row padding."""
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes(rgb_fn(x, y)[::-1]) for x in range(w))  # BGR
+        body += row + b"\x00" * (stride - w * 3)
+    off = 54
+    header = (
+        b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def test_real_image_decode_ppm_bmp_and_err_isolation(spark):
+    """REAL decode (no image libraries): the same half-black/half-white
+    image as PPM and as padded bottom-up BMP must decode to identical
+    dimensions and 8x8 thumbnail features; an undecodable PNG in the SAME
+    batch gets a per-row err instead of failing the job (S9)."""
+    fn = lambda x, y: (255, 255, 255) if x >= 8 else (0, 0, 0)  # noqa: E731
+    rows = [
+        (1, "image", "image/x-ppm", _ppm(16, 12, fn)),
+        (2, "image", "image/bmp", _bmp24(16, 12, fn)),
+        (3, "image", "image/png", b"\x89PNG" + b"z" * 50),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in extract_image_features(media, decode_stub=False).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (16, 12)
+    assert (out[2]["width"], out[2]["height"]) == (16, 12)
+    assert len(out[1]["feature"]) == 64
+    assert out[1]["feature"] == out[2]["feature"]  # PPM == BMP, same pixels
+    # thumbnail columns: left half black (0.0), right half white (1.0)
+    thumb = out[1]["feature"]
+    assert all(thumb[r * 8 + c] == 0.0 for r in range(8) for c in range(4))
+    assert all(thumb[r * 8 + c] == 1.0 for r in range(8) for c in range(4, 8))
+    assert out[3]["feature"] is None and "codec" in out[3]["err"]
+    assert out[1]["err"] is None
+
+
+def test_real_audio_decode_wav(spark):
+    """REAL PCM WAV decode via the stdlib: duration/rate/channels exact,
+    and the 8-segment RMS profile separates a silent first half from a
+    loud second half; a non-WAV payload gets a per-row err."""
+    import io
+    import struct
+    import wave
+
+    from french_admin_etl_spark.operators.multimodal import extract_audio_features
+
+    buf = io.BytesIO()
+    rate, n = 8000, 8000  # 1.0s mono
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        samples = [0] * (n // 2) + [16384] * (n // 2)  # silence then loud
+        wf.writeframes(struct.pack(f"<{n}h", *samples))
+    rows = [
+        (1, "audio", "audio/wav", buf.getvalue()),
+        (2, "audio", "audio/mp3", b"ID3\x03" + b"q" * 64),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert out[1]["err"] is None
+    assert out[1]["n_channels"] == 1 and out[1]["sample_rate"] == rate
+    assert out[1]["n_frames"] == n and out[1]["duration_sec"] == 1.0
+    rms = out[1]["rms_segments"]
+    assert len(rms) == 8
+    assert all(abs(v) < 1e-6 for v in rms[:4])  # silent half
+    assert all(abs(v - 0.5) < 1e-3 for v in rms[4:])  # 16384/32768 = 0.5
+    assert out[2]["err"] is not None and out[2]["rms_segments"] is None
 
 
 def test_video_frame_sampling(media):
