@@ -333,6 +333,17 @@ def d4_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidates → Jaccard-verified pairs →
+    connected components (min-label propagation) → one row per cluster
+    with the canonical (min) doc id — the keep-one-per-cluster step of a
+    training-data dedup pass (operators.textdedup.dedup_clusters)."""
+    from french_admin_etl_spark.operators.textdedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, "doc_id", "text", threshold=0.4)
+
+
 def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (operators.textdedup)."""
     docs = _t(spark, sf_dir, "documents")
@@ -596,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_lsh_verified_near_dups": d4_lsh_verified_near_dups,
         "d5_simhash_near_dups": d5_simhash_near_dups,
         "d6_cdc_chunk_dedup": d6_cdc_chunk_dedup,
+        "d7_dedup_clusters": d7_dedup_clusters,
         "e2_ann_bucket": e2_ann_bucket,
         "e4_ivf_ann": e4_ivf_ann,
         "e3_embedding_near_dup": e3_embedding_near_dup,
@@ -696,6 +708,30 @@ def _lsh_verified_sql(num_hashes: int = 16, bands: int = 4, max_bucket: int = 50
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE c / (na.n + nb.n - c) >= {threshold}
+    """
+
+
+def _dedup_clusters_sql(threshold: float = 0.4) -> str:
+    """DuckDB twin of operators.textdedup.dedup_clusters: the verified
+    pair set (same SQL as d4), then connected components via a recursive
+    reachability CTE (min reachable vertex == min-label fixpoint)."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            {_lsh_verified_sql(threshold=threshold)}
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach(id, lbl) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+        ),
+        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        SELECT component AS cluster_id, count(*) AS n_docs, max(id) AS max_doc_id
+        FROM comp GROUP BY component
     """
 
 
@@ -993,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_simhash": _simhash_sql(),
         "d5_simhash_near_dups": _simhash_pairs_sql(),
         "d6_cdc_chunk_dedup": _cdc_chunk_sql(),
+        "d7_dedup_clusters": _dedup_clusters_sql(),
         "d4_lsh_verified_near_dups": _lsh_verified_sql(),
         "e2_ann_bucket": f"""
             WITH b AS (

@@ -467,3 +467,98 @@ def content_defined_chunks_clamped(
             )
 
     return df.select(id_col, text_col).mapInPandas(chunk_batches, out_schema)
+
+
+# ------------------------------------------------------------ dedup clusters
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, component)
+    with ``component`` = the MINIMUM vertex id in the component — the
+    canonical-document assignment that turns near-dup PAIRS into dedup
+    CLUSTERS (keep one doc per component, drop the rest).
+
+    Min-label propagation: every vertex starts labeled with itself; each
+    round joins labels across edges (both directions) and keeps the
+    per-vertex minimum; stops when a round changes nothing. Rounds =
+    O(component diameter) — near-dup clusters are tiny and dense
+    (diameter 1-3 in practice), so this converges in a few rounds even
+    on a 10^10-doc corpus; each round is one broadcast-or-shuffle
+    equi-join + one combinable min-aggregate. Labels are
+    ``localCheckpoint``'d per round so the plan doesn't grow with the
+    iteration count (the standard Spark iterative-algorithm hygiene).
+    The convergence check piggybacks on the same aggregate (one extra
+    max() over a change flag), not a separate join."""
+    both = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    )
+    both = both.persist()
+    labels = (
+        both.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # candidate label for v = min over incoming neighbors' labels
+        prop = (
+            both.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("component").alias("_neighbor_min"))
+        )
+        merged = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("_neighbor_min", F.col("component"))).alias(
+                    "new_component"
+                ),
+                (
+                    F.least(F.col("component"), F.coalesce("_neighbor_min", F.col("component")))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        changed = merged.agg(F.max(F.col("_changed").cast("int"))).collect()[0][0]
+        labels = merged.select("id", F.col("new_component").alias("component"))
+        if not changed:
+            break
+    both.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTER summary: LSH candidates → Jaccard-verified
+    pairs (>= threshold) → connected components → one row per cluster
+    (canonical doc = min id, member count). The full pipeline a
+    training-data dedup pass runs: everything upstream is banded/bucketed
+    (never all-pairs), and the component step converges in O(cluster
+    diameter) joins."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket)
+    verified = jaccard_pairs(
+        df, id_col, text_col, shingle_n=shingle_n, threshold=threshold,
+        candidates=cand,
+    )
+    comp = connected_components(verified.select("id_a", "id_b"))
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("id").alias("max_doc_id"),
+    )

@@ -415,3 +415,51 @@ def test_clamped_chunks_cross_check_and_bounds(spark):
         # min clamp: every chunk but the last is >= min_len (the tail may
         # be short — there is nothing after it to merge into)
         assert all(len(c) >= 8 for c in ordered[:-1])
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, and an isolated edge — labels converge to the
+    component minimum; a chain (diameter 3) needs multiple propagation
+    rounds, which exercises the fixpoint loop."""
+    from french_admin_etl_spark.operators.textdedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),     # chain 10-11-12-13
+         (20, 21), (21, 22), (20, 22),     # triangle
+         (30, 31)],                        # isolated pair
+        "id_a int, id_b int",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 13: 10,
+                    20: 20, 21: 20, 22: 20,
+                    30: 30, 31: 30}
+
+
+def test_dedup_clusters_on_planted_dups(docs, spark):
+    """The DOCS fixture plants exact + near duplicates; the cluster
+    summary must group them under the min doc id with the right sizes."""
+    from french_admin_etl_spark.operators.textdedup import dedup_clusters, jaccard_pairs
+
+    out = {r["cluster_id"]: r for r in
+           dedup_clusters(docs, "doc_id", "text", threshold=0.4).collect()}
+    # ground truth from the (tiny) all-pairs jaccard at the same threshold
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.4).collect()
+    import collections
+    adj = collections.defaultdict(set)
+    for r in pairs:
+        adj[r["id_a"]].add(r["id_b"])
+        adj[r["id_b"]].add(r["id_a"])
+    seen, want = set(), {}
+    for v in sorted(adj):
+        if v in seen:
+            continue
+        stack, members = [v], set()
+        while stack:
+            u = stack.pop()
+            if u in members:
+                continue
+            members.add(u)
+            stack.extend(adj[u] - members)
+        seen |= members
+        want[min(members)] = len(members)
+    assert {c: r["n_docs"] for c, r in out.items()} == want
