@@ -79,9 +79,12 @@ def bench_queries(spark, sf_dir: str, passes: int = 2) -> tuple[dict, dict]:
     for name, fn in qs.items():
         ts = []
         for _ in range(passes):
-            df = fn(spark, sf_dir)
+            # the timed window includes CONSTRUCTION: iterative operators
+            # (connected components in d7) do real cluster work while
+            # building their result — timing only the final force would
+            # hide it and report a fantasy number
             t0 = time.monotonic()
-            _force(df)
+            _force(fn(spark, sf_dir))
             ts.append(round(time.monotonic() - t0, 3))
         all_passes[name] = ts
         times[name] = min(ts)
