@@ -263,6 +263,37 @@ def t5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def t7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining quality GATE: compose language-ID + quality
+    features into the keep/drop decision every training-data pipeline
+    runs before tokenization — token-count window, alphabetic-ratio
+    floor, token-length sanity, language allow-list. Pure scan-speed
+    column exprs; at 100 TB this runs as the first pass that prunes the
+    corpus before any expensive stage."""
+    docs = _t(spark, sf_dir, "documents")
+    n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    n_tok = F.expr(r"size(regexp_extract_all(text, '\\S+', 0))")
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+    mtl = F.round((F.length("text") - n_space) / F.greatest(n_tok, F.lit(1)), 4)
+    scored = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_guess"),
+        n_tok.alias("n_tokens"),
+        alpha.alias("alpha_ratio"),
+        mtl.alias("mean_token_len"),
+    )
+    return scored.filter(
+        F.col("n_tokens").between(20, 1000)
+        & (F.col("alpha_ratio") >= 0.6)
+        & F.col("mean_token_len").between(3, 12)
+        & F.col("lang_guess").isin("en", "fr")
+    )
+
+
 def e1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: brute-force cosine top-10 to the vec_id=0 query
     vector. Baseline ANN path; JVM-side fold over the array (no Python)."""
@@ -600,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_fingerprint": t5_fingerprint,
         "e1_knn_bruteforce": e1_knn_bruteforce,
         "t4_lang_id": t4_lang_id,
+        "t7_quality_filter": t7_quality_filter,
         "t6_bpe_tokens": t6_bpe_tokens,
         "d1_minhash_lsh_pairs": d1_minhash_lsh_pairs,
         "d2_jaccard_pairs": d2_jaccard_pairs,
@@ -1018,6 +1050,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
         """,
         "t4_lang_id": _lang_id_sql(),
+        "t7_quality_filter": f"""
+            WITH lang AS (
+                {_lang_id_sql()}
+            ),
+            q AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                     round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           / greatest(length(text), 1), 4) AS alpha_ratio,
+                     round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                           / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+                       AS mean_token_len
+              FROM documents
+            )
+            SELECT q.doc_id, lang.lang_guess, q.n_tokens, q.alpha_ratio,
+                   q.mean_token_len
+            FROM q JOIN lang ON q.doc_id = lang.doc_id
+            WHERE q.n_tokens BETWEEN 20 AND 1000
+              AND q.alpha_ratio >= 0.6
+              AND q.mean_token_len BETWEEN 3 AND 12
+              AND lang.lang_guess IN ('en', 'fr')
+        """,
         "t6_bpe_tokens": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
