@@ -50,14 +50,30 @@ REPOS_SCHEMA = T.StructType(
 
 KEYS = ["repo", "path"]
 
-def validation_rules() -> dict:
+def validation_rules(merge_mode: str = "overwrite") -> dict:
     """Engine-mandated invariants before apply (the CHECK-constraint analog,
-    migrations/000005:5-37): built lazily — Column exprs need a live session."""
-    return {
+    migrations/000005:5-37): built lazily — Column exprs need a live session.
+
+    Mode-aware: under ``merge_mode='coalesce'`` a null column means "not
+    updated" (reference S7, COALESCE(EXCLUDED.c, t.c)), so a non-delete
+    event with null content is a LEGITIMATE partial update, not a reject —
+    the full-row rule would dead-letter exactly the partial events the
+    mode exists for. Coalesce mode instead requires that a non-delete
+    event sets at least ONE payload column (an all-null update is
+    meaningless and almost certainly producer breakage)."""
+    rules = {
         "bad_op": F.col("op").isin("I", "U", "D"),
         "null_key": F.col("repo").isNotNull() & F.col("path").isNotNull(),
-        "null_content": (F.col("op") == "D") | F.col("content").isNotNull(),
     }
+    if merge_mode == "coalesce":
+        rules["all_null_update"] = (F.col("op") == "D") | (
+            F.col("commit").isNotNull()
+            | F.col("lang").isNotNull()
+            | F.col("content").isNotNull()
+        )
+    else:
+        rules["null_content"] = (F.col("op") == "D") | F.col("content").isNotNull()
+    return rules
 
 
 @dataclass
@@ -172,7 +188,7 @@ class CDCApplyJob:
         #    evolution lands between the right events — SURVEY §7 hard-part
         #    3), materialize the cache, and piggyback batch/reject counts as
         #    observed metrics — no separate count() jobs per batch.
-        rules = validation_rules()
+        rules = validation_rules(self.merge_mode)
         is_data = F.col("op") != "SCHEMA"
         # null predicate results count as rejects (matches validate_split)
         reject_pred = is_data & ~F.coalesce(

@@ -206,3 +206,64 @@ def test_streaming_driver_matches_oracle(spark, tmp_root, events):
     results = job.run_stream(log, os.path.join(tmp_root, "sckpt"), max_files_per_trigger=2)
     assert len(results) >= 3  # several micro-batches
     assert _sha_state(table) == _oracle_state(events)
+
+
+def test_streaming_driver_coalesce_mode_partial_updates(spark, tmp_root):
+    """Structured Streaming driver × MOR × merge_mode='coalesce': partial
+    update events (only some columns set per event, split across
+    micro-batch files) converge to the per-column last-non-null state —
+    the S7 semantics riding the streaming exactly-once machinery."""
+    import pandas as pd
+
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    rows = [
+        # lsn, op, repo, path, commit, lang, content
+        (1, "I", "r", "a", "c1", "py", "v1"),
+        (2, "I", "r", "b", "c1", "go", "w1"),
+        (3, "U", "r", "a", None, None, "v2"),    # partial: content only
+        (4, "U", "r", "b", None, "rs", None),    # partial: lang only
+        (5, "D", "r", "b", None, None, None),    # delete b
+        (6, "U", "r", "a", "c6", None, None),    # partial: commit only
+        (7, "I", "r", "b", None, None, "w7"),    # partial reinsert
+    ]
+    pdf = pd.DataFrame(
+        {
+            "lsn": [r[0] for r in rows],
+            "ts": pd.Timestamp("2024-01-01"),
+            "op": [r[1] for r in rows],
+            "repo": [r[2] for r in rows],
+            "path": [r[3] for r in rows],
+            "commit": [r[4] for r in rows],
+            "lang": [r[5] for r in rows],
+            "content": [r[6] for r in rows],
+            "schema_version": pd.array([None] * len(rows), dtype="Int32"),
+            "props": [None] * len(rows),
+        }
+    )
+    log_dir = os.path.join(tmp_root, "coal_log")
+    (
+        spark.createDataFrame(pdf, schema=EVENT_SCHEMA)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(log_dir)
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "coal_t"), REPOS_SCHEMA, KEYS,
+        num_buckets=4, write_mode="mor",
+    )
+    job = CDCApplyJob(spark, table, merge_mode="coalesce")
+    results = job.run_stream(
+        EventLog(spark, log_dir), os.path.join(tmp_root, "coal_ck"),
+        max_files_per_trigger=1,
+    )
+    assert len(results) >= 2  # several micro-batches
+    got = {
+        r["path"]: (r["commit"], r["lang"], r["content"])
+        for r in table.read().collect()
+    }
+    assert got == {
+        "a": ("c6", "py", "v2"),   # per-column last-non-null across batches
+        "b": (None, None, "w7"),   # no resurrection through the delete
+    }
