@@ -179,15 +179,18 @@ class LakeTable:
     def _version_path(self, v: int) -> str:
         return os.path.join(self._meta_dir, f"v{v:08d}.json")
 
-    def current_version(self) -> int:
-        vs = [
+    def _versions(self) -> list[int]:
+        return sorted(
             int(f[1:9])
             for f in os.listdir(self._meta_dir)
             if f.startswith("v") and f.endswith(".json")
-        ]
+        )
+
+    def current_version(self) -> int:
+        vs = self._versions()
         if not vs:
             raise FileNotFoundError(f"no snapshots under {self._meta_dir}")
-        return max(vs)
+        return vs[-1]
 
     def snapshot(self, version: int | None = None) -> dict:
         """Parsed snapshot. The raw JSON is cached (committed snapshots are
@@ -224,7 +227,8 @@ class LakeTable:
         self._cache_snap(snap["version"], payload)
 
     def history(self) -> list[dict]:
-        return [self.snapshot(v) for v in range(1, self.current_version() + 1)]
+        """All RETAINED snapshots, oldest first (expiration leaves gaps)."""
+        return [self.snapshot(v) for v in self._versions()]
 
     def property(self, key: str, default=None):
         return self.snapshot().get("properties", {}).get(key, default)
@@ -855,6 +859,35 @@ class LakeTable:
         new.update(version=snap["version"] + 1, file_groups=new_groups, parent=snap["version"])
         self._commit(new)
         return new["version"]
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop old snapshot metadata, keeping the newest ``keep_last``
+        versions (time travel to an expired version then raises). At CDC
+        scale the metadata grows one JSON per micro-batch — 10^10 events
+        in 10^4 batches is 10^4 snapshot files per table; this is the
+        Iceberg ``expire_snapshots`` analog completing the maintenance
+        trio (compact → expire_snapshots → vacuum_orphans: data files
+        referenced ONLY by expired snapshots drop out of the live set, so
+        a subsequent age-guarded vacuum reclaims them).
+
+        Returns the number of snapshot files removed. Concurrency-safe
+        against writers: only files strictly older than the retained
+        window are unlinked, and active readers hold parsed snapshots (a
+        reader that cached an expired version keeps working — parquet
+        data files are only removed by the separate vacuum)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self._versions()
+        expired = vs[:-keep_last] if len(vs) > keep_last else []
+        removed = 0
+        for v in expired:
+            try:
+                os.unlink(self._version_path(v))
+                removed += 1
+            except FileNotFoundError:
+                pass  # another maintainer expired it concurrently
+            self._snap_cache.pop(v, None)
+        return removed
 
     def vacuum_orphans(self, min_age_sec: float = 300.0) -> int:
         """Delete data files not referenced by ANY snapshot (lost commits).

@@ -232,3 +232,49 @@ def test_vacuum_orphans_spares_in_flight_commit(spark, tmp_root):
     t._commit = real_commit
     assert vacuumed["n"] == 0  # in-flight files survived
     assert {r["k"] for r in t.read().collect()} == {"a", "b"}  # commit intact
+
+
+def test_expire_snapshots_maintenance_trio(spark, tmp_root):
+    """expire_snapshots completes the maintenance trio: old metadata goes,
+    current state and retained time travel survive, and files referenced
+    ONLY by expired snapshots become reclaimable by vacuum_orphans."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    st = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())])
+    t = LakeTable.create(
+        spark, _os.path.join(tmp_root, "exp"), schema=st, key_cols=["k"], num_buckets=2,
+        write_mode="cow",
+    )
+    for i in range(1, 6):  # 5 merges → versions 2..6 (COW rewrites buckets)
+        src = spark.createDataFrame(
+            [("a", i, i, "U"), ("b", i * 10, i, "U")], "k string, v int, lsn long, op string"
+        )
+        t.merge(src, batch_id=i)
+    assert t.current_version() == 6
+    n_files_before = len(_os.listdir(_os.path.join(tmp_root, "exp", "data")))
+
+    removed = t.expire_snapshots(keep_last=2)
+    assert removed == 4  # v1..v4 gone; v5, v6 retained
+    assert [s["version"] for s in t.history()] == [5, 6]
+    # current read unaffected; retained time travel works; expired raises
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 5, "b": 50}
+    assert {r["k"]: r["v"] for r in t.read(version=5).collect()} == {"a": 4, "b": 40}
+    with pytest.raises(FileNotFoundError):
+        LakeTable(spark, _os.path.join(tmp_root, "exp")).snapshot(2)
+
+    # COW keeps only live files per snapshot → files referenced solely by
+    # expired snapshots are now orphans; the age-guarded vacuum reclaims
+    # them and the table still reads identically afterwards
+    reclaimed = t.vacuum_orphans(min_age_sec=0)
+    assert reclaimed > 0
+    assert len(_os.listdir(_os.path.join(tmp_root, "exp", "data"))) < n_files_before
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 5, "b": 50}
+    # and the table keeps accepting merges afterwards
+    t.merge(
+        spark.createDataFrame([("a", 99, 99, "U")], "k string, v int, lsn long, op string"),
+        batch_id=99,
+    )
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 99, "b": 50}
+    assert t.expire_snapshots(keep_last=10) == 0  # nothing beyond the window
