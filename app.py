@@ -96,6 +96,30 @@ def cmd_apply(args) -> None:
         )
 
 
+def cmd_maintain(args) -> None:
+    """Table maintenance trio (run from a scheduler, never inline with
+    ingest): compact MOR deltas, expire old snapshot metadata, vacuum
+    orphaned data files (age-guarded so in-flight commits survive)."""
+    from french_admin_etl_spark.session import get_spark
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    spark = get_spark(app_name="cdc_maintain", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    out = {"table_root": args.table_root}
+    if args.compact:
+        out["compacted_to_version"] = table.compact()
+    if args.expire_keep_last is not None:
+        out["snapshots_expired"] = table.expire_snapshots(keep_last=args.expire_keep_last)
+    if args.vacuum:
+        out["orphans_removed"] = table.vacuum_orphans(min_age_sec=args.vacuum_min_age)
+    if args.vacuum_tombstones_watermark is not None:
+        out["tombstone_vacuum_version"] = table.vacuum_tombstones(
+            args.vacuum_tombstones_watermark
+        )
+    out["current_version"] = table.current_version()
+    print(json.dumps(out))
+
+
 def cmd_demo(args) -> None:
     from french_admin_etl_spark import datagen
     from french_admin_etl_spark.session import get_spark
@@ -163,6 +187,18 @@ def main() -> None:
                          "(distinct per job) when several jobs with independent "
                          "batch-id sequences feed one table")
     ap.set_defaults(fn=cmd_apply)
+
+    mp = sub.add_parser("maintain", help="compact / expire snapshots / vacuum")
+    mp.add_argument("--table-root", required=True)
+    mp.add_argument("--compact", action="store_true")
+    mp.add_argument("--expire-keep-last", type=int, default=None)
+    mp.add_argument("--vacuum", action="store_true")
+    mp.add_argument("--vacuum-min-age", type=float, default=300.0,
+                    help="never delete unreferenced files younger than this "
+                         "(protects in-flight commits)")
+    mp.add_argument("--vacuum-tombstones-watermark", type=int, default=None)
+    mp.add_argument("--cores", type=int, default=None)
+    mp.set_defaults(fn=cmd_maintain)
 
     dp = sub.add_parser("demo", help="synthetic end-to-end with oracle check")
     dp.add_argument("--workdir", required=True)
