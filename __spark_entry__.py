@@ -178,7 +178,9 @@ def s8_coalesce_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", F.col("value")).alias("v_click"),
         F.when(F.col("event_type") == "view", F.col("props")).alias("view_props"),
     )
-    return dedup_coalesce(src, ["user_id"], "lsn", "op")
+    # _del_lsn is merge-internal plumbing (intra-batch delete barrier for
+    # the write path), not part of the fold's logical result
+    return dedup_coalesce(src, ["user_id"], "lsn", "op").drop("_del_lsn")
 
 
 def o1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,12 +57,15 @@ class EngineConfig:
                 f"{_ENV_PREFIX}WRITE_MODE must be 'cow' or 'mor', got "
                 f"{self.write_mode!r}"
             )
-        for name in (
-            "workers", "shuffle_partitions", "batch_lsns", "batch_events",
-            "num_buckets", "compact_max_delta_files",
-        ):
+        for name in ("workers", "shuffle_partitions"):
+            # 0 is the "unset → derive from the machine" sentinel
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0, got {getattr(self, name)}")
+        for name in ("batch_lsns", "batch_events", "num_buckets", "compact_max_delta_files"):
+            # 0 is NOT a sentinel here: batch_lsns=0 spins run_incremental
+            # forever on empty windows, num_buckets=0 makes pmod null
+            if getattr(self, name) < 1:
+                raise ConfigError(f"{name} must be >= 1, got {getattr(self, name)}")
 
     # ------------------------------------------------------------------ load
 

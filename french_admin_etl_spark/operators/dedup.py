@@ -59,14 +59,21 @@ def dedup_coalesce(
     Delete barriers: a 'D' event discards everything before it — a column
     survives only if its last non-null assignment came AFTER the last
     delete. If the batch's final event for a key is the delete itself, the
-    fold emits a single 'D' row (all data columns null).
+    fold emits a single 'D' row (all data columns null). When events
+    SURVIVE past an intra-batch delete, the output row additionally
+    carries ``_del_lsn`` = the delete high-water mark (null otherwise):
+    the fold cannot express "this null column was CLEARED by the delete"
+    in the value alone, and without the marker the merge would coalesce
+    those nulls against PRE-delete state from earlier batches —
+    resurrecting deleted values (found by live repro in review). The
+    merge modes consume ``_del_lsn``; it never reaches the table.
 
     ONE groupBy of combinable aggregates (per column:
     ``max_by(struct(seq, c), seq) FILTER (c IS NOT NULL)``, plus the
     delete high-water mark) — map-side partial agg, skew-proof, no second
     pass: the barrier comparison happens in the post-projection. Output
-    columns/order match the input; ``seq_col`` carries max(seq) and
-    ``op_col`` is 'D' or 'U'."""
+    columns/order match the input plus ``_del_lsn``; ``seq_col`` carries
+    max(seq) and ``op_col`` is 'D' or 'U'."""
     cols = df.columns
     if data_cols is None:
         data_cols = [c for c in cols if c not in keys and c not in (seq_col, op_col)]
@@ -102,6 +109,7 @@ def dedup_coalesce(
                 F.col("_dmax").isNull() | (last["s"] > F.col("_dmax"))
             )
             out.append(F.when(survived & keep, last["v"]).alias(c))
+    out.append(F.when(survived, F.col("_dmax")).alias("_del_lsn"))
     return agg.select(*out)
 
 

@@ -187,10 +187,12 @@ def extract_image_features(
         try:
             w, h, gray = decode_image(p)
             return (w, h, thumbnail_feature(gray), None)
-        except NotImplementedError as e:
-            # per-row codec isolation (S9): the batch survives; the row
-            # records WHY it needs the external-library decode path
-            return (None, None, None, str(e))
+        except Exception as e:  # noqa: BLE001
+            # per-row isolation (S9): unsupported codec OR corrupt payload
+            # (truncated pixel data / garbage header raise ValueError from
+            # numpy/int — reviewer finding); the batch always survives and
+            # the row records why it failed
+            return (None, None, None, f"{type(e).__name__}: {e}")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -249,8 +251,11 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             ]
             dur = round(n / rate, 6) if rate else None
             return (nch, rate, n, dur, rms, None)
-        except wave.Error as e:
-            return (None, None, None, None, None, f"not a PCM WAV: {e}")
+        except Exception as e:  # noqa: BLE001
+            # wave.Error on non-WAV, but truncated/empty payloads raise
+            # EOFError (chunk header) or struct.error (reviewer finding)
+            # — all must stay per-row, never fail the task
+            return (None, None, None, None, None, f"not a PCM WAV: {type(e).__name__}: {e}")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

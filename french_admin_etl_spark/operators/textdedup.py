@@ -514,6 +514,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         # candidate label for v = min over incoming neighbors' labels
         prop = (
@@ -538,8 +539,19 @@ def connected_components(
         changed = merged.agg(F.max(F.col("_changed").cast("int"))).collect()[0][0]
         labels = merged.select("id", F.col("new_component").alias("component"))
         if not changed:
+            converged = True
             break
     both.unpersist()
+    if not converged:
+        # silently returning partial labels would split one real cluster
+        # into several with wrong canonical ids (reviewer finding) —
+        # pathological diameters (>max_iterations-long pair chains) must
+        # surface, not corrupt the dedup
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the bound); raise "
+            "max_iterations"
+        )
     return labels
 
 

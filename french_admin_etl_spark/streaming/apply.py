@@ -328,6 +328,14 @@ class CDCApplyJob:
         Kill it anywhere; rerunning reconverges to the identical final state
         (fence makes the replayed window a no-op)."""
         state = checkpoint.load() or {"batch_id": 0, "next_lsn": 0}
+        if "bounds" in state:
+            # the two drivers persist incompatible shapes; silently
+            # re-windowing another driver's checkpoint would re-plan from
+            # LSN 0 / crash later (reviewer finding) — refuse up front
+            raise ValueError(
+                "checkpoint was written by run_incremental_balanced; use "
+                "that driver (or a fresh checkpoint path) for this table"
+            )
         results = []
         hi_all = log.max_lsn() + 1
         while state["next_lsn"] < hi_all:
@@ -367,11 +375,19 @@ class CDCApplyJob:
         Fencing: this driver numbers batches independently of
         ``run_incremental`` (ids restart at 0 over its own window list),
         so its table fence is NAMESPACED under ``<writer_id>.balanced`` —
-        switching drivers on one table/checkpoint can never fence out the
-        other driver's fresh windows as replays."""
+        switching drivers against one TABLE can never fence out the other
+        driver's fresh windows as replays. CHECKPOINTS however are
+        per-driver (incompatible shapes): handing this driver a
+        ``run_incremental`` checkpoint raises instead of silently
+        re-planning the whole log."""
         fence_writer = f"{self.writer_id}.balanced" if self.writer_id else "balanced"
         state = checkpoint.load()
-        if state is None or "bounds" not in state:
+        if state is not None and "bounds" not in state:
+            raise ValueError(
+                "checkpoint was written by run_incremental; use that driver "
+                "(or a fresh checkpoint path) for this table"
+            )
+        if state is None:
             state = {"batch_id": 0, "bounds": log.event_balanced_bounds(batch_events)}
             checkpoint.save(state)
         bounds = state["bounds"]

@@ -83,16 +83,34 @@ class CascadeJob:
 
     def run_once(self, checkpoint: CheckpointStore) -> CascadeResult:
         """Advance the target to the source's current snapshot. Call it in
-        a loop (or from a scheduler) to tail continuously."""
+        a loop (or from a scheduler) to tail continuously.
+
+        Crash safety: the planned window ``(from_version, to_version]`` is
+        PERSISTED (as ``pending``) before the merge. A crash between
+        merge-commit and checkpoint advance replays the SAME window on
+        re-entry — the fence turns the merge into a no-op and the
+        checkpoint then advances to exactly the window that was applied.
+        Recomputing ``to_version`` on replay instead would mark upstream
+        commits that landed after the crash as applied when the fenced
+        merge never touched them (reviewer finding — silent divergence)."""
         state = checkpoint.load() or {"from_version": 0, "batch_id": 0}
         from_v, batch_id = state["from_version"], state["batch_id"]
-        cur = self.source.current_version()
+        pending = state.get("pending")
+        if pending is not None:
+            cur = pending["to_version"]  # replay the previously planned window
+        else:
+            cur = self.source.current_version()
         snap = self.source.snapshot(cur)
         logical = [
             f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
         ]
         if cur <= from_v:
             return CascadeResult(batch_id, from_v, cur, "noop", None)
+        if pending is None:
+            checkpoint.save(
+                {"from_version": from_v, "batch_id": batch_id,
+                 "pending": {"to_version": cur}}
+            )
 
         if from_v > 0:
             try:
@@ -115,3 +133,13 @@ class CascadeJob:
         stats = self._merge_stream(stream, batch_id)
         checkpoint.save({"from_version": cur, "batch_id": batch_id + 1})
         return CascadeResult(batch_id, from_v, cur, mode, stats)
+
+    def run_to_latest(self, checkpoint: CheckpointStore) -> list[CascadeResult]:
+        """Drain: run windows until the target has caught up (handles a
+        pending crash window plus everything committed since)."""
+        out = []
+        while True:
+            r = self.run_once(checkpoint)
+            out.append(r)
+            if r.mode == "noop":
+                return out

@@ -410,6 +410,19 @@ class LakeTable:
                 "(run changes() before compaction catches up, or lower "
                 "compact.max-delta-files less aggressively)"
             )
+        if any(g.get("coalesce") for g in in_window):
+            # a coalesce delta's nulls mean "not updated" — replaying them
+            # as full rows downstream would clobber columns the source
+            # never touched (reviewer finding); a faithful incremental
+            # replay needs the consumer to know per-column provenance,
+            # which the whole-row change format cannot carry. Refuse →
+            # consumers (CascadeJob) fall back to a full resync of the
+            # RESOLVED state, which is always correct.
+            raise ValueError(
+                f"changes in ({from_version}, {to_v}] include partial-column "
+                "(coalesce) deltas, which cannot be replayed as whole rows; "
+                "use a full resync of the resolved state"
+            )
         logical = [f["name"] for f in snap["schemas"][str(cur_v)]["fields"]]
         if not in_window:
             phys = self._schema_at(snap, cur_v)
@@ -572,12 +585,24 @@ class LakeTable:
         # (_lsn, commit seq) tie-break so write_mode never changes state
         take_s = s_present & (~t_present | (s_seq >= t_lsn))
         is_del = s_op == F.lit("D")
+        # intra-batch delete barrier (dedup_coalesce's _del_lsn): when the
+        # source row survived a delete INSIDE its batch and that delete
+        # supersedes the target row, null source columns mean CLEARED by
+        # the delete — they must NOT coalesce back to pre-delete target
+        # values (the resurrection bug caught by review repro)
+        if "_del_lsn" in source.columns:
+            s_dbar = F.col("s._del_lsn")
+            cleared = take_s & s_dbar.isNotNull() & (
+                ~t_present | (s_dbar >= t_lsn)
+            )
+        else:
+            cleared = F.lit(False)
 
         out_cols = [F.col(k).alias(k) for k in keys]
         for c in data_cols:
             sc, tc = F.col(f"s.{c}"), F.col(f"t.{c}")
             if mode == "coalesce":
-                new_val = F.coalesce(sc, tc)
+                new_val = F.when(cleared, sc).otherwise(F.coalesce(sc, tc))
             else:
                 new_val = sc
             out_cols.append(
@@ -675,15 +700,28 @@ class LakeTable:
         out_cols.append(is_del.alias("_deleted"))
 
         obs = Observation()
-        delta = (
-            source.select(*out_cols)
-            .observe(
-                obs,
-                F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias("upserts"),
-                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
-            )
-            .withColumn("_bucket", _bucket_expr(keys, nb))
+        delta = source.select(*out_cols).observe(
+            obs,
+            F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias("upserts"),
+            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
         )
+        if coalesce and "_del_lsn" in source.columns:
+            # a source row that survived an INTRA-batch delete carries
+            # _del_lsn (dedup_coalesce); materialize that delete as a
+            # physical tombstone at its own LSN so read resolution's
+            # barrier rule discards pre-delete values from EARLIER
+            # commits (null survivor columns alone cannot express
+            # "cleared" — the resurrection bug caught by review repro).
+            # Not observed: the barrier restates a delete already counted
+            # inside the fold, not a new source op.
+            barriers = source.filter(F.col("_del_lsn").isNotNull()).select(
+                *[F.col(k) for k in keys],
+                *[F.lit(None).cast(phys[c].dataType).alias(c) for c in data_cols],
+                F.col("_del_lsn").cast("long").alias("_lsn"),
+                F.lit(True).alias("_deleted"),
+            )
+            delta = delta.unionByName(barriers)
+        delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
         groups = self._stage_write(delta, sv)
         got = obs.get
         for g in groups:

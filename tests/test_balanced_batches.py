@@ -153,3 +153,26 @@ def test_schema_epoch_fence_overflow_raises(spark, tmp_root):
     df = spark.createDataFrame([], EVENT_SCHEMA)
     with pytest.raises(ValueError, match="fence ids would collide"):
         job._merge_epoch(df, batch_id=0, sub=1024, prev=None)
+
+
+def test_driver_checkpoint_shapes_are_guarded(spark, tmp_root):
+    """Reviewer finding: the two incremental drivers persist incompatible
+    checkpoint shapes; handing one driver the other's checkpoint must
+    refuse loudly instead of re-planning from LSN 0 / KeyError-ing."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "gt"), REPOS_SCHEMA, KEYS, num_buckets=2
+    )
+    job = CDCApplyJob(spark, table)
+    log_dir = os.path.join(tmp_root, "gl")
+    spark.createDataFrame([], EVENT_SCHEMA).write.mode("overwrite").parquet(log_dir)
+    log = EventLog(spark, log_dir)
+
+    lsn_ck = CheckpointStore(os.path.join(tmp_root, "lsn.ck"))
+    lsn_ck.save({"batch_id": 3, "next_lsn": 3000})
+    with pytest.raises(ValueError, match="run_incremental"):
+        job.run_incremental_balanced(log, lsn_ck, batch_events=100)
+
+    bal_ck = CheckpointStore(os.path.join(tmp_root, "bal.ck"))
+    bal_ck.save({"batch_id": 1, "bounds": [0, 10, 20]})
+    with pytest.raises(ValueError, match="balanced"):
+        job.run_incremental(log, bal_ck, batch_lsns=100)

@@ -108,3 +108,62 @@ def test_cascade_transform_seam(spark, tmp_root):
     r = job.run_once(ckpt)
     assert r.mode == "incremental"
     assert _state(target) == {("r", "a"): ("v2", "GO")}
+
+
+def test_cascade_crash_between_merge_and_checkpoint_replays_same_window(spark, tmp_root):
+    """Reviewer finding: if the source advances between a crash (after
+    merge, before checkpoint) and the retry, recomputing the window would
+    mark the newer commits as applied while the fenced merge skipped
+    them. The pending-window protocol replays the ORIGINAL window, then a
+    second run picks up the rest — nothing is ever skipped."""
+    source = _mk(spark, tmp_root, "csrc")
+    target = _mk(spark, tmp_root, "cdst")
+    job = CascadeJob(spark, source, target)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "crash.ck"))
+
+    source.merge(
+        spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0,
+    )
+    r0 = job.run_once(ckpt)  # bootstrap applied, checkpoint advanced
+    # simulate the crash: rewind to the pre-run state WITH the pending
+    # window recorded (exactly what run_once persists before merging)
+    ckpt.save({"from_version": r0.from_version, "batch_id": r0.batch_id,
+               "pending": {"to_version": r0.to_version}})
+    # source advances while "down"
+    source.merge(
+        spark.createDataFrame([("r", "b", "c", "go", "w1", "t1", 2, "I")], _COLS),
+        batch_id=1,
+    )
+    r1 = job.run_once(ckpt)  # must replay the ORIGINAL window (fenced)
+    assert r1.to_version == r0.to_version
+    assert r1.merge is not None and r1.merge.fenced
+    assert ckpt.load()["from_version"] == r0.to_version
+    r2 = job.run_once(ckpt)  # now the post-crash commit flows
+    assert r2.mode == "incremental" and not r2.merge.fenced
+    assert _state(target) == _state(source)
+    assert job.run_once(ckpt).mode == "noop"
+
+
+def test_cascade_coalesce_source_falls_back_to_resync(spark, tmp_root):
+    """A coalesce-mode upstream window is refused by changes() (its nulls
+    mean 'not updated'); the cascade must fall back to full resync and
+    still converge — never clobber downstream columns with nulls."""
+    source = _mk(spark, tmp_root, "qsrc")
+    target = _mk(spark, tmp_root, "qdst")
+    job = CascadeJob(spark, source, target)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "q.ck"))
+    source.merge(
+        spark.createDataFrame([("r", "a", "c1", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0, mode="coalesce",
+    )
+    job.run_once(ckpt)
+    # partial update upstream: only content changes
+    source.merge(
+        spark.createDataFrame([("r", "a", None, None, "v2", None, 2, "U")], _COLS),
+        batch_id=1, mode="coalesce",
+    )
+    r = job.run_once(ckpt)
+    assert r.mode == "full_resync"  # changes() refused the coalesce window
+    assert _state(target) == _state(source)
+    assert {r2["path"]: r2["lang"] for r2 in target.read().collect()} == {"a": "py"}

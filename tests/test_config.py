@@ -84,3 +84,15 @@ def test_table_properties_roundtrip():
         environ={"SPARK_GRAFT_COMPACT_MAX_DELTA_FILES": "3"}, dotenv_path="/x"
     )
     assert cfg.table_properties() == {"compact.max-delta-files": 3}
+
+
+def test_zero_batch_and_bucket_knobs_rejected():
+    """Reviewer finding: batch_lsns=0 spins run_incremental forever on
+    empty windows and num_buckets=0 makes pmod null — 0 is only a valid
+    sentinel for the machine-derived knobs (workers/shuffle)."""
+    for var in ("BATCH_LSNS", "BATCH_EVENTS", "NUM_BUCKETS",
+                "COMPACT_MAX_DELTA_FILES"):
+        with pytest.raises(ConfigError):
+            EngineConfig.load(environ={f"SPARK_GRAFT_{var}": "0"}, dotenv_path="/x")
+    # machine-derived knobs keep 0 as "unset"
+    assert EngineConfig.load(environ={"SPARK_GRAFT_CPUS": "0"}, dotenv_path="/x").workers == 0

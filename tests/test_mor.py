@@ -550,3 +550,52 @@ def test_mor_auto_compact_commit_conflict_is_swallowed(spark, tmp_root, monkeypa
     stats = table.merge(src, batch_id=0)  # would trigger auto-compact
     assert not stats.fenced and stats.rows_upserted == 1
     assert {r["path"] for r in table.read().collect()} == {"a"}
+
+
+def test_coalesce_same_batch_delete_reinsert_no_resurrection(spark, tmp_root):
+    """Review-repro regression: batch 0 inserts (commit, lang); batch 1
+    carries the DELETE and a partial reinsert (content only) in the SAME
+    batch. The fold emits one survivor row + the delete barrier — without
+    the barrier, the pre-delete commit/lang from batch 0 resurrect.
+    Asserted on BOTH write modes via the apply job (which routes through
+    dedup_coalesce) and cross-checked for COW/MOR parity."""
+    from french_admin_etl_spark.operators.dedup import dedup_coalesce
+
+    states = {}
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, f"resur_{mode}"), schema=REPOS_SCHEMA,
+            key_cols=KEYS, num_buckets=4, write_mode=mode,
+        )
+        b0 = spark.createDataFrame(
+            [("r", "b", "c1", "go", "w1", "t1", 1, "I")], _COLS
+        )
+        t.merge(dedup_coalesce(b0, KEYS, "lsn"), batch_id=0, mode="coalesce")
+        b1 = spark.createDataFrame(
+            [("r", "b", None, None, None, None, 5, "D"),
+             ("r", "b", None, None, "w7", None, 7, "I")], _COLS
+        )
+        t.merge(dedup_coalesce(b1, KEYS, "lsn"), batch_id=1, mode="coalesce")
+        row = t.read().collect()[0].asDict()
+        states[mode] = row
+        assert row == {
+            "repo": "r", "path": "b", "commit": None, "lang": None,
+            "content": "w7", "content_sha": None,
+        }, f"{mode}: pre-delete values resurrected: {row}"
+        if mode == "mor":
+            t.compact()
+            assert t.read().collect()[0].asDict() == row  # survives compaction
+    assert states["cow"] == states["mor"]
+
+
+def test_mor_changes_refuses_coalesce_window(spark, tmp_root):
+    """changes() must refuse windows containing partial-column deltas —
+    their nulls mean 'not updated' and would clobber downstream."""
+    table = _mk_mor(spark, tmp_root, "chcoal")
+    v0 = table.current_version()
+    table.merge(
+        spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0, mode="coalesce",
+    )
+    with pytest.raises(ValueError, match="coalesce"):
+        table.changes(v0)

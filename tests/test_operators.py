@@ -68,10 +68,16 @@ def test_dedup_coalesce_folds_partial_updates(spark):
     ]
     df = spark.createDataFrame(rows, "k string, lsn long, op string, x string, y string")
     out = {r["k"]: r.asDict() for r in dedup_coalesce(df, ["k"]).collect()}
-    assert dedup_coalesce(df, ["k"]).columns == df.columns
-    assert out["a"] == {"k": "a", "lsn": 3, "op": "U", "x": "x3", "y": "y2"}
-    assert out["b"] == {"k": "b", "lsn": 3, "op": "U", "x": None, "y": "by3"}
-    assert out["c"] == {"k": "c", "lsn": 2, "op": "D", "x": None, "y": None}
+    # output = input columns + the intra-batch delete barrier marker
+    assert dedup_coalesce(df, ["k"]).columns == df.columns + ["_del_lsn"]
+    assert out["a"] == {"k": "a", "lsn": 3, "op": "U", "x": "x3", "y": "y2",
+                        "_del_lsn": None}
+    # b survived PAST its delete → the barrier LSN rides along so the
+    # merge can clear pre-delete state from earlier batches
+    assert out["b"] == {"k": "b", "lsn": 3, "op": "U", "x": None, "y": "by3",
+                        "_del_lsn": 2}
+    assert out["c"] == {"k": "c", "lsn": 2, "op": "D", "x": None, "y": None,
+                        "_del_lsn": None}
 
 
 def test_validate_split_reasons_in_rule_order(spark):

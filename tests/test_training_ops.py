@@ -463,3 +463,51 @@ def test_dedup_clusters_on_planted_dups(docs, spark):
         seen |= members
         want[min(members)] = len(members)
     assert {c: r["n_docs"] for c, r in out.items()} == want
+
+
+def test_corrupt_media_rows_isolated_not_fatal(spark):
+    """Reviewer finding: corrupt payloads with a SUPPORTED magic raised
+    ValueError/EOFError past the old narrow catches and killed the task.
+    Every malformed row must become a per-row err, never a job failure."""
+    from french_admin_etl_spark.operators.multimodal import extract_audio_features
+
+    rows = [
+        (1, "image", "image/x-ppm", b"P6\n16 12\n255\n\x00\x01"),   # truncated pixels
+        (2, "image", "image/x-ppm", b"P6\nnot a number\n"),          # garbage header
+        (3, "image", "image/bmp", b"BM" + b"\x00" * 20),             # truncated BMP
+        (4, "image", "image/x-ppm", _ppm(4, 4, lambda x, y: (9, 9, 9))),  # healthy
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in extract_image_features(media, decode_stub=False).collect()
+    }
+    assert out[1]["err"] and out[2]["err"] and out[3]["err"]
+    assert out[4]["err"] is None and out[4]["width"] == 4  # batch survived
+
+    audio = spark.createDataFrame(
+        [(1, "audio", "audio/wav", b"RIFF\x04\x00"),   # truncated → EOFError
+         (2, "audio", "audio/wav", b""),               # empty
+         (3, "audio", "audio/mpeg", b"ID3\x03" + b"x" * 40)],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in extract_audio_features(audio).collect()}
+    assert all(got[i]["err"] for i in (1, 2, 3))
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A pair chain longer than max_iterations must raise, not silently
+    return a split cluster with wrong canonical ids."""
+    import pytest as _pytest
+
+    from french_admin_etl_spark.operators.textdedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 17)], "id_a int, id_b int"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iterations=2)
+    # and with enough rounds the same chain resolves fine
+    comp = {r["id"]: r["component"] for r in
+            connected_components(chain, max_iterations=20).collect()}
+    assert set(comp.values()) == {10}
