@@ -149,3 +149,75 @@ def test_dedup_coalesce_matches_per_event_oracle(spark, ops):
         else:
             assert got[k]["op"] == "U"
             assert got[k]["x"] == state[k]["x"] and got[k]["y"] == state[k]["y"]
+
+
+# --- full-path coalesce property: random partial ops through the TABLE ---
+
+partial_ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),          # key index
+        st.sampled_from(["U", "U", "U", "D"]),
+        st.one_of(st.none(), st.integers(0, 4)),        # content assignment
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=partial_ops_strategy, splits=splits_strategy)
+def test_coalesce_any_ops_any_batching_converges_both_modes(
+    spark, tmp_path_factory, ops, splits
+):
+    """The COMPLETE coalesce path (dedup_coalesce fold → merge barrier
+    handling → MOR per-column read resolution) must equal a per-event
+    sequential replay for ANY op sequence (partial updates, deletes,
+    delete-then-reinsert) under ANY batching, on BOTH write modes. This
+    is the property the review repro showed can silently break when
+    delete barriers and batch boundaries interact."""
+    from french_admin_etl_spark.operators.dedup import dedup_coalesce
+
+    events = [(lsn, KEYS[ki], op, val) for lsn, (ki, op, val) in enumerate(ops)]
+    # per-event oracle: non-null assignments stick, deletes reset
+    state: dict[str, dict | None] = {}
+    for _, key, op, val in events:
+        if op == "D":
+            state[key] = None
+        else:
+            cur = state.get(key) or {"content": None}
+            if val is not None:
+                cur["content"] = f"v{val}"
+            state[key] = dict(cur)
+    expected = {k: v["content"] for k, v in state.items() if v is not None}
+
+    bounds = sorted(b for b in splits if b < len(events))
+    batches, prev = [], 0
+    for b in bounds + [len(events)]:
+        if b > prev:
+            batches.append(events[prev:b])
+            prev = b
+    got = {}
+    for write_mode in ("cow", "mor"):
+        root = os.path.join(str(tmp_path_factory.mktemp("cprop")), uuid.uuid4().hex)
+        table = LakeTable.create(
+            spark, root, SCHEMA, ["repo", "path"], num_buckets=2, write_mode=write_mode
+        )
+        for i, batch in enumerate(batches):
+            src = spark.createDataFrame(
+                [
+                    (lsn, op, "r", key, None if val is None else f"v{val}")
+                    for lsn, key, op, val in batch
+                ],
+                "lsn long, op string, repo string, path string, content string",
+            )
+            table.merge(
+                dedup_coalesce(src, ["repo", "path"], "lsn"),
+                batch_id=i, mode="coalesce",
+            )
+        got[write_mode] = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["cow"] == expected
+    assert got["mor"] == expected
