@@ -91,7 +91,9 @@ def bench_queries(spark, sf_dir: str, passes: int = 2) -> tuple[dict, dict]:
     return times, all_passes
 
 
-def bench_cdc_apply(spark, sf: float, workdir: str, n_batches: int = 4) -> dict:
+def bench_cdc_apply(
+    spark, sf: float, workdir: str, n_batches: int = 4, merge_mode: str = "overwrite"
+) -> dict:
     """The headline: replay a synthetic ordered change log into the lake
     table via exactly-once MERGE micro-batches; report events/sec applied."""
     from french_admin_etl_spark.datagen import gen_change_events
@@ -113,7 +115,7 @@ def bench_cdc_apply(spark, sf: float, workdir: str, n_batches: int = 4) -> dict:
         spark, table_root, schema=REPOS_SCHEMA, key_cols=KEYS, num_buckets=32,
         write_mode="mor",
     )
-    job = CDCApplyJob(spark, table)
+    job = CDCApplyJob(spark, table, merge_mode=merge_mode)
     log = EventLog(spark, log_dir)
     ckpt = CheckpointStore(os.path.join(workdir, "ckpt.json"))
 
@@ -155,6 +157,12 @@ def main() -> None:
             os.makedirs(d, exist_ok=True)
             cdc_runs.append(bench_cdc_apply(spark, sf, d))
         cdc = max(cdc_runs, key=lambda c: c["cdc_events_per_sec"])
+        # coalesce-mode apply (S7xMOR partial-update path: per-column fold
+        # + barrier tombstones + per-column read resolution) — one run,
+        # recorded separately so the headline stays comparable
+        coal_dir = os.path.join(workdir, "coalesce")
+        os.makedirs(coal_dir, exist_ok=True)
+        cdc_coal = bench_cdc_apply(spark, sf, coal_dir, merge_mode="coalesce")
         wall_all_passes = round(time.monotonic() - t_all, 3)
         probe_after = mem_probe_gbps()
         # headline value = steady-state total (sum of per-query BEST passes
@@ -172,6 +180,8 @@ def main() -> None:
             "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
             "query_passes": qpasses,
             "cdc_runs_events_per_sec": [c["cdc_events_per_sec"] for c in cdc_runs],
+            "cdc_coalesce_events_per_sec": cdc_coal["cdc_events_per_sec"],
+            "cdc_coalesce_wall_sec": cdc_coal["cdc_wall_sec"],
             "mem_probe_gbps_before": probe_before,
             "mem_probe_gbps_after": probe_after,
             "probe_healthy_min_gbps": 2.0,

@@ -599,3 +599,26 @@ def test_mor_changes_refuses_coalesce_window(spark, tmp_root):
     )
     with pytest.raises(ValueError, match="coalesce"):
         table.changes(v0)
+
+
+def test_mor_changes_across_schema_evolution(spark, tmp_root):
+    """changes() windows spanning a schema evolution upgrade old-schema
+    delta rows to the current schema (new column null-filled)."""
+    from french_admin_etl_spark.table.lake_table import SchemaOp
+
+    table = _mk_mor(spark, tmp_root, "chevo")
+    v0 = table.current_version()
+    table.merge(
+        spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0,
+    )
+    table.evolve([SchemaOp(action="add_column", name="stars", type="int")])
+    cols2 = _COLS.replace(" lsn long", " stars int, lsn long")
+    table.merge(
+        spark.createDataFrame([("r", "b", "c", "go", "w1", "t1", 7, 2, "I")], cols2),
+        batch_id=1,
+    )
+    ch = {r["path"]: r.asDict() for r in table.changes(v0).collect()}
+    assert ch["a"]["stars"] is None  # old-schema row upgraded on read
+    assert ch["b"]["stars"] == 7
+    assert ch["a"]["content"] == "v1" and ch["b"]["content"] == "w1"
