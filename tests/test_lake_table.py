@@ -278,3 +278,34 @@ def test_expire_snapshots_maintenance_trio(spark, tmp_root):
     )
     assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 99, "b": 50}
     assert t.expire_snapshots(keep_last=10) == 0  # nothing beyond the window
+
+
+def test_optimize_sort_layout_contract(spark, tmp_root):
+    """optimize_sort rewrites each bucket physically SORTED by the given
+    columns (the row-group-pruning layout: sorted files → narrow disjoint
+    min/max stats per row group). Asserted directly on the parquet files;
+    table state must be unchanged and MOR deltas resolved in the pass."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    t = LakeTable.create(
+        spark, _os.path.join(tmp_root, "opt"), SCHEMA, ["repo", "path"],
+        num_buckets=2, write_mode="mor",
+    )
+    rows = [(i, "I", f"r{i % 7}", f"p{(i * 37) % 100:03d}", f"c{i}") for i in range(1, 120)]
+    t.merge(_src(spark, rows), batch_id=0)
+    t.merge(_src(spark, [(200, "U", "r1", "p037", "updated")]), batch_id=1)
+    before = _state(t)
+
+    v = t.optimize_sort()  # default: sort by key columns
+    assert t.current_version() == v
+    assert _state(t) == before  # state identical
+    snap = t.snapshot()
+    assert not any(g.get("delta") for g in snap["file_groups"])  # deltas folded
+    assert all(g.get("sorted_by") == ["repo", "path"] for g in snap["file_groups"])
+    for g in snap["file_groups"]:
+        for f in g["files"]:
+            tbl = _pq.read_table(_os.path.join(tmp_root, "opt", f), columns=["repo", "path"])
+            pairs = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist()))
+            assert pairs == sorted(pairs), f"file {f} not sorted"
