@@ -96,6 +96,47 @@ def cmd_apply(args) -> None:
         )
 
 
+def cmd_cascade(args) -> None:
+    """One hop of a lake-to-lake incremental pipeline: tail the source
+    table's changes() into the target (bootstrap/full-resync fallback
+    handled by CascadeJob). Run from a scheduler to keep a downstream
+    table current."""
+    from french_admin_etl_spark.session import get_spark
+    from french_admin_etl_spark.streaming.cascade import CascadeJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    spark = get_spark(app_name="cdc_cascade", cores=args.cores)
+    source = LakeTable(spark, args.source_root)
+    if LakeTable.exists(args.target_root):
+        target = LakeTable(spark, args.target_root)
+    else:
+        snap = source.snapshot()
+        from pyspark.sql import types as T
+
+        target = LakeTable.create(
+            spark, args.target_root,
+            schema=T.StructType.fromJson(snap["schemas"][str(snap["schema_version"])]),
+            key_cols=snap["key_cols"], num_buckets=snap["num_buckets"],
+            write_mode="mor",
+        )
+    job = CascadeJob(spark, source, target, writer_id=args.writer_id)
+    results = job.run_to_latest(CheckpointStore(args.checkpoint))
+    for r in results:
+        print(
+            json.dumps(
+                {
+                    "batch_id": r.batch_id,
+                    "window": [r.from_version, r.to_version],
+                    "mode": r.mode,
+                    "upserted": r.merge.rows_upserted if r.merge else 0,
+                    "deleted": r.merge.rows_deleted if r.merge else 0,
+                    "fenced": bool(r.merge and r.merge.fenced),
+                }
+            )
+        )
+
+
 def cmd_maintain(args) -> None:
     """Table maintenance trio (run from a scheduler, never inline with
     ingest): compact MOR deltas, expire old snapshot metadata, vacuum
@@ -187,6 +228,14 @@ def main() -> None:
                          "(distinct per job) when several jobs with independent "
                          "batch-id sequences feed one table")
     ap.set_defaults(fn=cmd_apply)
+
+    cp = sub.add_parser("cascade", help="tail one table's changes() into another")
+    cp.add_argument("--source-root", required=True)
+    cp.add_argument("--target-root", required=True)
+    cp.add_argument("--checkpoint", required=True)
+    cp.add_argument("--writer-id", default="cascade")
+    cp.add_argument("--cores", type=int, default=None)
+    cp.set_defaults(fn=cmd_cascade)
 
     mp = sub.add_parser("maintain", help="compact / expire snapshots / vacuum")
     mp.add_argument("--table-root", required=True)

@@ -363,6 +363,43 @@ class LakeTable:
         logical = [f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]]
         return self.read_raw(version=version).filter(~F.col("_deleted")).select(*logical)
 
+    def lookup(self, key_values: list[tuple]) -> DataFrame:
+        """Point lookup: live rows for the given key tuples, reading ONLY
+        the buckets those keys hash to. The scan stack at 100 TB: bucket
+        pruning drops (num_buckets - k)/num_buckets of the data before
+        any I/O, the pushed key predicate prunes row groups via parquet
+        min/max stats (tight after ``optimize_sort``), and only then do
+        surviving rows hit the (possibly MOR-resolving) read path. The
+        bucket set comes from one k-row job running the WRITER'S OWN hash
+        expression (no reimplementation that could drift from xxhash64's
+        exact semantics); the key predicate pushes through the resolution
+        aggregate because it filters grouping columns."""
+        snap = self.snapshot()
+        keys, nb = snap["key_cols"], snap["num_buckets"]
+        if not key_values:
+            return self.read().limit(0)
+        one = self.spark.createDataFrame(
+            key_values, ", ".join(f"{k} string" for k in keys)
+        )
+        # buckets computed driver-side from the same hash the writer used
+        buckets = sorted(
+            {r["_b"] for r in one.select(_bucket_expr(keys, nb).alias("_b")).collect()}
+        )
+        logical = [f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]]
+        pred = None
+        for kv in key_values:
+            clause = None
+            for k, v in zip(keys, kv):
+                c = F.col(k) == F.lit(v)
+                clause = c if clause is None else (clause & c)
+            pred = clause if pred is None else (pred | clause)
+        return (
+            self.read_raw(buckets=buckets)
+            .filter(pred)
+            .filter(~F.col("_deleted"))
+            .select(*logical)
+        )
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """CDF-style incremental read: the change rows committed AFTER
         ``from_version`` up to ``to_version`` (default: current) — what a

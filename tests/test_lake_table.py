@@ -309,3 +309,32 @@ def test_optimize_sort_layout_contract(spark, tmp_root):
             tbl = _pq.read_table(_os.path.join(tmp_root, "opt", f), columns=["repo", "path"])
             pairs = list(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist()))
             assert pairs == sorted(pairs), f"file {f} not sorted"
+
+
+def test_lookup_prunes_buckets_and_resolves(spark, tmp_root):
+    """Point lookup reads only the requested keys' buckets, resolves MOR
+    deltas, honors tombstones, and the key predicate reaches the parquet
+    scan (PushedFilters) through the resolution aggregate."""
+    import io as _io
+    import os as _os
+    from contextlib import redirect_stdout
+
+    t = LakeTable.create(
+        spark, _os.path.join(tmp_root, "lk"), SCHEMA, ["repo", "path"],
+        num_buckets=8, write_mode="mor",
+    )
+    rows = [(i, "I", f"r{i % 5}", f"p{i:03d}", f"c{i}") for i in range(1, 60)]
+    t.merge(_src(spark, rows), batch_id=0)
+    t.merge(_src(spark, [(100, "U", "r1", "p001", "updated"),
+                         (101, "D", "r2", "p002", None)]), batch_id=1)
+
+    out = t.lookup([("r1", "p001"), ("r2", "p002"), ("r3", "p003"), ("rX", "pX")])
+    got = {(r["repo"], r["path"]): r["content"] for r in out.collect()}
+    assert got == {("r1", "p001"): "updated", ("r3", "p003"): "c3"}  # delete + miss absent
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        t.lookup([("r1", "p001")]).explain()
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "r1" in plan  # predicate reached the scan
+    assert t.lookup([]).count() == 0
