@@ -104,7 +104,12 @@ def bench_cdc_apply(
 
     n_events = max(50_000, int(10_000_000 * sf))
     n_keys = max(5_000, n_events // 10)
-    pdf = gen_change_events(n_events=n_events, n_keys=n_keys, n_repos=max(50, n_keys // 100))
+    pdf = gen_change_events(
+        n_events=n_events, n_keys=n_keys, n_repos=max(50, n_keys // 100),
+        # coalesce mode is exercised with a realistic partial-update
+        # stream (half the updates set only a subset of columns)
+        partial_update_rate=0.5 if merge_mode == "coalesce" else 0.0,
+    )
     log_dir = os.path.join(workdir, "event_log")
     spark.createDataFrame(pdf, schema=EVENT_SCHEMA).repartition(32).write.mode(
         "overwrite"

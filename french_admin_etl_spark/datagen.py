@@ -113,6 +113,7 @@ def gen_change_events(
     schema_change_lsns: list[int] | None = None,
     content_min_len: int = 64,
     key_ns: str = "",
+    partial_update_rate: float = 0.0,
 ) -> pd.DataFrame:
     """Ordered change-event log with duplicates, out-of-order delivery,
     deletes (and hence delete-then-reinsert: a later I on a deleted key),
@@ -160,6 +161,22 @@ def gen_change_events(
     df["content"] = content
     is_del = df["op"].to_numpy() == "D"
     df.loc[is_del, ["commit", "lang", "content"]] = None
+    if partial_update_rate:
+        # coalesce-mode streams: a fraction of NON-FIRST updates set only a
+        # random non-empty subset of payload columns (null = "not updated")
+        is_u = (df["op"].to_numpy() == "U")
+        part = is_u & (rng.random(len(df)) < partial_update_rate)
+        for col in ("commit", "lang", "content"):
+            # drop each column independently, but never all three at once
+            drop = part & (rng.random(len(df)) < 0.5)
+            df.loc[drop, col] = None
+        all_null = part & df[["commit", "lang", "content"]].isna().all(axis=1)
+        if all_null.any():  # re-set content on fully-nulled updates
+            restore = _content(
+                df.loc[all_null, "repo"], df.loc[all_null, "path"],
+                df.loc[all_null, "lsn"].to_numpy(), min_len=content_min_len,
+            )
+            df.loc[all_null, "content"] = restore.to_numpy()
     df["schema_version"] = np.int32(1)
     df["props"] = None
 
@@ -198,6 +215,47 @@ def gen_change_events(
     df["lsn"] = df["lsn"].astype("int64")
     # canonical column order == sources.event_log.EVENT_SCHEMA
     return df[["lsn", "ts", "op", "repo", "path", "commit", "lang", "content", "schema_version", "props"]]
+
+
+def expected_final_state_coalesce(events: pd.DataFrame) -> pd.DataFrame:
+    """Per-event COALESCE oracle: replay in LSN order; each non-null
+    column assignment sticks, a delete resets the key (no resurrection of
+    pre-delete columns). The pandas twin of the engine's coalesce path
+    (dedup_coalesce fold + barrier merge + per-column read resolution);
+    content_sha is derived from the FINAL content, mirroring the per-event
+    sha derivation (null content → null sha → sha keeps the old value
+    alongside the old content)."""
+    ev = events[events["op"] != "SCHEMA"].sort_values("lsn", kind="stable")
+    ev = ev.drop_duplicates(["repo", "path", "lsn"], keep="last")  # redelivery
+    state: dict = {}
+    for r in ev.itertuples(index=False):
+        k = (r.repo, r.path)
+        if r.op == "D":
+            state[k] = None
+            continue
+        cur = state.get(k)
+        if cur is None:
+            cur = {"commit": None, "lang": None, "content": None}
+        for col in ("commit", "lang", "content"):
+            v = getattr(r, col)
+            if v is not None and not (isinstance(v, float) and pd.isna(v)):
+                cur[col] = v
+        state[k] = cur
+    rows = [
+        {
+            "repo": k[0], "path": k[1], **v,
+            "content_sha": (
+                hashlib.sha256(v["content"].encode()).hexdigest()
+                if v["content"] is not None else None
+            ),
+        }
+        for k, v in state.items() if v is not None
+    ]
+    return (
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content", "content_sha"])
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
 
 
 def _write_chunk(args) -> str:

@@ -267,3 +267,45 @@ def test_streaming_driver_coalesce_mode_partial_updates(spark, tmp_root):
         "a": ("c6", "py", "v2"),   # per-column last-non-null across batches
         "b": (None, None, "w7"),   # no resurrection through the delete
     }
+
+
+def test_coalesce_apply_volume_vs_pandas_oracle(spark, tmp_root):
+    """Volume e2e for the S7 coalesce path: 30k events where HALF the
+    updates are partial (random non-empty column subsets), plus deletes,
+    redelivery duplicates, and bounded out-of-order delivery — applied
+    through the full job (validate → dedup_coalesce → MOR barrier merge →
+    per-column resolution) and compared column-by-column against the
+    per-event pandas coalesce oracle."""
+    from french_admin_etl_spark import datagen
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    ev = datagen.gen_change_events(
+        n_events=30_000, n_keys=2_000, seed=77, delete_rate=0.06,
+        duplicate_rate=0.03, shuffle_window=40, partial_update_rate=0.5,
+    )
+    log_dir = os.path.join(tmp_root, "coal_vol_log")
+    spark.createDataFrame(ev, schema=EVENT_SCHEMA).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "coal_vol_t"), REPOS_SCHEMA, KEYS,
+        num_buckets=8, write_mode="mor",
+    )
+    job = CDCApplyJob(spark, table, merge_mode="coalesce")
+    job.run_incremental(
+        EventLog(spark, log_dir),
+        CheckpointStore(os.path.join(tmp_root, "coal_vol.ck")),
+        batch_lsns=5_000,
+    )
+    exp = {
+        (r.repo, r.path): (r.commit, r.lang, r.content, r.content_sha)
+        for r in datagen.expected_final_state_coalesce(ev).itertuples(index=False)
+    }
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content"], r["content_sha"])
+        for r in table.read().collect()
+    }
+    assert len(got) == len(exp)
+    mism = {k: (got[k], exp[k]) for k in exp if got.get(k) != exp[k]}
+    assert not mism, f"{len(mism)} mismatches, first: {list(mism.items())[:2]}"
