@@ -309,3 +309,73 @@ def test_coalesce_apply_volume_vs_pandas_oracle(spark, tmp_root):
     assert len(got) == len(exp)
     mism = {k: (got[k], exp[k]) for k in exp if got.get(k) != exp[k]}
     assert not mism, f"{len(mism)} mismatches, first: {list(mism.items())[:2]}"
+
+
+def test_production_day_ingest_with_interleaved_maintenance(spark, tmp_root):
+    """Capstone: a sustained ingest loop with the full maintenance trio
+    interleaved — balanced micro-batches over a growing log, compaction,
+    snapshot expiration, age-guarded vacuum, and a sorted-layout rewrite
+    — must end byte-identical to the pandas oracle, with bounded metadata
+    and no delta backlog. This is the shape of a real day of operation."""
+    from french_admin_etl_spark import datagen
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    log_dir = os.path.join(tmp_root, "day_log")
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "day_t"), REPOS_SCHEMA, KEYS,
+        num_buckets=8, write_mode="mor",
+        properties={"compact.max-delta-files": 4},
+    )
+    job = CDCApplyJob(spark, table)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "day.ck"))
+
+    chunks = []
+    base_lsn = 0
+    for phase, seed in enumerate((101, 102, 103)):
+        ev = datagen.gen_change_events(
+            n_events=8_000, n_keys=600, seed=seed, delete_rate=0.06,
+            duplicate_rate=0.02, shuffle_window=50,
+        )
+        ev["lsn"] = ev["lsn"] + base_lsn
+        base_lsn = int(ev["lsn"].max())
+        mode = "append" if chunks else "overwrite"
+        spark.createDataFrame(ev, schema=EVENT_SCHEMA).write.mode(mode).parquet(log_dir)
+        chunks.append(ev)
+
+        job.run_incremental_balanced(
+            EventLog(spark, log_dir), ckpt, batch_events=3_000
+        )
+        # scheduler tick: maintenance between ingest windows
+        table.compact()
+        table.expire_snapshots(keep_last=3)
+        table.vacuum_orphans(min_age_sec=0)  # offline-window semantics
+        if phase == 1:
+            table.optimize_sort()
+
+    import pandas as pd
+
+    allev = pd.concat(chunks, ignore_index=True)
+    exp = {
+        (r.repo, r.path): r.content_sha
+        for r in datagen.expected_final_state(allev).itertuples()
+    }
+    got = {
+        (r["repo"], r["path"]): r["content_sha"]
+        for r in table.read().select("repo", "path", "content_sha").collect()
+    }
+    assert got == exp
+    # operational invariants: bounded metadata, no delta backlog
+    snap = table.snapshot()
+    assert len(table.history()) <= 4  # keep_last=3 + the post-expire commits
+    assert not any(g.get("delta") for g in snap["file_groups"])
+    # and the table is still fully serviceable
+    table.merge(
+        spark.createDataFrame(
+            [("rZ", "pZ", "c", "py", "final", "sZ", base_lsn + 10, "I")],
+            "repo string, path string, commit string, lang string,"
+            " content string, content_sha string, lsn long, op string",
+        ),
+        batch_id=10_000,
+    )
+    assert table.lookup([("rZ", "pZ")]).count() == 1
