@@ -162,14 +162,16 @@ def main() -> None:
             os.makedirs(d, exist_ok=True)
             cdc_runs.append(bench_cdc_apply(spark, sf, d))
         cdc = max(cdc_runs, key=lambda c: c["cdc_events_per_sec"])
+        wall_all_passes = round(time.monotonic() - t_all, 3)
+        probe_after = mem_probe_gbps()
         # coalesce-mode apply (S7xMOR partial-update path: per-column fold
         # + barrier tombstones + per-column read resolution) — one run,
-        # recorded separately so the headline stays comparable
+        # recorded separately AND run AFTER the comparable wall/probe
+        # window so wall_all_passes and the probe pair keep their
+        # round-over-round meaning
         coal_dir = os.path.join(workdir, "coalesce")
         os.makedirs(coal_dir, exist_ok=True)
         cdc_coal = bench_cdc_apply(spark, sf, coal_dir, merge_mode="coalesce")
-        wall_all_passes = round(time.monotonic() - t_all, 3)
-        probe_after = mem_probe_gbps()
         # headline value = steady-state total (sum of per-query BEST passes
         # + best CDC run) — comparable round-over-round; the raw wall of
         # the whole 2-pass run is recorded alongside

@@ -378,9 +378,17 @@ class LakeTable:
         keys, nb = snap["key_cols"], snap["num_buckets"]
         if not key_values:
             return self.read().limit(0)
-        one = self.spark.createDataFrame(
-            key_values, ", ".join(f"{k} string" for k in keys)
+        # key schema must use the TABLE'S OWN types: xxhash64 of bigint 5
+        # and of string '5' bucket differently — a hardcoded string schema
+        # silently scans the wrong bucket (review repro on bigint keys)
+        fields = {
+            f["name"]: f["type"]
+            for f in snap["schemas"][str(snap["schema_version"])]["fields"]
+        }
+        key_schema = T.StructType(
+            [T.StructField(k, _parse_type_json(fields[k]), True) for k in keys]
         )
+        one = self.spark.createDataFrame(key_values, key_schema)
         # buckets computed driver-side from the same hash the writer used
         buckets = sorted(
             {r["_b"] for r in one.select(_bucket_expr(keys, nb).alias("_b")).collect()}
@@ -837,17 +845,33 @@ class LakeTable:
                 pass
         return stats
 
-    def compact(self, buckets: list[int] | None = None, min_delta_files: int = 1) -> int:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        min_delta_files: int = 1,
+        sort_cols: list[str] | None = None,
+        include_clean: bool = False,
+    ) -> int:
         """Fold delta file groups into resolved base groups (MOR
-        maintenance). Only rewrites buckets that actually hold deltas;
-        tombstones survive compaction (they still shadow late out-of-order
-        events) until ``vacuum_tombstones`` reclaims them."""
+        maintenance). By default only rewrites buckets that actually hold
+        deltas; tombstones survive compaction (they still shadow late
+        out-of-order events) until ``vacuum_tombstones`` reclaims them.
+
+        ``sort_cols`` sorts rows within each rewritten bucket (the
+        row-group-pruning layout — see ``optimize_sort``);
+        ``include_clean=True`` rewrites EVERY bucket, deltas or not (the
+        layout-rewrite mode). One resolve-and-commit protocol serves both
+        maintenance passes, so the seq-stamping / folded-window contract
+        lives in exactly one place."""
         snap = self.snapshot()
         keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
-        from collections import Counter
+        if include_clean:
+            target = sorted({g["bucket"] for g in snap["file_groups"]})
+        else:
+            from collections import Counter
 
-        counts = Counter(g["bucket"] for g in snap["file_groups"] if g.get("delta"))
-        target = sorted(b for b, c in counts.items() if c >= min_delta_files)
+            counts = Counter(g["bucket"] for g in snap["file_groups"] if g.get("delta"))
+            target = sorted(b for b, c in counts.items() if c >= min_delta_files)
         if buckets is not None:
             bs = set(buckets)
             target = [b for b in target if b in bs]
@@ -856,12 +880,14 @@ class LakeTable:
         resolved = self.read_raw(buckets=target).withColumn(
             "_bucket", _bucket_expr(keys, nb)
         )
-        groups = self._stage_write(resolved, sv)
+        groups = self._stage_write(resolved, sv, sort_cols=sort_cols)
         for g in groups:
             # stamp the compaction commit: read resolution is unaffected
             # (no older delta survives to tie against), and changes()
             # uses it to detect windows whose deltas were folded away
             g["seq"] = snap["version"] + 1
+            if sort_cols:
+                g["sorted_by"] = sort_cols
         tset = set(target)
         new_groups = [g for g in snap["file_groups"] if g["bucket"] not in tset] + groups
         new_groups.sort(key=lambda g: g["bucket"])
@@ -880,19 +906,10 @@ class LakeTable:
         a point lookup touching one row group and touching every file of
         the bucket. Resolves outstanding MOR deltas in the same pass
         (the rewrite is a compaction with a layout contract). Maintenance
-        commit — run from a scheduler like ``compact``."""
-        snap = self.snapshot()
-        keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
-        cols = sort_cols or keys
-        resolved = self.read_raw().withColumn("_bucket", _bucket_expr(keys, nb))
-        groups = self._stage_write(resolved, sv, sort_cols=cols)
-        for g in groups:
-            g["seq"] = snap["version"] + 1
-            g["sorted_by"] = cols
-        new = dict(snap)
-        new.update(version=snap["version"] + 1, file_groups=groups, parent=snap["version"])
-        self._commit(new)
-        return new["version"]
+        commit — run from a scheduler like ``compact``; implemented AS a
+        compact so the resolve/stamp/commit protocol exists once."""
+        cols = sort_cols or self.snapshot()["key_cols"]
+        return self.compact(include_clean=True, sort_cols=cols)
 
     # ------------------------------------------------------------- evolution
 
@@ -1026,6 +1043,15 @@ class LakeTable:
 
 def _parse_type(s: str) -> T.DataType:
     return T._parse_datatype_string(s)
+
+
+def _parse_type_json(t) -> T.DataType:
+    """DataType from the JSON-schema 'type' field (plain string for
+    primitives, dict for complex types)."""
+    if isinstance(t, str):
+        return T._parse_datatype_string(t)
+    return T.StructType.fromJson({"fields": [{"name": "x", "type": t,
+                                              "nullable": True, "metadata": {}}]})["x"].dataType
 
 
 def _field_index(fields: list[T.StructField], name: str) -> int:

@@ -337,4 +337,39 @@ def test_lookup_prunes_buckets_and_resolves(spark, tmp_root):
         t.lookup([("r1", "p001")]).explain()
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "r1" in plan  # predicate reached the scan
+    # BUCKET pruning pinned via the files the plan actually reads: only
+    # the key's bucket's files (a regression to a full-table read_raw
+    # would list every bucket's files in inputFiles())
+    from pyspark.sql import functions as _F
+
+    bucket_of = (
+        spark.createDataFrame([("r1", "p001")], "repo string, path string")
+        .select(_F.pmod(_F.xxhash64("repo", "path"), _F.lit(8)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+    allowed = {
+        _os.path.basename(f)
+        for g in t.snapshot()["file_groups"] if g["bucket"] == bucket_of
+        for f in g["files"]
+    }
+    scanned = {_os.path.basename(f) for f in t.lookup([("r1", "p001")]).inputFiles()}
+    assert scanned and scanned <= allowed, (scanned, allowed)
     assert t.lookup([]).count() == 0
+
+
+def test_lookup_non_string_keys(spark, tmp_root):
+    """Review repro regression: a bigint-keyed table must hash the key
+    with ITS OWN type — a hardcoded string schema buckets '5' differently
+    from 5 and silently returns nothing for present keys."""
+    import os as _os
+
+    st = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    t = LakeTable.create(
+        spark, _os.path.join(tmp_root, "lkint"), schema=st, key_cols=["id"], num_buckets=8
+    )
+    src = spark.createDataFrame(
+        [(i, f"v{i}", i, "I") for i in range(1, 30)], "id long, v string, lsn long, op string"
+    )
+    t.merge(src, batch_id=0)
+    got = {r["id"]: r["v"] for r in t.lookup([(5,), (17,), (999,)]).collect()}
+    assert got == {5: "v5", 17: "v17"}
