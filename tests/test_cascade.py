@@ -167,3 +167,110 @@ def test_cascade_coalesce_source_falls_back_to_resync(spark, tmp_root):
     assert r.mode == "full_resync"  # changes() refused the coalesce window
     assert _state(target) == _state(source)
     assert {r2["path"]: r2["lang"] for r2 in target.read().collect()} == {"a": "py"}
+
+
+def test_two_hop_medallion_pipeline(spark, tmp_root):
+    """Bronze → silver → gold: two concurrent writers feed bronze (disjoint
+    log partitions), the silver hop normalizes (upper-cases lang) via the
+    transform seam, the gold hop filters to one language — each hop tailed
+    incrementally through changes() with its own checkpoint. After a second
+    ingest wave both downstream tables converge incrementally (no resync)."""
+    import threading
+
+    import pandas as pd
+
+    from french_admin_etl_spark import datagen
+    from french_admin_etl_spark.sources.event_log import EVENT_SCHEMA, EventLog
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+
+    bronze = _mk(spark, tmp_root, "bronze", properties={"compact.max-delta-files": 999})
+    silver = _mk(spark, tmp_root, "silver")
+    gold = _mk(spark, tmp_root, "gold")
+    s_job = CascadeJob(
+        spark, bronze, silver,
+        transform=lambda df: df.withColumn("lang", F.upper("lang")),
+        writer_id="to_silver",
+    )
+    g_job = CascadeJob(
+        spark, silver, gold,
+        transform=lambda df: df.filter((F.col("lang") == "PYTHON") | (F.col("op") == "D")),
+        writer_id="to_gold",
+    )
+    s_ck = CheckpointStore(os.path.join(tmp_root, "s.ck"))
+    g_ck = CheckpointStore(os.path.join(tmp_root, "g.ck"))
+
+    evs = {}
+
+    def ingest(wave_seed, lsn_offset):
+        """Two writers apply disjoint key universes into bronze concurrently.
+        Each (writer, wave) gets its OWN writer_id — a fresh batch-id
+        sequence needs a fresh fence namespace (per-writer fencing would
+        correctly drop a reused sequence as replays) — and each wave's
+        LSNs sit strictly above the previous wave's."""
+        errs = []
+
+        def worker(w, seed):
+            try:
+                ev = datagen.gen_change_events(
+                    n_events=1200, n_keys=120, seed=seed, key_ns=w, delete_rate=0.05
+                )
+                ev["lsn"] = ev["lsn"] + lsn_offset
+                evs.setdefault(w, []).append(ev)
+                log_dir = os.path.join(tmp_root, f"log_{w}_{seed}")
+                spark.createDataFrame(ev, schema=EVENT_SCHEMA).write.mode(
+                    "overwrite"
+                ).parquet(log_dir)
+                job = CDCApplyJob(
+                    spark, LakeTable(spark, bronze.root), writer_id=f"{w}_{seed}"
+                )
+                job.run_incremental(
+                    EventLog(spark, log_dir),
+                    CheckpointStore(os.path.join(tmp_root, f"{w}_{seed}.ck")),
+                    batch_lsns=400 + lsn_offset,  # windows sized to the wave
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=worker, args=(w, wave_seed + i))
+            for i, w in enumerate(("wa", "wb"))
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+
+    # wave 1: bootstrap both hops
+    ingest(60, 0)
+    assert s_job.run_once(s_ck).mode == "full_resync"
+    assert g_job.run_once(g_ck).mode == "full_resync"
+    # wave 2: must flow INCREMENTALLY through both hops
+    ingest(70, 100_000)
+    r_s = s_job.run_once(s_ck)
+    r_g = g_job.run_once(g_ck)
+    assert r_s.mode == "incremental" and r_g.mode == "incremental"
+
+    # oracle: bronze vs pandas replay; silver = bronze w/ upper lang;
+    # gold = silver restricted to PY
+    allev = pd.concat([e for ws in evs.values() for e in ws], ignore_index=True)
+    exp = datagen.expected_final_state(allev)
+    b_state = {
+        (r["repo"], r["path"]): (r["lang"], r["content_sha"])
+        for r in bronze.read().collect()
+    }
+    assert b_state == {
+        (r.repo, r.path): (r.lang, r.content_sha) for r in exp.itertuples()
+    }
+    s_state = {
+        (r["repo"], r["path"]): (r["lang"], r["content_sha"])
+        for r in silver.read().collect()
+    }
+    assert s_state == {
+        (r.repo, r.path): (r.lang.upper(), r.content_sha) for r in exp.itertuples()
+    }
+    g_state = {(r["repo"], r["path"]) for r in gold.read().collect()}
+    assert g_state == {
+        (r.repo, r.path) for r in exp.itertuples() if r.lang.upper() == "PYTHON"
+    }
+    assert g_state  # the filter actually kept something
