@@ -350,3 +350,129 @@ def expected_final_state(events: pd.DataFrame) -> pd.DataFrame:
     out = live[["repo", "path", "commit", "lang", "content"]].reset_index(drop=True)
     out["content_sha"] = out["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
     return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- multi-table
+
+def gen_cog_events(
+    n_regions: int = 5,
+    n_departments: int = 20,
+    n_communes: int = 200,
+    n_updates: int = 500,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Multi-table envelope log mirroring the reference's COG entity DAG
+    (region <- department <- commune, ``migrations/000001-000003``): one
+    totally-ordered stream, each event tagged with its table and carrying
+    the row as a JSON payload (the Debezium-envelope shape read by
+    ``sources/envelope_log.py``).
+
+    Phase 1 (bootstrap) inserts regions, then departments, then communes —
+    the reference's file-load order (``cmd/main.go:110-120``), which also
+    makes every LSN-prefix of the stream FK-consistent. Phase 2 mixes
+    commune population updates / renames / re-parents (to live
+    departments), commune deletes and delete-then-reinserts, and
+    department renames. Deterministic under ``seed``. JSON payloads are
+    built in one Python pass — test/bench scale only (the engine reads the
+    envelope; producing it is the upstream CDC tool's job).
+    """
+    import json as _json
+
+    rng = np.random.default_rng(seed)
+    regions = [{"code": f"REG{i:02d}", "name": f"Region {i}"} for i in range(n_regions)]
+    departments = [
+        {
+            "code": f"D{i:03d}",
+            "region_code": f"REG{int(rng.integers(0, n_regions)):02d}",
+            "name": f"Department {i}",
+        }
+        for i in range(n_departments)
+    ]
+    communes = [
+        {
+            "code": f"C{i:05d}",
+            "department_code": f"D{int(rng.integers(0, n_departments)):03d}",
+            "name": f"Commune {i}",
+            "population": int(rng.integers(100, 100_000)),
+        }
+        for i in range(n_communes)
+    ]
+
+    rows: list[tuple] = []  # (op, table, payload_dict)
+    for r in regions:
+        rows.append(("I", "region", r))
+    for d in departments:
+        rows.append(("I", "department", d))
+    for c in communes:
+        rows.append(("I", "commune", c))
+
+    live = {c["code"]: dict(c) for c in communes}
+    dead: list[str] = []
+    for _ in range(n_updates):
+        kind = rng.choice(
+            ["pop", "rename", "reparent", "delete", "reinsert", "dept_rename"],
+            p=[0.55, 0.15, 0.10, 0.08, 0.05, 0.07],
+        )
+        if kind == "dept_rename":
+            d = departments[int(rng.integers(0, n_departments))]
+            d = dict(d, name=d["name"] + "'")
+            rows.append(("U", "department", d))
+            continue
+        if kind == "reinsert" and dead:
+            code = dead.pop(int(rng.integers(0, len(dead))))
+            c = {
+                "code": code,
+                "department_code": f"D{int(rng.integers(0, n_departments)):03d}",
+                "name": f"Commune {code} reborn",
+                "population": int(rng.integers(100, 100_000)),
+            }
+            live[code] = c
+            rows.append(("I", "commune", c))
+            continue
+        if not live:
+            continue
+        code = list(live)[int(rng.integers(0, len(live)))]
+        c = dict(live[code])
+        if kind == "pop":
+            c["population"] = int(rng.integers(100, 100_000))
+        elif kind == "rename":
+            c["name"] = c["name"] + "*"
+        elif kind == "reparent":
+            c["department_code"] = f"D{int(rng.integers(0, n_departments)):03d}"
+        elif kind == "delete":
+            del live[code]
+            dead.append(code)
+            rows.append(("D", "commune", {"code": code}))
+            continue
+        live[code] = c
+        rows.append(("U", "commune", c))
+
+    lsn = np.arange(1, len(rows) + 1, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "lsn": lsn,
+            "ts": EPOCH_2024 + pd.to_timedelta(lsn, unit="s"),
+            "op": [r[0] for r in rows],
+            "table": [r[1] for r in rows],
+            "payload": [_json.dumps(r[2], sort_keys=True) for r in rows],
+            "schema_version": np.int32(1),
+            "props": None,
+        }
+    )
+
+
+def expected_cog_state(events: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    """Oracle: per-table replay of a ``gen_cog_events`` stream — per key
+    the max-LSN event wins, the key survives iff that op != 'D'."""
+    import json as _json
+
+    out: dict[str, pd.DataFrame] = {}
+    for table, key in (("region", "code"), ("department", "code"), ("commune", "code")):
+        ev = events[(events["table"] == table) & (events["op"] != "SCHEMA")].copy()
+        payload = pd.DataFrame([_json.loads(p) for p in ev["payload"]])
+        payload["lsn"] = ev["lsn"].to_numpy()
+        payload["op"] = ev["op"].to_numpy()
+        last = payload.sort_values("lsn").drop_duplicates([key], keep="last")
+        final = last[last["op"] != "D"].drop(columns=["lsn", "op"])
+        out[table] = final.sort_values(key).reset_index(drop=True)
+    return out

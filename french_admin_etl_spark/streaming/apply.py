@@ -50,7 +50,11 @@ REPOS_SCHEMA = T.StructType(
 
 KEYS = ["repo", "path"]
 
-def validation_rules(merge_mode: str = "overwrite") -> dict:
+def validation_rules(
+    merge_mode: str = "overwrite",
+    key_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
+) -> dict:
     """Engine-mandated invariants before apply (the CHECK-constraint analog,
     migrations/000005:5-37): built lazily — Column exprs need a live session.
 
@@ -60,19 +64,27 @@ def validation_rules(merge_mode: str = "overwrite") -> dict:
     the full-row rule would dead-letter exactly the partial events the
     mode exists for. Coalesce mode instead requires that a non-delete
     event sets at least ONE payload column (an all-null update is
-    meaningless and almost certainly producer breakage)."""
+    meaningless and almost certainly producer breakage).
+
+    Table-generic: defaults are the repos contract (KEYS +
+    commit/lang/content, with the reference's content-NOT-NULL rule); any
+    other table passes its own key/payload columns and gets the generic
+    invariants (keys non-null; a non-delete sets >=1 payload column)."""
+    keys = key_cols if key_cols is not None else KEYS
+    payload = payload_cols if payload_cols is not None else ["commit", "lang", "content"]
     rules = {
         "bad_op": F.col("op").isin("I", "U", "D"),
-        "null_key": F.col("repo").isNotNull() & F.col("path").isNotNull(),
+        "null_key": reduce(lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]),
     }
-    if merge_mode == "coalesce":
-        rules["all_null_update"] = (F.col("op") == "D") | (
-            F.col("commit").isNotNull()
-            | F.col("lang").isNotNull()
-            | F.col("content").isNotNull()
-        )
-    else:
+    any_set = (
+        reduce(lambda a, b: a | b, [F.col(c).isNotNull() for c in payload])
+        if payload
+        else F.lit(True)
+    )
+    if merge_mode != "coalesce" and "content" in payload:
         rules["null_content"] = (F.col("op") == "D") | F.col("content").isNotNull()
+    else:
+        rules["all_null_update"] = (F.col("op") == "D") | any_set
     return rules
 
 
@@ -116,8 +128,28 @@ class CDCApplyJob:
         # each job passes a distinct writer_id so its exactly-once fence is
         # namespaced per writer instead of a shared scalar
         self.writer_id = writer_id
+        # the natural key is the TABLE's, not the module's: any LakeTable
+        # (not just the repos north-rule table) can sit behind this job —
+        # the FK-ordered DAG driver applies region/department/commune
+        # streams through the same apply_batch
+        self.keys = table.snapshot()["key_cols"]
 
     # ------------------------------------------------------------- per batch
+
+    def _payload_cols(self, df: DataFrame) -> list[str]:
+        """Logical non-key columns the validation rules may reference:
+        restricted to columns actually present in the incoming events
+        (older events predate added columns) and excluding the derived
+        ``content_sha``."""
+        snap = self.table.snapshot()
+        logical = [
+            f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
+        ]
+        return [
+            c
+            for c in logical
+            if c not in self.keys and c != "content_sha" and c in df.columns
+        ]
 
     def _normalize(self, df: DataFrame) -> DataFrame:
         """Project to MERGE-source shape + derived sha (vectorized; never
@@ -188,7 +220,7 @@ class CDCApplyJob:
         #    evolution lands between the right events — SURVEY §7 hard-part
         #    3), materialize the cache, and piggyback batch/reject counts as
         #    observed metrics — no separate count() jobs per batch.
-        rules = validation_rules(self.merge_mode)
+        rules = validation_rules(self.merge_mode, self.keys, self._payload_cols(events))
         is_data = F.col("op") != "SCHEMA"
         # null predicate results count as rejects (matches validate_split)
         reject_pred = is_data & ~F.coalesce(
@@ -271,9 +303,9 @@ class CDCApplyJob:
         # (dedup_max_seq would keep only the max-LSN row, dropping columns
         # set by earlier events in the same batch)
         if self.merge_mode == "coalesce":
-            deduped = dedup_coalesce(normalized, KEYS, "lsn", "op").persist()
+            deduped = dedup_coalesce(normalized, self.keys, "lsn", "op").persist()
         else:
-            deduped = dedup_max_seq(normalized, KEYS, "lsn").persist()
+            deduped = dedup_max_seq(normalized, self.keys, "lsn").persist()
         try:
             stats = self.table.merge(
                 deduped,
@@ -299,9 +331,9 @@ class CDCApplyJob:
         nb = snap["num_buckets"]
         lineage = (
             valid.groupBy(
-                F.pmod(F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(nb)).cast("int").alias(
-                    "partition_id"
-                )
+                F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(nb))
+                .cast("int")
+                .alias("partition_id")
             )
             .agg(
                 F.min("lsn").alias("lsn_min"),

@@ -1,0 +1,247 @@
+"""FK-ordered multi-table CDC apply: one log, many tables, one DAG.
+
+The reference's pipeline is itself a small DAG: ``cmd/main.go:110-120``
+loads regions, then departments, then communes, because each child table
+declares an FK to its parent (``migrations/000003:28,63-65``) and loading
+out of order would violate it. The engine generalizes this to a job-level
+operator: a :class:`DagApplyJob` owns one :class:`CDCApplyJob` per table
+plus the FK edges between them, and applies each LSN window of a shared
+multi-table envelope log (:mod:`..sources.envelope_log`) to every table in
+**topological order** — parents always land before the children that
+reference them, so referential integrity holds at every window boundary,
+not just at end-of-stream.
+
+Exactly-once: each table's merges are fenced under its own writer
+namespace ``<writer_id>.<table>``. A crash after table k of a window has
+committed but before the window checkpoint advances replays the whole
+window — tables 1..k fence to no-ops, tables k+1.. apply, and the stream
+converges with no double-apply and no gap. One checkpoint therefore
+covers the whole DAG.
+
+FK gates (both broadcast-shaped — the parent/probe side of every join is
+the small side, so at 100 TB these are map-side filters, never shuffles):
+
+- **per-window** (default): the window's child events with a non-null FK
+  are anti-joined against the parent table AFTER the parents applied;
+  parent deletes are cross-checked against surviving children. O(window +
+  one child scan only when a parent was deleted).
+- **deep** (:meth:`DagApplyJob.deep_fk_check`): the e2e gate — every
+  child ROW against its parent table, the assertable form of the
+  declarative constraint. O(child tables); run on demand, not per window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from graphlib import CycleError, TopologicalSorter
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.operators.dim_join import fk_orphans
+from french_admin_etl_spark.sources.envelope_log import MultiTableLog
+from french_admin_etl_spark.streaming.apply import BatchResult, CDCApplyJob, validation_rules
+from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+
+
+@dataclass
+class FKEdge:
+    """child.fk_col references parent.parent_key (NULL FKs are legal)."""
+
+    child: str
+    fk_col: str
+    parent: str
+    parent_key: str
+
+
+@dataclass
+class WindowResult:
+    batch_id: int
+    lo: int
+    hi: int
+    tables: dict[str, BatchResult] = field(default_factory=dict)
+
+
+class FKViolation(AssertionError):
+    pass
+
+
+class DagApplyJob:
+    def __init__(
+        self,
+        jobs: dict[str, CDCApplyJob],
+        edges: list[FKEdge],
+        writer_id: str = "dag",
+        fk_check: bool = True,
+    ):
+        self.jobs = jobs
+        self.edges = edges
+        self.writer_id = writer_id
+        self.fk_check = fk_check
+        for e in edges:
+            for t in (e.child, e.parent):
+                if t not in jobs:
+                    raise ValueError(f"FK edge references unknown table {t!r}")
+        self.order = self._topo_order()
+
+    def _topo_order(self) -> list[str]:
+        """Parents before children; ties broken by name for determinism."""
+        ts = TopologicalSorter({t: set() for t in self.jobs})
+        for e in self.edges:
+            ts.add(e.child, e.parent)
+        try:
+            ts.prepare()
+        except CycleError as exc:
+            raise ValueError(f"FK graph has a cycle: {exc.args[1]}") from exc
+        order: list[str] = []
+        while ts.is_active():
+            ready = sorted(ts.get_ready())
+            order.extend(ready)
+            ts.done(*ready)
+        return order
+
+    # ------------------------------------------------------------ per window
+
+    def _parse_schema(self, name: str, window: DataFrame) -> T.StructType:
+        """Payload parse schema for this window: the table's current
+        logical columns, EXTENDED with columns that SCHEMA events inside
+        the window are about to add or rename — an event after the
+        mid-window evolution already carries the new key in its JSON, and
+        parsing with only the pre-window schema would silently drop it.
+        (Old names are kept too: pre-rename events still use them.)
+        The peek collects only this table's SCHEMA markers — a handful of
+        rows behind a pushed filter."""
+        import json
+
+        snap = self.jobs[name].table.snapshot()
+        fields = {
+            f["name"]: T.StructField.fromJson(f)
+            for f in snap["schemas"][str(snap["schema_version"])]["fields"]
+            if f["name"] != "content_sha"  # derived, never in the payload
+        }
+        markers = (
+            window.filter((F.col("table") == name) & (F.col("op") == "SCHEMA"))
+            .select("lsn", "props")
+            .collect()
+        )
+        for m in sorted(markers, key=lambda r: r["lsn"]):
+            p = json.loads(m["props"])
+            if p["action"] == "add_column":
+                fields[p["name"]] = T.StructField(
+                    p["name"], T._parse_datatype_string(p["type"]), True
+                )
+            elif p["action"] == "widen":
+                fields[p["name"]] = T.StructField(
+                    p["name"], T._parse_datatype_string(p["type"]), True
+                )
+            elif p["action"] == "rename_column":
+                old = fields[p["from"]]
+                fields[p["to"]] = T.StructField(p["to"], old.dataType, True)
+        return T.StructType(list(fields.values()))
+
+    def apply_window(self, window: DataFrame, batch_id: int, lo: int, hi: int) -> WindowResult:
+        """Apply one envelope window to every table in FK order, then gate."""
+        res = WindowResult(batch_id, lo, hi)
+        typed: dict[str, DataFrame] = {}
+        for name in self.order:
+            job = self.jobs[name]
+            typed[name] = MultiTableLog.for_table(
+                window, name, self._parse_schema(name, window)
+            )
+            res.tables[name] = job.apply_batch(
+                typed[name], batch_id, fence_writer=f"{self.writer_id}.{name}"
+            )
+        if self.fk_check:
+            self._check_window(typed)
+        return res
+
+    def _check_window(self, typed: dict[str, DataFrame]) -> None:
+        """Referential gate scoped to THIS window's events (O(window), plus
+        one broadcast-filtered child scan only when a parent was deleted)."""
+        for e in self.edges:
+            child_job, parent_job = self.jobs[e.child], self.jobs[e.parent]
+            ev = typed[e.child]
+            rules = validation_rules(
+                child_job.merge_mode, child_job.keys, child_job._payload_cols(ev)
+            )
+            valid_pred = F.lit(True)
+            for r in rules.values():
+                valid_pred = valid_pred & F.coalesce(r, F.lit(False))
+            refs = ev.filter(
+                F.col("op").isin("I", "U") & F.col(e.fk_col).isNotNull() & valid_pred
+            )
+            bad = fk_orphans(refs, parent_job.table.read(), e.fk_col, e.parent_key).take(5)
+            if bad:
+                raise FKViolation(
+                    f"window events of {e.child}.{e.fk_col} reference missing "
+                    f"{e.parent}.{e.parent_key}; sample: {bad}"
+                )
+            # parent deletes that actually survived (no later reinsert in
+            # the window) must leave no child rows behind
+            deleted = (
+                typed[e.parent]
+                .filter(F.col("op") == "D")
+                .select(F.col(e.parent_key).alias(e.fk_col))
+                .distinct()
+            )
+            if deleted.take(1):
+                still_absent = deleted.join(
+                    parent_job.table.read().select(
+                        F.col(e.parent_key).alias(e.fk_col)
+                    ),
+                    [e.fk_col],
+                    "left_anti",
+                )
+                orphaned = (
+                    child_job.table.read()
+                    .filter(F.col(e.fk_col).isNotNull())
+                    .join(F.broadcast(still_absent), [e.fk_col], "left_semi")
+                    .take(5)
+                )
+                if orphaned:
+                    raise FKViolation(
+                        f"deleting {e.parent} rows orphaned {e.child} rows via "
+                        f"{e.fk_col}; sample: {orphaned}"
+                    )
+
+    def deep_fk_check(self) -> dict[str, int]:
+        """Whole-table FK audit (the reference's declarative constraint as
+        an assertion): orphan count per edge; raises on any violation."""
+        counts = {}
+        for e in self.edges:
+            n = fk_orphans(
+                self.jobs[e.child].table.read(),
+                self.jobs[e.parent].table.read(),
+                e.fk_col,
+                e.parent_key,
+            ).count()
+            counts[f"{e.child}.{e.fk_col}->{e.parent}.{e.parent_key}"] = n
+        bad = {k: v for k, v in counts.items() if v}
+        if bad:
+            raise FKViolation(f"FK audit failed: {bad}")
+        return counts
+
+    # ---------------------------------------------------------------- driver
+
+    def run_incremental(
+        self,
+        log: MultiTableLog,
+        checkpoint: CheckpointStore,
+        batch_lsns: int = 10_000,
+        max_batches: int | None = None,
+    ) -> list[WindowResult]:
+        """LSN-windowed batches over the shared log; ONE checkpoint for the
+        whole DAG. Kill it anywhere — mid-window, between tables — and the
+        rerun reconverges (per-table fences make replayed merges no-ops)."""
+        state = checkpoint.load() or {"batch_id": 0, "next_lsn": 0}
+        results: list[WindowResult] = []
+        hi_all = log.max_lsn() + 1
+        while state["next_lsn"] < hi_all:
+            if max_batches is not None and len(results) >= max_batches:
+                break
+            lo, hi = state["next_lsn"], state["next_lsn"] + batch_lsns
+            window = log.lsn_range(lo, hi)
+            results.append(self.apply_window(window, state["batch_id"], lo, hi))
+            state = {"batch_id": state["batch_id"] + 1, "next_lsn": hi}
+            checkpoint.save(state)
+        return results

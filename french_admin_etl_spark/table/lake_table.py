@@ -622,6 +622,11 @@ class LakeTable:
 
         src = source.withColumn("_bucket", _bucket_expr(keys, nb))
         touched = sorted(r[0] for r in src.select("_bucket").distinct().collect())
+        if not touched:
+            # empty source slice: nothing to join, rewrite, or fence (same
+            # rationale as the MOR empty-slice skip — replaying an empty
+            # slice is idempotent without a metadata-only commit)
+            return MergeStats(batch_id, snap["version"], 0, 0, 0)
         tgt = self.read_raw(buckets=touched)
 
         s = src.alias("s")
@@ -776,6 +781,16 @@ class LakeTable:
             delta = delta.unionByName(barriers)
         delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
         groups = self._stage_write(delta, sv)
+        if not groups:
+            # Empty epoch slice (the COMMON case for the per-table windows
+            # of a multi-table DAG): nothing staged, so skip the commit AND
+            # the fence advance — a replay re-applies the same empty slice,
+            # preserving exactly-once without a metadata-only snapshot per
+            # empty window. obs.get must not be read here: Catalyst can
+            # fold an all-empty source (e.g. the coalesce barrier union of
+            # two empties) to a LocalRelation, dropping the CollectMetrics
+            # node the Observation waits on.
+            return MergeStats(batch_id, snap["version"], 0, 0, 0)
         got = obs.get
         for g in groups:
             g["delta"] = True

@@ -1,0 +1,245 @@
+"""FK-ordered multi-table apply DAG (the reference's region -> department
+-> commune load order, ``cmd/main.go:110-120``, generalized to a job-level
+operator over one shared envelope log)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.datagen import expected_cog_state, gen_cog_events
+from french_admin_etl_spark.sources.envelope_log import ENVELOPE_SCHEMA, MultiTableLog
+from french_admin_etl_spark.streaming.apply import CDCApplyJob
+from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.streaming.dag import DagApplyJob, FKEdge, FKViolation
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+REGION = T.StructType(
+    [T.StructField("code", T.StringType()), T.StructField("name", T.StringType())]
+)
+DEPARTMENT = T.StructType(
+    [
+        T.StructField("code", T.StringType()),
+        T.StructField("region_code", T.StringType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+COMMUNE = T.StructType(
+    [
+        T.StructField("code", T.StringType()),
+        T.StructField("department_code", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("population", T.LongType()),
+    ]
+)
+EDGES = [
+    FKEdge("department", "region_code", "region", "code"),
+    FKEdge("commune", "department_code", "department", "code"),
+]
+
+
+def _write_log(spark, tmp_root, ev: pd.DataFrame) -> MultiTableLog:
+    log_dir = os.path.join(tmp_root, "mlog")
+    spark.createDataFrame(ev, schema=ENVELOPE_SCHEMA).write.mode("overwrite").parquet(
+        log_dir
+    )
+    return MultiTableLog(spark, log_dir)
+
+
+def _mk_dag(spark, tmp_root, write_mode="mor", fk_check=True):
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode=write_mode,
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    return jobs, DagApplyJob(jobs, EDGES, writer_id="dag", fk_check=fk_check)
+
+
+def _table_pdf(job: CDCApplyJob, key="code") -> pd.DataFrame:
+    return (
+        job.table.read().toPandas().sort_values(key).reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def cog_events():
+    return gen_cog_events(n_regions=4, n_departments=12, n_communes=120, n_updates=400, seed=7)
+
+
+def test_dag_windowed_apply_matches_oracle(spark, tmp_root, cog_events):
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "ckpt.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=150)
+    assert len(results) >= 3  # genuinely windowed
+    assert [r.tables.keys() for r in results]  # every window covered every table
+    oracle = expected_cog_state(cog_events)
+    for name in ("region", "department"):
+        got = _table_pdf(jobs[name])
+        pd.testing.assert_frame_equal(got, oracle[name][got.columns])
+    got = _table_pdf(jobs["commune"])
+    want = oracle["commune"].astype({"population": "int64"})[got.columns]
+    pd.testing.assert_frame_equal(got, want)
+    # the e2e audit the per-window gates already guaranteed
+    counts = dag.deep_fk_check()
+    assert set(counts.values()) == {0}
+
+
+def test_dag_topo_order_parents_first(spark, tmp_root):
+    jobs, dag = _mk_dag(spark, os.path.join(tmp_root, "topo"))
+    o = dag.order
+    assert o.index("region") < o.index("department") < o.index("commune")
+
+
+def test_dag_cycle_raises(spark, tmp_root):
+    jobs, _ = _mk_dag(spark, os.path.join(tmp_root, "cyc"), fk_check=False)
+    bad = EDGES + [FKEdge("region", "code", "commune", "code")]
+    with pytest.raises(ValueError, match="cycle"):
+        DagApplyJob(jobs, bad)
+
+
+def test_dag_unknown_table_raises(spark, tmp_root):
+    jobs, _ = _mk_dag(spark, os.path.join(tmp_root, "unk"), fk_check=False)
+    with pytest.raises(ValueError, match="unknown table"):
+        DagApplyJob(jobs, EDGES + [FKEdge("commune", "x", "arrondissement", "code")])
+
+
+def test_dag_crash_mid_window_reconverges(spark, tmp_root, cog_events):
+    """Simulate a crash after the first table of the one-window run has
+    committed: the replay fences region to a no-op and applies the rest."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    window = log.lsn_range(0, log.max_lsn() + 1)
+    typed = MultiTableLog.for_table(window, "region", dag._parse_schema("region", window))
+    jobs["region"].apply_batch(typed, 0, fence_writer="dag.region")
+    ckpt = CheckpointStore(os.path.join(tmp_root, "ckpt2.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=10**9)
+    assert len(results) == 1
+    assert results[0].tables["region"].merge.fenced  # replayed -> no-op
+    assert not results[0].tables["commune"].merge.fenced
+    oracle = expected_cog_state(cog_events)
+    got_r = _table_pdf(jobs["region"])
+    pd.testing.assert_frame_equal(got_r, oracle["region"][got_r.columns])
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+
+
+def _envelope(rows) -> pd.DataFrame:
+    lsn = list(range(1, len(rows) + 1))
+    return pd.DataFrame(
+        {
+            "lsn": lsn,
+            "ts": pd.Timestamp("2024-01-01"),
+            "op": [r[0] for r in rows],
+            "table": [r[1] for r in rows],
+            "payload": [None if r[2] is None else json.dumps(r[2]) for r in rows],
+            "schema_version": [r[3] if len(r) > 3 else 1 for r in rows],
+            "props": [r[4] if len(r) > 4 else None for r in rows],
+        }
+    )
+
+
+def test_dag_fk_orphan_in_window_detected(spark, tmp_root):
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D999", "name": "X", "population": 10}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    _, dag = _mk_dag(spark, tmp_root)
+    with pytest.raises(FKViolation, match="D999"):
+        dag.run_incremental(
+            log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=100
+        )
+
+
+def test_dag_parent_delete_orphan_detected(spark, tmp_root):
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("D", "department", {"code": "D000"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    _, dag = _mk_dag(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    # window 1 = consistent bootstrap (lsn 1-3); window 2 = the orphaning delete
+    with pytest.raises(FKViolation, match="orphaned"):
+        dag.run_incremental(log, ckpt, batch_lsns=4)
+
+
+def test_dag_schema_evolution_mid_window(spark, tmp_root):
+    """A SCHEMA add_column + rename land mid-window; payload keys written
+    AFTER each evolution survive the parse and reach the evolved table."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            (
+                "SCHEMA", "commune", None, 2,
+                json.dumps({"action": "add_column", "name": "area", "type": "double"}),
+            ),
+            ("U", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 11, "area": 12.5}),
+            (
+                "SCHEMA", "commune", None, 3,
+                json.dumps({"action": "rename_column", "from": "name", "to": "label"}),
+            ),
+            ("U", "commune", {"code": "C1", "department_code": "D000", "label": "Renamed", "population": 12, "area": 12.5}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=10**9
+    )
+    snap = jobs["commune"].table.snapshot()
+    assert snap["schema_version"] == 3
+    row = jobs["commune"].table.read().collect()[0].asDict()
+    assert row == {
+        "code": "C1",
+        "department_code": "D000",
+        "label": "Renamed",
+        "population": 12,
+        "area": 12.5,
+    }
+
+
+def test_dag_coalesce_mode_table(spark, tmp_root):
+    """A table in the DAG can run coalesce merge mode: partial commune
+    updates (only population set) keep the other columns."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("U", "commune", {"code": "C1", "population": 99}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(
+            spark, t, merge_mode="coalesce" if name == "commune" else "overwrite"
+        )
+    dag = DagApplyJob(jobs, EDGES, writer_id="dag")
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=2
+    )
+    row = jobs["commune"].table.read().collect()[0].asDict()
+    assert row == {"code": "C1", "department_code": "D000", "name": "X", "population": 99}
