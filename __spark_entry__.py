@@ -608,6 +608,113 @@ def a3_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g1_dag_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-ordered multi-table apply DAG, driven end-to-end THROUGH the
+    engine (the only query here that runs the real machinery rather than a
+    DataFrame expression of its semantics): synthesize a Debezium-style
+    envelope log from the region/nation tables (bootstrap inserts in FK
+    order, then deterministic renames of every nation with key%3==0 and
+    deletes of every nation with key%5==4), apply it with
+    ``DagApplyJob.run_incremental`` (three LSN windows, per-window FK
+    gates, checkpointed, MOR tables), and return the final nation table.
+    The oracle states the same final state declaratively over ``nation``.
+
+    Mirrors the reference's region -> department -> commune load order
+    (``cmd/main.go:110-120``) with nation standing in for the child table.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from french_admin_etl_spark.sources.envelope_log import MultiTableLog
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.streaming.dag import DagApplyJob, FKEdge
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+    def env(df: DataFrame, tbl: str, op: str, lsn_base: int, lsn_col: str) -> DataFrame:
+        return df.select(
+            (F.lit(lsn_base) + F.col(lsn_col)).alias("lsn"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(op).alias("op"),
+            F.lit(tbl).alias("table"),
+            F.to_json(F.struct(*df.columns)).alias("payload"),
+            F.lit(1).cast("int").alias("schema_version"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    renamed = nation.filter(F.col("n_nationkey") % 3 == 0).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("*"))
+    )
+    deletes = nation.filter(F.col("n_nationkey") % 5 == 4).select("n_nationkey")
+    events = (
+        env(region, "region", "I", 1, "r_regionkey")
+        .unionByName(env(nation, "nation", "I", 1001, "n_nationkey"))
+        .unionByName(env(renamed, "nation", "U", 2001, "n_nationkey"))
+        .unionByName(env(deletes, "nation", "D", 3001, "n_nationkey"))
+    )
+
+    root = tempfile.mkdtemp(prefix="g1_dag_")
+    log_dir = os.path.join(root, "mlog")
+    events.write.mode("overwrite").parquet(log_dir)
+
+    region_schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    nation_schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    jobs = {
+        "region": CDCApplyJob(
+            spark,
+            LakeTable.create(
+                spark,
+                os.path.join(root, "region"),
+                region_schema,
+                ["r_regionkey"],
+                num_buckets=4,
+                write_mode="mor",
+            ),
+        ),
+        "nation": CDCApplyJob(
+            spark,
+            LakeTable.create(
+                spark,
+                os.path.join(root, "nation"),
+                nation_schema,
+                ["n_nationkey"],
+                num_buckets=4,
+                write_mode="mor",
+            ),
+        ),
+    }
+    dag = DagApplyJob(
+        jobs, [FKEdge("nation", "n_regionkey", "region", "r_regionkey")], writer_id="g1"
+    )
+    dag.run_incremental(
+        MultiTableLog(spark, log_dir),
+        CheckpointStore(os.path.join(root, "ckpt.json")),
+        batch_lsns=1200,
+    )
+    return jobs["nation"].table.read().select("n_nationkey", "n_name", "n_regionkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the engine's CDC final-state semantics at sf0.001."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -647,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_embedding_near_dup": e3_embedding_near_dup,
         "m1_media_metadata": m1_media_metadata,
         "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
+        "g1_dag_final_state": g1_dag_final_state,
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
@@ -1217,6 +1325,14 @@ def oracle_sql() -> dict[str, str]:
         "a3_salted_two_phase_agg": """
             SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "g1_dag_final_state": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CASE WHEN n_nationkey % 3 = 0 THEN n_name || '*' ELSE n_name END
+                     AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+            WHERE n_nationkey % 5 <> 4
         """,
         "w3_sessionize": """
             WITH g AS (
