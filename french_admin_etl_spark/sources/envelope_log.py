@@ -56,6 +56,20 @@ class MultiTableLog:
         """Events with lo <= lsn < hi (parquet min/max row-group pruning)."""
         return self.read().filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
 
+    def read_stream(self, max_files_per_trigger: int = 4) -> DataFrame:
+        """Structured Streaming tail of the envelope log directory.
+
+        The file source admits files oldest-first, so a producer that lands
+        its segments in LSN order (the universal binlog/WAL contract — a
+        segment is sealed before the next is written) yields micro-batches
+        whose LSN ranges are monotone, which the per-window FK gates of the
+        DAG driver rely on."""
+        return (
+            self.spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(self.path)
+        )
+
     @staticmethod
     def for_table(window: DataFrame, name: str, schema: T.StructType) -> DataFrame:
         """One table's typed slice of an envelope window.

@@ -245,3 +245,51 @@ class DagApplyJob:
             state = {"batch_id": state["batch_id"] + 1, "next_lsn": hi}
             checkpoint.save(state)
         return results
+
+    def run_stream(
+        self,
+        log: MultiTableLog,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 4,
+    ) -> list[WindowResult]:
+        """Structured Streaming driver for the whole DAG: foreachBatch over
+        the envelope log directory, availableNow trigger (bounded replay).
+        Spark's file-source offsets define the micro-batches; each batch is
+        applied to every table in FK order, so exactly-once comes from
+        Spark offsets + the per-table writer fences (a replayed epoch
+        fences every table's merge to a no-op).
+
+        Requires the producer to land log segments in LSN order (see
+        :meth:`MultiTableLog.read_stream`) so the per-window FK gates see
+        parents before children; out-of-order EVENTS inside a segment are
+        fine (LSN-guarded merge), out-of-order SEGMENTS are a producer
+        bug this driver surfaces as an FKViolation rather than hiding."""
+        import os
+
+        results: list[WindowResult] = []
+
+        def handle(df: DataFrame, epoch_id: int) -> None:
+            df = df.persist()
+            try:
+                bounds = df.agg(
+                    F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+                ).collect()[0]
+                if bounds["lo"] is None:
+                    return
+                results.append(
+                    self.apply_window(
+                        df, int(epoch_id), int(bounds["lo"]), int(bounds["hi"]) + 1
+                    )
+                )
+            finally:
+                df.unpersist()
+
+        q = (
+            log.read_stream(max_files_per_trigger)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(checkpoint_dir, "stream"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return results

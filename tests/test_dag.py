@@ -216,6 +216,68 @@ def test_dag_schema_evolution_mid_window(spark, tmp_root):
     }
 
 
+def _write_segments(tmp_root, ev: pd.DataFrame, n_segments: int):
+    """Land the envelope log as LSN-ordered segment files with increasing
+    mtimes (the WAL contract run_stream documents: a segment is sealed
+    before the next is written — the file source then admits oldest-first)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(tmp_root, "slog")
+    os.makedirs(log_dir, exist_ok=True)
+    arrow_schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("op", pa.string()),
+            ("table", pa.string()),
+            ("payload", pa.string()),
+            ("schema_version", pa.int32()),
+            ("props", pa.string()),
+        ]
+    )
+    chunks = np.array_split(ev.sort_values("lsn").reset_index(drop=True), n_segments)
+    for i, chunk in enumerate(chunks):
+        p = os.path.join(log_dir, f"seg-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, schema=arrow_schema), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return log_dir
+
+
+def test_dag_run_stream_matches_oracle_and_replay_fences(spark, tmp_root, cog_events):
+    """Structured Streaming DAG driver: one micro-batch per sealed segment
+    (availableNow), FK order inside each batch; a full replay from a fresh
+    stream checkpoint fences every table-merge to a no-op."""
+    log_dir = _write_segments(tmp_root, cog_events, n_segments=5)
+    log = MultiTableLog(spark, log_dir)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    results = dag.run_stream(log, os.path.join(tmp_root, "sckpt"), max_files_per_trigger=1)
+    assert len(results) == 5  # one micro-batch per segment
+    los = [r.lo for r in results]
+    assert los == sorted(los)  # segments admitted in LSN order
+    oracle = expected_cog_state(cog_events)
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+    assert set(dag.deep_fk_check().values()) == {0}
+    # replay probe: fresh stream checkpoint replays all epochs; per-table
+    # fences make every merge a no-op and state is unchanged
+    replay = dag.run_stream(log, os.path.join(tmp_root, "sckpt2"), max_files_per_trigger=1)
+    assert len(replay) == 5
+    # every replayed merge is either fenced or an empty per-table slice
+    # (empty slices never committed, so there is no fence to trip — the
+    # replay is a no-op either way)
+    for r in replay:
+        for br in r.tables.values():
+            assert br.merge.fenced or (
+                br.merge.rows_upserted == 0 and br.merge.rows_deleted == 0
+            )
+    assert any(br.merge.fenced for r in replay for br in r.tables.values())
+    pd.testing.assert_frame_equal(_table_pdf(jobs["commune"]), got)
+
+
 def test_dag_coalesce_mode_table(spark, tmp_root):
     """A table in the DAG can run coalesce merge mode: partial commune
     updates (only population set) keep the other columns."""
