@@ -77,6 +77,13 @@ def bench_queries(spark, sf_dir: str, passes: int = 2) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     all_passes: dict[str, list[float]] = {}
     for name, fn in qs.items():
+        if name == "g1_dag_final_state":
+            # correctness-gate-only: drives the real DAG machinery over the
+            # 25-row nation table, so its time is pure fixed per-window
+            # overhead (commits, checkpoints, FK gates on toy data) — not a
+            # throughput signal and invariant in sf. The DAG's throughput
+            # is measured at volume by bench_dag_apply below.
+            continue
         ts = []
         for _ in range(passes):
             # the timed window includes CONSTRUCTION: iterative operators
@@ -138,6 +145,91 @@ def bench_cdc_apply(
     }
 
 
+def bench_dag_apply(spark, sf: float, workdir: str, n_windows: int = 4) -> dict:
+    """Multi-table DAG apply at volume: one envelope log (region <-
+    department <- commune), FK-ordered windowed apply with per-window FK
+    gates; report events/sec across the whole DAG. Generation (a Python
+    JSON-envelope producer, the upstream CDC tool's job) is untimed."""
+    from french_admin_etl_spark.datagen import gen_cog_events
+    from french_admin_etl_spark.sources.envelope_log import ENVELOPE_SCHEMA, MultiTableLog
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.streaming.dag import DagApplyJob, FKEdge
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    # volume proportional to sf: at toy volumes the number is pure fixed
+    # cost (measured: 220k events -> 8.1k ev/s, 1.1M -> 16.1k ev/s on the
+    # same host window — throughput doubles as windows amortize)
+    n_updates = max(50_000, int(10_000_000 * sf))
+    pdf = gen_cog_events(
+        n_regions=20,
+        n_departments=200,
+        n_communes=max(5_000, n_updates // 10),
+        n_updates=n_updates,
+        seed=11,
+    )
+    log_dir = os.path.join(workdir, "mlog")
+    spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+
+    schemas = {
+        "region": T.StructType(
+            [T.StructField("code", T.StringType()), T.StructField("name", T.StringType())]
+        ),
+        "department": T.StructType(
+            [
+                T.StructField("code", T.StringType()),
+                T.StructField("region_code", T.StringType()),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+        "commune": T.StructType(
+            [
+                T.StructField("code", T.StringType()),
+                T.StructField("department_code", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("population", T.LongType()),
+            ]
+        ),
+    }
+    jobs = {
+        name: CDCApplyJob(
+            spark,
+            LakeTable.create(
+                spark, os.path.join(workdir, name), schema, ["code"],
+                num_buckets=16, write_mode="mor",
+            ),
+        )
+        for name, schema in schemas.items()
+    }
+    dag = DagApplyJob(
+        jobs,
+        [
+            FKEdge("department", "region_code", "region", "code"),
+            FKEdge("commune", "department_code", "department", "code"),
+        ],
+        writer_id="bench",
+    )
+    log = MultiTableLog(spark, log_dir)
+    n_events = len(pdf)
+    t0 = time.monotonic()
+    results = dag.run_incremental(
+        log,
+        CheckpointStore(os.path.join(workdir, "ckpt.json")),
+        batch_lsns=max(1, n_events // n_windows) + 1,
+    )
+    wall = time.monotonic() - t0
+    return {
+        "dag_events": n_events,
+        "dag_wall_sec": round(wall, 3),
+        "dag_events_per_sec": round(n_events / wall, 1),
+        "dag_windows": len(results),
+        "dag_final_communes": jobs["commune"].table.read().count(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -172,6 +264,11 @@ def main() -> None:
         coal_dir = os.path.join(workdir, "coalesce")
         os.makedirs(coal_dir, exist_ok=True)
         cdc_coal = bench_cdc_apply(spark, sf, coal_dir, merge_mode="coalesce")
+        # multi-table DAG apply (FK-ordered envelope log) — also outside
+        # the comparable window, recorded as its own metric family
+        dag_dir = os.path.join(workdir, "dag")
+        os.makedirs(dag_dir, exist_ok=True)
+        dag_res = bench_dag_apply(spark, sf, dag_dir)
         # headline value = steady-state total (sum of per-query BEST passes
         # + best CDC run) — comparable round-over-round; the raw wall of
         # the whole 2-pass run is recorded alongside
@@ -189,6 +286,7 @@ def main() -> None:
             "cdc_runs_events_per_sec": [c["cdc_events_per_sec"] for c in cdc_runs],
             "cdc_coalesce_events_per_sec": cdc_coal["cdc_events_per_sec"],
             "cdc_coalesce_wall_sec": cdc_coal["cdc_wall_sec"],
+            **dag_res,
             "mem_probe_gbps_before": probe_before,
             "mem_probe_gbps_after": probe_after,
             "probe_healthy_min_gbps": 2.0,

@@ -407,41 +407,59 @@ def gen_cog_events(
         rows.append(("I", "commune", c))
 
     live = {c["code"]: dict(c) for c in communes}
+    # O(1)-per-event bookkeeping (bench runs this at 10^5-10^6 updates):
+    # swap-remove list of live codes instead of list(live) per iteration,
+    # and all random draws precomputed as arrays
+    live_codes = [c["code"] for c in communes]
+    live_pos = {code: i for i, code in enumerate(live_codes)}
     dead: list[str] = []
-    for _ in range(n_updates):
-        kind = rng.choice(
-            ["pop", "rename", "reparent", "delete", "reinsert", "dept_rename"],
-            p=[0.55, 0.15, 0.10, 0.08, 0.05, 0.07],
-        )
+    kinds = rng.choice(
+        ["pop", "rename", "reparent", "delete", "reinsert", "dept_rename"],
+        size=n_updates,
+        p=[0.55, 0.15, 0.10, 0.08, 0.05, 0.07],
+    )
+    draw_idx = rng.random(n_updates)  # uniform [0,1) -> scaled index picks
+    draw_dept = rng.integers(0, n_departments, size=n_updates)
+    draw_pop = rng.integers(100, 100_000, size=n_updates)
+    for i in range(n_updates):
+        kind = kinds[i]
         if kind == "dept_rename":
-            d = departments[int(rng.integers(0, n_departments))]
+            d = departments[int(draw_dept[i])]
             d = dict(d, name=d["name"] + "'")
             rows.append(("U", "department", d))
             continue
         if kind == "reinsert" and dead:
-            code = dead.pop(int(rng.integers(0, len(dead))))
+            code = dead.pop(int(draw_idx[i] * len(dead)))
             c = {
                 "code": code,
-                "department_code": f"D{int(rng.integers(0, n_departments)):03d}",
+                "department_code": f"D{int(draw_dept[i]):03d}",
                 "name": f"Commune {code} reborn",
-                "population": int(rng.integers(100, 100_000)),
+                "population": int(draw_pop[i]),
             }
             live[code] = c
+            live_pos[code] = len(live_codes)
+            live_codes.append(code)
             rows.append(("I", "commune", c))
             continue
-        if not live:
+        if not live_codes:
             continue
-        code = list(live)[int(rng.integers(0, len(live)))]
+        code = live_codes[int(draw_idx[i] * len(live_codes))]
         c = dict(live[code])
         if kind == "pop":
-            c["population"] = int(rng.integers(100, 100_000))
+            c["population"] = int(draw_pop[i])
         elif kind == "rename":
             c["name"] = c["name"] + "*"
         elif kind == "reparent":
-            c["department_code"] = f"D{int(rng.integers(0, n_departments)):03d}"
+            c["department_code"] = f"D{int(draw_dept[i]):03d}"
         elif kind == "delete":
             del live[code]
             dead.append(code)
+            # swap-remove from live_codes, patch the moved code's position
+            j = live_pos.pop(code)
+            last = live_codes.pop()
+            if last != code:
+                live_codes[j] = last
+                live_pos[last] = j
             rows.append(("D", "commune", {"code": code}))
             continue
         live[code] = c

@@ -102,15 +102,15 @@ class DagApplyJob:
 
     # ------------------------------------------------------------ per window
 
-    def _parse_schema(self, name: str, window: DataFrame) -> T.StructType:
+    def _parse_schema(self, name: str, markers: list) -> T.StructType:
         """Payload parse schema for this window: the table's current
         logical columns, EXTENDED with columns that SCHEMA events inside
         the window are about to add or rename — an event after the
         mid-window evolution already carries the new key in its JSON, and
         parsing with only the pre-window schema would silently drop it.
         (Old names are kept too: pre-rename events still use them.)
-        The peek collects only this table's SCHEMA markers — a handful of
-        rows behind a pushed filter."""
+        ``markers`` are this table's SCHEMA rows, pre-collected once for
+        the whole window by :meth:`apply_window`."""
         import json
 
         snap = self.jobs[name].table.snapshot()
@@ -119,11 +119,6 @@ class DagApplyJob:
             for f in snap["schemas"][str(snap["schema_version"])]["fields"]
             if f["name"] != "content_sha"  # derived, never in the payload
         }
-        markers = (
-            window.filter((F.col("table") == name) & (F.col("op") == "SCHEMA"))
-            .select("lsn", "props")
-            .collect()
-        )
         for m in sorted(markers, key=lambda r: r["lsn"]):
             p = json.loads(m["props"])
             if p["action"] == "add_column":
@@ -140,19 +135,44 @@ class DagApplyJob:
         return T.StructType(list(fields.values()))
 
     def apply_window(self, window: DataFrame, batch_id: int, lo: int, hi: int) -> WindowResult:
-        """Apply one envelope window to every table in FK order, then gate."""
+        """Apply one envelope window to every table in FK order, then gate.
+
+        Driver cost is O(tables WITH events in the window), not O(all
+        tables): one distinct scan finds the tables present and one pushed
+        filter collects every table's SCHEMA markers, then absent tables
+        are skipped entirely (no per-table jobs, no fence advance — a
+        replay re-skips them identically). With hundreds of tables sharing
+        one binlog, most windows touch a handful; this keeps the per-window
+        scheduler cost proportional to actual work."""
         res = WindowResult(batch_id, lo, hi)
-        typed: dict[str, DataFrame] = {}
-        for name in self.order:
-            job = self.jobs[name]
-            typed[name] = MultiTableLog.for_table(
-                window, name, self._parse_schema(name, window)
-            )
-            res.tables[name] = job.apply_batch(
-                typed[name], batch_id, fence_writer=f"{self.writer_id}.{name}"
-            )
-        if self.fk_check:
-            self._check_window(typed)
+        we_cached = window.is_cached
+        if not we_cached:
+            window = window.persist()
+        try:
+            present = {r["table"] for r in window.select("table").distinct().collect()}
+            markers: dict[str, list] = {name: [] for name in self.jobs}
+            for m in (
+                window.filter(F.col("op") == "SCHEMA")
+                .select("table", "lsn", "props")
+                .collect()
+            ):
+                markers[m["table"]].append(m)
+            typed: dict[str, DataFrame] = {}
+            for name in self.order:
+                if name not in present:
+                    continue
+                job = self.jobs[name]
+                typed[name] = MultiTableLog.for_table(
+                    window, name, self._parse_schema(name, markers[name])
+                )
+                res.tables[name] = job.apply_batch(
+                    typed[name], batch_id, fence_writer=f"{self.writer_id}.{name}"
+                )
+            if self.fk_check:
+                self._check_window(typed)
+        finally:
+            if not we_cached:
+                window.unpersist()
         return res
 
     def _check_window(self, typed: dict[str, DataFrame]) -> None:
@@ -160,22 +180,27 @@ class DagApplyJob:
         one broadcast-filtered child scan only when a parent was deleted)."""
         for e in self.edges:
             child_job, parent_job = self.jobs[e.child], self.jobs[e.parent]
-            ev = typed[e.child]
-            rules = validation_rules(
-                child_job.merge_mode, child_job.keys, child_job._payload_cols(ev)
-            )
-            valid_pred = F.lit(True)
-            for r in rules.values():
-                valid_pred = valid_pred & F.coalesce(r, F.lit(False))
-            refs = ev.filter(
-                F.col("op").isin("I", "U") & F.col(e.fk_col).isNotNull() & valid_pred
-            )
-            bad = fk_orphans(refs, parent_job.table.read(), e.fk_col, e.parent_key).take(5)
-            if bad:
-                raise FKViolation(
-                    f"window events of {e.child}.{e.fk_col} reference missing "
-                    f"{e.parent}.{e.parent_key}; sample: {bad}"
+            if e.child in typed:  # child absent from window -> no new refs
+                ev = typed[e.child]
+                rules = validation_rules(
+                    child_job.merge_mode, child_job.keys, child_job._payload_cols(ev)
                 )
+                valid_pred = F.lit(True)
+                for r in rules.values():
+                    valid_pred = valid_pred & F.coalesce(r, F.lit(False))
+                refs = ev.filter(
+                    F.col("op").isin("I", "U") & F.col(e.fk_col).isNotNull() & valid_pred
+                )
+                bad = fk_orphans(
+                    refs, parent_job.table.read(), e.fk_col, e.parent_key
+                ).take(5)
+                if bad:
+                    raise FKViolation(
+                        f"window events of {e.child}.{e.fk_col} reference missing "
+                        f"{e.parent}.{e.parent_key}; sample: {bad}"
+                    )
+            if e.parent not in typed:  # parent absent -> no deletes to check
+                continue
             # parent deletes that actually survived (no later reinsert in
             # the window) must leave no child rows behind
             deleted = (

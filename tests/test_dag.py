@@ -77,7 +77,10 @@ def test_dag_windowed_apply_matches_oracle(spark, tmp_root, cog_events):
     ckpt = CheckpointStore(os.path.join(tmp_root, "ckpt.json"))
     results = dag.run_incremental(log, ckpt, batch_lsns=150)
     assert len(results) >= 3  # genuinely windowed
-    assert [r.tables.keys() for r in results]  # every window covered every table
+    # update-phase windows carry no region events -> the O(tables-with-
+    # events) skip engages and region gets no per-window jobs at all
+    assert any("region" not in r.tables for r in results)
+    assert all("commune" in r.tables for r in results)
     oracle = expected_cog_state(cog_events)
     for name in ("region", "department"):
         got = _table_pdf(jobs[name])
@@ -115,7 +118,7 @@ def test_dag_crash_mid_window_reconverges(spark, tmp_root, cog_events):
     log = _write_log(spark, tmp_root, cog_events)
     jobs, dag = _mk_dag(spark, tmp_root)
     window = log.lsn_range(0, log.max_lsn() + 1)
-    typed = MultiTableLog.for_table(window, "region", dag._parse_schema("region", window))
+    typed = MultiTableLog.for_table(window, "region", dag._parse_schema("region", []))
     jobs["region"].apply_batch(typed, 0, fence_writer="dag.region")
     ckpt = CheckpointStore(os.path.join(tmp_root, "ckpt2.json"))
     results = dag.run_incremental(log, ckpt, batch_lsns=10**9)
