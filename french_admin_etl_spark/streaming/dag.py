@@ -149,14 +149,21 @@ class DagApplyJob:
         if not we_cached:
             window = window.persist()
         try:
-            present = {r["table"] for r in window.select("table").distinct().collect()}
+            # one scan: per-(table, op) counts — presence, delete presence,
+            # and gate applicability all come from this single job
+            ops: dict[tuple[str, str], int] = {
+                (r["table"], r["op"]): r["n"]
+                for r in window.groupBy("table", "op").agg(F.count("*").alias("n")).collect()
+            }
+            present = {t for (t, _op) in ops}
             markers: dict[str, list] = {name: [] for name in self.jobs}
-            for m in (
-                window.filter(F.col("op") == "SCHEMA")
-                .select("table", "lsn", "props")
-                .collect()
-            ):
-                markers[m["table"]].append(m)
+            if any(op == "SCHEMA" for (_t, op) in ops):
+                for m in (
+                    window.filter(F.col("op") == "SCHEMA")
+                    .select("table", "lsn", "props")
+                    .collect()
+                ):
+                    markers[m["table"]].append(m)
             typed: dict[str, DataFrame] = {}
             for name in self.order:
                 if name not in present:
@@ -169,18 +176,26 @@ class DagApplyJob:
                     typed[name], batch_id, fence_writer=f"{self.writer_id}.{name}"
                 )
             if self.fk_check:
-                self._check_window(typed)
+                self._check_window(typed, ops)
         finally:
             if not we_cached:
                 window.unpersist()
         return res
 
-    def _check_window(self, typed: dict[str, DataFrame]) -> None:
+    def _check_window(
+        self, typed: dict[str, DataFrame], ops: dict[tuple[str, str], int] | None = None
+    ) -> None:
         """Referential gate scoped to THIS window's events (O(window), plus
-        one broadcast-filtered child scan only when a parent was deleted)."""
+        one broadcast-filtered child scan only when a parent was deleted).
+        ``ops`` — per-(table, op) counts precomputed by :meth:`apply_window`
+        — lets legs with provably nothing to check skip their jobs."""
+
+        def has(table: str, *which: str) -> bool:
+            return ops is None or any((table, op) in ops for op in which)
+
         for e in self.edges:
             child_job, parent_job = self.jobs[e.child], self.jobs[e.parent]
-            if e.child in typed:  # child absent from window -> no new refs
+            if e.child in typed and has(e.child, "I", "U"):
                 ev = typed[e.child]
                 rules = validation_rules(
                     child_job.merge_mode, child_job.keys, child_job._payload_cols(ev)
@@ -199,8 +214,8 @@ class DagApplyJob:
                         f"window events of {e.child}.{e.fk_col} reference missing "
                         f"{e.parent}.{e.parent_key}; sample: {bad}"
                     )
-            if e.parent not in typed:  # parent absent -> no deletes to check
-                continue
+            if e.parent not in typed or not has(e.parent, "D"):
+                continue  # parent absent or delete-free -> nothing to orphan
             # parent deletes that actually survived (no later reinsert in
             # the window) must leave no child rows behind
             deleted = (
