@@ -707,12 +707,23 @@ def g1_dag_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     dag = DagApplyJob(
         jobs, [FKEdge("nation", "n_regionkey", "region", "r_regionkey")], writer_id="g1"
     )
-    dag.run_incremental(
-        MultiTableLog(spark, log_dir),
-        CheckpointStore(os.path.join(root, "ckpt.json")),
-        batch_lsns=1200,
-    )
-    return jobs["nation"].table.read().select("n_nationkey", "n_name", "n_regionkey")
+    try:
+        dag.run_incremental(
+            MultiTableLog(spark, log_dir),
+            CheckpointStore(os.path.join(root, "ckpt.json")),
+            batch_lsns=1200,
+        )
+        out = jobs["nation"].table.read().select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        # materialize before the lake files vanish; the result is O(nations)
+        # rows, and dropping the workspace here keeps repeated harness runs
+        # from accumulating /tmp state (reviewer finding)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:

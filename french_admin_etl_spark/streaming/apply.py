@@ -88,6 +88,14 @@ def validation_rules(
     return rules
 
 
+def valid_predicate(rules: dict):
+    """Single formulation of "event passes every validation rule" (null
+    rule results fail, matching ``validate_split``). Shared by
+    ``apply_batch``'s reject predicate and the DAG FK gate so the two
+    sites cannot drift (reviewer finding)."""
+    return F.coalesce(reduce(lambda a, b: a & b, rules.values()), F.lit(False))
+
+
 @dataclass
 class BatchResult:
     batch_id: int
@@ -140,14 +148,23 @@ class CDCApplyJob:
         """Logical non-key columns the validation rules may reference:
         restricted to columns actually present in the incoming events
         (older events predate added columns) and excluding the derived
-        ``content_sha``."""
+        ``content_sha``. Event columns BEYOND the current snapshot count
+        too — a SCHEMA event inside this batch is about to add them, and
+        a coalesce-mode partial update that sets ONLY the new column must
+        not be dead-lettered as all-null (reviewer finding)."""
         snap = self.table.snapshot()
         logical = [
             f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
         ]
+        meta = {"lsn", "ts", "op", "schema_version", "props"}
+        extra = [
+            c
+            for c in df.columns
+            if c not in logical and c not in meta and not c.startswith("_")
+        ]
         return [
             c
-            for c in logical
+            for c in [*logical, *extra]
             if c not in self.keys and c != "content_sha" and c in df.columns
         ]
 
@@ -222,10 +239,7 @@ class CDCApplyJob:
         #    observed metrics — no separate count() jobs per batch.
         rules = validation_rules(self.merge_mode, self.keys, self._payload_cols(events))
         is_data = F.col("op") != "SCHEMA"
-        # null predicate results count as rejects (matches validate_split)
-        reject_pred = is_data & ~F.coalesce(
-            reduce(lambda a, b: a & b, rules.values()), F.lit(False)
-        )
+        reject_pred = is_data & ~valid_predicate(rules)
         obs = Observation()
         schema_events = sorted(
             events.observe(

@@ -38,9 +38,15 @@ from graphlib import CycleError, TopologicalSorter
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from french_admin_etl_spark.operators.dedup import dedup_coalesce, dedup_max_seq
 from french_admin_etl_spark.operators.dim_join import fk_orphans
 from french_admin_etl_spark.sources.envelope_log import MultiTableLog
-from french_admin_etl_spark.streaming.apply import BatchResult, CDCApplyJob, validation_rules
+from french_admin_etl_spark.streaming.apply import (
+    BatchResult,
+    CDCApplyJob,
+    valid_predicate,
+    validation_rules,
+)
 from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
 
 
@@ -134,7 +140,14 @@ class DagApplyJob:
                 fields[p["to"]] = T.StructField(p["to"], old.dataType, True)
         return T.StructType(list(fields.values()))
 
-    def apply_window(self, window: DataFrame, batch_id: int, lo: int, hi: int) -> WindowResult:
+    def apply_window(
+        self,
+        window: DataFrame,
+        batch_id: int,
+        lo: int,
+        hi: int,
+        fence_ns: str | None = None,
+    ) -> WindowResult:
         """Apply one envelope window to every table in FK order, then gate.
 
         Driver cost is O(tables WITH events in the window), not O(all
@@ -143,7 +156,13 @@ class DagApplyJob:
         are skipped entirely (no per-table jobs, no fence advance — a
         replay re-skips them identically). With hundreds of tables sharing
         one binlog, most windows touch a handful; this keeps the per-window
-        scheduler cost proportional to actual work."""
+        scheduler cost proportional to actual work.
+
+        ``fence_ns`` — fence namespace prefix; defaults to ``writer_id``.
+        Drivers with INDEPENDENT batch-id sequences must pass distinct
+        namespaces or one driver's replays would fence out the other's
+        fresh windows (see :meth:`run_stream`)."""
+        ns = fence_ns or self.writer_id
         res = WindowResult(batch_id, lo, hi)
         we_cached = window.is_cached
         if not we_cached:
@@ -157,9 +176,14 @@ class DagApplyJob:
             }
             present = {t for (t, _op) in ops}
             markers: dict[str, list] = {name: [] for name in self.jobs}
-            if any(op == "SCHEMA" for (_t, op) in ops):
+            # a shared binlog may carry SCHEMA events for tables this DAG
+            # doesn't own — they are skipped like un-owned data events
+            if any(op == "SCHEMA" and t in self.jobs for (t, op) in ops):
                 for m in (
-                    window.filter(F.col("op") == "SCHEMA")
+                    window.filter(
+                        (F.col("op") == "SCHEMA")
+                        & F.col("table").isin(list(self.jobs))
+                    )
                     .select("table", "lsn", "props")
                     .collect()
                 ):
@@ -173,7 +197,7 @@ class DagApplyJob:
                     window, name, self._parse_schema(name, markers[name])
                 )
                 res.tables[name] = job.apply_batch(
-                    typed[name], batch_id, fence_writer=f"{self.writer_id}.{name}"
+                    typed[name], batch_id, fence_writer=f"{ns}.{name}"
                 )
             if self.fk_check:
                 self._check_window(typed, ops)
@@ -196,15 +220,32 @@ class DagApplyJob:
         for e in self.edges:
             child_job, parent_job = self.jobs[e.child], self.jobs[e.parent]
             if e.child in typed and has(e.child, "I", "U"):
+                # Gate the window's FINAL-STATE contributions, not raw
+                # events: a superseded event (U then D of the same key, or
+                # an fk later overwritten) never reaches the table, and
+                # checking it against end-of-window parent state would
+                # raise a spurious violation on the standard
+                # delete-children-then-parent cascade (reviewer finding).
+                # The fold is the SAME one the merge applies (dedup_coalesce
+                # / dedup_max_seq), and only events apply_batch would
+                # actually merge count (shared valid_predicate).
                 ev = typed[e.child]
                 rules = validation_rules(
                     child_job.merge_mode, child_job.keys, child_job._payload_cols(ev)
                 )
-                valid_pred = F.lit(True)
-                for r in rules.values():
-                    valid_pred = valid_pred & F.coalesce(r, F.lit(False))
-                refs = ev.filter(
-                    F.col("op").isin("I", "U") & F.col(e.fk_col).isNotNull() & valid_pred
+                data = ev.filter(
+                    (F.col("op") != "SCHEMA") & valid_predicate(rules)
+                )
+                slim = data.select(
+                    *dict.fromkeys([*child_job.keys, "lsn", "op", e.fk_col])
+                )
+                folded = (
+                    dedup_coalesce(slim, child_job.keys)
+                    if child_job.merge_mode == "coalesce"
+                    else dedup_max_seq(slim, child_job.keys)
+                )
+                refs = folded.filter(
+                    (F.col("op") != "D") & F.col(e.fk_col).isNotNull()
                 )
                 bad = fk_orphans(
                     refs, parent_job.table.read(), e.fk_col, e.parent_key
@@ -273,7 +314,16 @@ class DagApplyJob:
         """LSN-windowed batches over the shared log; ONE checkpoint for the
         whole DAG. Kill it anywhere — mid-window, between tables — and the
         rerun reconverges (per-table fences make replayed merges no-ops)."""
-        state = checkpoint.load() or {"batch_id": 0, "next_lsn": 0}
+        state = checkpoint.load()
+        if state is not None and ("next_lsn" not in state or "bounds" in state):
+            # e.g. a CDCApplyJob.run_incremental_balanced checkpoint —
+            # silently re-windowing a foreign driver's state would crash
+            # or replan from LSN 0 (reviewer finding); refuse up front
+            raise ValueError(
+                "checkpoint was not written by DagApplyJob.run_incremental; "
+                "use the driver that owns it (or a fresh checkpoint path)"
+            )
+        state = state or {"batch_id": 0, "next_lsn": 0}
         results: list[WindowResult] = []
         hi_all = log.max_lsn() + 1
         while state["next_lsn"] < hi_all:
@@ -299,6 +349,14 @@ class DagApplyJob:
         Spark offsets + the per-table writer fences (a replayed epoch
         fences every table's merge to a no-op).
 
+        Epoch ids are Spark's own sequence, independent of
+        :meth:`run_incremental`'s batch ids, so this driver fences under
+        ``<writer_id>.stream.<table>`` — switching drivers against the
+        same tables can never fence fresh windows out as replays (the
+        worst case is a convergent, LSN-guarded re-apply), mirroring
+        ``CDCApplyJob.run_incremental_balanced``'s ``.balanced``
+        namespace.
+
         Requires the producer to land log segments in LSN order (see
         :meth:`MultiTableLog.read_stream`) so the per-window FK gates see
         parents before children; out-of-order EVENTS inside a segment are
@@ -318,7 +376,11 @@ class DagApplyJob:
                     return
                 results.append(
                     self.apply_window(
-                        df, int(epoch_id), int(bounds["lo"]), int(bounds["hi"]) + 1
+                        df,
+                        int(epoch_id),
+                        int(bounds["lo"]),
+                        int(bounds["hi"]) + 1,
+                        fence_ns=f"{self.writer_id}.stream",
                     )
                 )
             finally:

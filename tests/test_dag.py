@@ -281,6 +281,157 @@ def test_dag_run_stream_matches_oracle_and_replay_fences(spark, tmp_root, cog_ev
     pd.testing.assert_frame_equal(_table_pdf(jobs["commune"]), got)
 
 
+def test_dag_in_window_cascade_delete_not_flagged(spark, tmp_root):
+    """The standard binlog cascade — update child, delete child, delete
+    parent — inside ONE window is serializable and must pass the gate:
+    the superseded U event's FK is checked only if it survives the
+    window's own fold (reviewer finding: the raw-event gate raised a
+    spurious FKViolation here)."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("U", "commune", {"code": "C1", "department_code": "D000", "name": "X2", "population": 11}),
+            ("D", "commune", {"code": "C1"}),
+            ("D", "department", {"code": "D000"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=10**9
+    )
+    assert jobs["commune"].table.read().count() == 0
+    assert jobs["department"].table.read().count() == 0
+    assert set(dag.deep_fk_check().values()) == {0}
+
+
+def test_dag_foreign_table_schema_event_skipped(spark, tmp_root):
+    """A shared binlog carries events — including SCHEMA markers — for
+    tables this DAG doesn't own; both kinds are skipped cleanly
+    (reviewer finding: a foreign SCHEMA marker raised KeyError)."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "epci", {"code": "E1", "name": "Metropole"}),
+            (
+                "SCHEMA", "epci", None, 2,
+                json.dumps({"action": "add_column", "name": "siren", "type": "string"}),
+            ),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=10**9
+    )
+    assert jobs["region"].table.read().count() == 1
+    assert jobs["department"].table.read().count() == 1
+
+
+def test_dag_refuses_foreign_checkpoint_shape(spark, tmp_root):
+    ev = _envelope([("I", "region", {"code": "REG00", "name": "R"})])
+    log = _write_log(spark, tmp_root, ev)
+    _, dag = _mk_dag(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "balanced.json"))
+    ckpt.save({"batch_id": 0, "bounds": [0, 10]})  # balanced-driver shape
+    with pytest.raises(ValueError, match="not written by DagApplyJob"):
+        dag.run_incremental(log, ckpt)
+
+
+def test_dag_driver_switch_does_not_fence_out_fresh_events(spark, tmp_root, cog_events):
+    """run_incremental then run_stream (independent epoch-id sequences):
+    the stream driver fences under its own namespace, so fresh events
+    appended after the switch land instead of being silently fenced out
+    as replays (reviewer finding: shared namespace = permanent data
+    loss)."""
+    log_dir = _write_segments(tmp_root, cog_events, n_segments=3)
+    log = MultiTableLog(spark, log_dir)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=10**9
+    )
+    oracle = expected_cog_state(cog_events)
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+    # fresh events arrive as a new sealed segment; the user switches drivers
+    code = oracle["commune"]["code"].iloc[0]
+    dept = oracle["commune"]["department_code"].iloc[0]
+    mx = int(log.max_lsn())
+    extra = _envelope(
+        [("U", "commune", {"code": code, "department_code": dept, "name": "SWITCHED", "population": 424242})]
+    )
+    extra["lsn"] = [mx + 1]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("op", pa.string()),
+            ("table", pa.string()),
+            ("payload", pa.string()),
+            ("schema_version", pa.int32()),
+            ("props", pa.string()),
+        ]
+    )
+    p = os.path.join(log_dir, "seg-9999.parquet")
+    pq.write_table(pa.Table.from_pandas(extra, schema=arrow_schema), p)
+    os.utime(p, (1_700_000_100, 1_700_000_100))
+    dag.run_stream(log, os.path.join(tmp_root, "sckpt_switch"), max_files_per_trigger=4)
+    row = (
+        jobs["commune"].table.read().filter(F.col("code") == code).collect()[0].asDict()
+    )
+    assert row["name"] == "SWITCHED" and row["population"] == 424242
+
+
+def test_dag_coalesce_partial_update_of_just_added_column(spark, tmp_root):
+    """Coalesce-mode partial update that sets ONLY a column added by a
+    SCHEMA event in the same window must apply, not be dead-lettered as
+    all-null (reviewer finding: validation rules were built from the
+    pre-evolution snapshot)."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            (
+                "SCHEMA", "commune", None, 2,
+                json.dumps({"action": "add_column", "name": "area", "type": "double"}),
+            ),
+            ("U", "commune", {"code": "C1", "area": 12.5}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(
+            spark, t, merge_mode="coalesce" if name == "commune" else "overwrite"
+        )
+    dag = DagApplyJob(jobs, EDGES, writer_id="dag")
+    res = dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=10**9
+    )
+    assert all(r.tables["commune"].n_rejects == 0 for r in res if "commune" in r.tables)
+    row = jobs["commune"].table.read().collect()[0].asDict()
+    assert row == {
+        "code": "C1",
+        "department_code": "D000",
+        "name": "X",
+        "population": 10,
+        "area": 12.5,
+    }
+
+
 def test_dag_coalesce_mode_table(spark, tmp_root):
     """A table in the DAG can run coalesce merge mode: partial commune
     updates (only population set) keep the other columns."""
