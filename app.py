@@ -3,8 +3,8 @@
 Cluster run (north_rule: "runs via spark-submit --py-files on N and 4N
 executors"):
 
-    zip -r fae_spark.zip french_admin_etl_spark
-    spark-submit --py-files fae_spark.zip \
+    python tools/make_pyfiles.py   # deterministic dist/fae_spark.zip
+    spark-submit --py-files dist/fae_spark.zip \
         --num-executors N --executor-cores C \
         app.py apply --log-dir s3://…/event_log \
                      --table-root s3://…/repos_table \
