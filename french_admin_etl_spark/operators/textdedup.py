@@ -92,6 +92,31 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def banded_signature(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding of a MinHash signature → one (id, band_id, band_hash)
+    row per band per document. SINGLE-PASS: one explode over an inline
+    array of (band_id, band_hash) structs — the signature frame is
+    scanned ONCE, not ``bands`` times (a unionByName of per-band selects
+    re-runs the upstream shingle explode + groupBy per band). Shared by
+    :func:`lsh_candidate_pairs` (batch) and the incremental
+    :mod:`.neardup_index` so the two banding definitions cannot drift."""
+    r = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_bd")
+    ).select(id_col, F.col("_bd.band_id").alias("band_id"), F.col("_bd.band_hash").alias("band_hash"))
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -108,23 +133,7 @@ def lsh_candidate_pairs(
     than ``max_bucket`` are dropped (degenerate dup classes — handled by
     exact dedup) so no self-join quadratic blowup on pathological data.
     """
-    r = num_hashes // bands
-    # SINGLE-PASS banding: one explode over an inline array of
-    # (band_id, band_hash) structs — the signature frame is scanned ONCE,
-    # not `bands` times (a unionByName of per-band selects re-runs the
-    # upstream shingle explode + groupBy per band).
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("int").alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_bd")
-    ).select(id_col, F.col("_bd.band_id").alias("band_id"), F.col("_bd.band_hash").alias("band_hash"))
+    banded = banded_signature(sig, id_col, num_hashes, bands)
     if persist:
         # banded feeds three consumers (bucket sizing + both self-join
         # sides); without this the signature explode+agg runs three times
