@@ -726,6 +726,118 @@ def g1_dag_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def g2_neardup_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup index driven end-to-end THROUGH the engine:
+    the documents table arrives as TWO CDC waves into a lake table
+    (bootstrap inserts, then late inserts + text rewrites + deletes), and
+    after each wave a CascadeJob maintains the MinHash/LSH band-row index
+    from the table's changes() window — never re-hashing the corpus. The
+    query returns the final index rows; the oracle states the SAME rows
+    declaratively (band the FINAL document set from scratch), so the
+    hash-match proves incremental maintenance == batch rebuild.
+
+    Wave arithmetic (doc_id mod classes): %3==2 arrive late, %5==0 get
+    rewritten with a ' v2' suffix, %7==3 are deleted last — a doc in
+    several classes resolves by LSN order (delete wins), which the oracle
+    mirrors by filtering %7==3 after applying the rewrite."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.operators.neardup_index import NearDupIndex
+    from french_admin_etl_spark.streaming.cascade import CascadeJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    N = 10_000_000  # lsn spacing between waves
+
+    def ev(df: DataFrame, op: str, base: int) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "text",
+            (F.lit(base) + F.col("doc_id")).alias("lsn"),
+            F.lit(op).alias("op"),
+        )
+
+    w1 = ev(docs.filter(F.col("doc_id") % 3 != 2), "I", 0)
+    w2 = (
+        ev(docs.filter(F.col("doc_id") % 3 == 2), "I", N)
+        .unionByName(
+            ev(
+                docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                    "text", F.concat(F.col("text"), F.lit(" v2"))
+                ),
+                "U",
+                2 * N,
+            )
+        )
+        .unionByName(
+            ev(
+                docs.filter(F.col("doc_id") % 7 == 3).withColumn(
+                    "text", F.lit(None).cast("string")
+                ),
+                "D",
+                3 * N,
+            )
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="g2_ndidx_")
+    try:
+        table = LakeTable.create(
+            spark,
+            os.path.join(root, "docs"),
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            ),
+            key_cols=["doc_id"],
+            num_buckets=8,
+            write_mode="mor",
+        )
+        idx = NearDupIndex.create(
+            spark, os.path.join(root, "ndidx"), num_buckets=8
+        )
+        cascade = CascadeJob(
+            spark, table, idx.table, transform=idx.transform(), writer_id="g2"
+        )
+        ckpt = CheckpointStore(os.path.join(root, "ck.json"))
+        table.merge(w1, batch_id=0)
+        cascade.run_to_latest(ckpt)  # index maintained after wave 1...
+        table.merge(w2, batch_id=1)
+        cascade.run_to_latest(ckpt)  # ...and incrementally after wave 2
+        out = idx.table.read().select("doc_id", "band_id", "band_hash")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _neardup_index_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh_{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH final_docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents
+          WHERE doc_id % 7 != 3
+        ),
+        {_minhash_sig_sql(num_hashes, source="final_docs")},
+        banded AS ({band_selects})
+        SELECT doc_id, band_id, band_hash FROM banded
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the engine's CDC final-state semantics at sf0.001."""
     return cdc_final_state(spark, "/root/testdata/sf0.001")
@@ -766,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_metadata": m1_media_metadata,
         "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
         "g1_dag_final_state": g1_dag_final_state,
+        "g2_neardup_index_rows": g2_neardup_index_rows,
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
@@ -786,7 +899,7 @@ _SHINGLES3 = (
 )
 
 
-def _minhash_sig_sql(num_hashes: int = 16) -> str:
+def _minhash_sig_sql(num_hashes: int = 16, source: str = "documents") -> str:
     # mirror of operators.textdedup.minhash_signature: four independent
     # 32-bit words per md5 (hex chars [8j, 8j+8) as unsigned int)
     mins = ",\n             ".join(
@@ -796,7 +909,7 @@ def _minhash_sig_sql(num_hashes: int = 16) -> str:
         for i in range(num_hashes)
     )
     return f"""
-        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM {source}),
         sh AS (SELECT doc_id, unnest({_SHINGLES3}) AS s FROM toks),
         sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
     """
@@ -1200,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "d1_minhash_lsh_pairs": _lsh_pairs_sql(),
+        "g2_neardup_index_rows": _neardup_index_sql(),
         "d2_jaccard_pairs": _lsh_verified_sql(threshold=0.5),
         "d3_simhash": _simhash_sql(),
         "d5_simhash_near_dups": _simhash_pairs_sql(),

@@ -77,12 +77,13 @@ def bench_queries(spark, sf_dir: str, passes: int = 2) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     all_passes: dict[str, list[float]] = {}
     for name, fn in qs.items():
-        if name == "g1_dag_final_state":
-            # correctness-gate-only: drives the real DAG machinery over the
-            # 25-row nation table, so its time is pure fixed per-window
-            # overhead (commits, checkpoints, FK gates on toy data) — not a
-            # throughput signal and invariant in sf. The DAG's throughput
-            # is measured at volume by bench_dag_apply below.
+        if name in ("g1_dag_final_state", "g2_neardup_index_rows"):
+            # correctness-gate-only: these drive real engine machinery
+            # (DAG apply / incremental index maintenance) over small
+            # inputs, so their time is pure fixed per-window overhead
+            # (commits, checkpoints, gates) — not a throughput signal.
+            # Their throughput is measured at volume by bench_dag_apply /
+            # bench_neardup_index below.
             continue
         ts = []
         for _ in range(passes):
@@ -230,6 +231,90 @@ def bench_dag_apply(spark, sf: float, workdir: str, n_windows: int = 4) -> dict:
     }
 
 
+def bench_neardup_index(spark, sf_dir: str, sf: float, workdir: str) -> dict:
+    """Incremental near-dup index maintenance at volume: bootstrap the
+    corpus into the index (the one-time rebuild-scale cost), then land a
+    5% document increment and maintain the index from its changes()
+    window. The increment rate is the steady-state number — the whole
+    point is that daily maintenance never re-hashes the corpus — and the
+    probe measures candidate generation for the increment against the
+    standing index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from french_admin_etl_spark.operators.neardup_index import NearDupIndex
+    from french_admin_etl_spark.streaming.cascade import CascadeJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    reps = max(2, int(80 * sf))  # sf0.1 -> 8 replicas = 40k docs
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    corpus = (
+        base.crossJoin(
+            spark.range(reps).select(F.col("id").cast("long").alias("_rep"))
+        )
+        .select(
+            (F.col("doc_id") * reps + F.col("_rep")).alias("doc_id"),
+            # replicas get distinct suffixes so the index isn't one
+            # degenerate duplicate class (buckets would hit max_bucket)
+            F.concat(
+                F.col("text"), F.lit(" replica "), F.col("_rep").cast("string")
+            ).alias("text"),
+        )
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(workdir, "docs"),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        key_cols=["doc_id"],
+        num_buckets=16,
+        write_mode="mor",
+    )
+    idx = NearDupIndex.create(spark, os.path.join(workdir, "ndidx"), num_buckets=16)
+    cascade = CascadeJob(
+        spark, table, idx.table, transform=idx.transform(), writer_id="bench_nd"
+    )
+    ckpt = CheckpointStore(os.path.join(workdir, "ck.json"))
+
+    def ev(df, op, base_lsn):
+        return df.select(
+            "doc_id", "text",
+            (F.lit(base_lsn) + F.col("doc_id")).alias("lsn"),
+            F.lit(op).alias("op"),
+        )
+
+    boot = corpus.filter(F.col("doc_id") % 20 != 0)
+    inc = corpus.filter(F.col("doc_id") % 20 == 0)
+    n_boot, n_inc = boot.count(), inc.count()
+    table.merge(ev(boot, "I", 0), batch_id=0)
+    t0 = time.monotonic()
+    cascade.run_to_latest(ckpt)
+    boot_wall = time.monotonic() - t0
+    table.merge(ev(inc, "I", 10_000_000), batch_id=1)
+    t0 = time.monotonic()
+    cascade.run_to_latest(ckpt)
+    inc_wall = time.monotonic() - t0
+    t0 = time.monotonic()
+    n_cand = idx.probe(inc.select("doc_id")).count()
+    probe_wall = time.monotonic() - t0
+    return {
+        "ndidx_docs": n_boot + n_inc,
+        "ndidx_bootstrap_docs_per_sec": round(n_boot / boot_wall, 1),
+        "ndidx_increment_docs": n_inc,
+        "ndidx_increment_docs_per_sec": round(n_inc / inc_wall, 1),
+        "ndidx_increment_wall_sec": round(inc_wall, 3),
+        "ndidx_probe_wall_sec": round(probe_wall, 3),
+        "ndidx_probe_candidates": n_cand,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -269,6 +354,11 @@ def main() -> None:
         dag_dir = os.path.join(workdir, "dag")
         os.makedirs(dag_dir, exist_ok=True)
         dag_res = bench_dag_apply(spark, sf, dag_dir)
+        # incremental near-dup index maintenance — outside the comparable
+        # window, its own metric family
+        nd_dir = os.path.join(workdir, "ndidx")
+        os.makedirs(nd_dir, exist_ok=True)
+        nd_res = bench_neardup_index(spark, sf_dir, sf, nd_dir)
         # headline value = steady-state total (sum of per-query BEST passes
         # + best CDC run) — comparable round-over-round; the raw wall of
         # the whole 2-pass run is recorded alongside
@@ -287,6 +377,7 @@ def main() -> None:
             "cdc_coalesce_events_per_sec": cdc_coal["cdc_events_per_sec"],
             "cdc_coalesce_wall_sec": cdc_coal["cdc_wall_sec"],
             **dag_res,
+            **nd_res,
             "mem_probe_gbps_before": probe_before,
             "mem_probe_gbps_after": probe_after,
             "probe_healthy_min_gbps": 2.0,
