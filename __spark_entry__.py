@@ -726,6 +726,30 @@ def g1_dag_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def t8_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-free train/val/test assignment: every doc's
+    split comes from a content-addressed hash draw, so reruns, different
+    partitionings, and redelivered duplicates all agree. 80/10/10."""
+    from french_admin_etl_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed="42"
+    )
+
+
+def t9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (corpus curation quota by
+    stratum): en at 50%, fr at 25%, everything else at 10%."""
+    from french_admin_etl_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, ["lang"], {"en": 0.5, "fr": 0.25}, ["doc_id"],
+        seed="7", default_fraction=0.1,
+    )
+
+
 def g2_neardup_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup index driven end-to-end THROUGH the engine:
     the documents table arrives as TWO CDC waves into a lake table
@@ -879,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
         "g1_dag_final_state": g1_dag_final_state,
         "g2_neardup_index_rows": g2_neardup_index_rows,
+        "t8_dataset_split": t8_dataset_split,
+        "t9_stratified_sample": t9_stratified_sample,
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
@@ -1314,6 +1340,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d1_minhash_lsh_pairs": _lsh_pairs_sql(),
         "g2_neardup_index_rows": _neardup_index_sql(),
+        "t8_dataset_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.8 + 0.1 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+        """,
+        "t9_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+            WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END
+        """,
         "d2_jaccard_pairs": _lsh_verified_sql(threshold=0.5),
         "d3_simhash": _simhash_sql(),
         "d5_simhash_near_dups": _simhash_pairs_sql(),
