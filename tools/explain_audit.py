@@ -197,6 +197,52 @@ def main() -> None:
           ["CartesianProduct", "BroadcastNestedLoopJoin"])
     sections.append(("Exact integer range join (bucket equi-join)", p))
 
+    # 12. sampling / split assignment: pure scan-speed expressions — no
+    #     shuffle, no Python, the md5 draw inlined in codegen
+    from french_admin_etl_spark.operators.sampling import split_assign
+
+    p = plan_of(
+        split_assign(docs.select("doc_id", "lang"), ["doc_id"],
+                     {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    split_ok = "Exchange" not in p
+    check("dataset split is scan-only (no shuffle, no Python)", p,
+          ["md5"], ["BatchEvalPython", "ArrowEvalPython", "Window"])
+    CHECKS[-1] = (CHECKS[-1][0], CHECKS[-1][1] and split_ok,
+                  CHECKS[-1][2], CHECKS[-1][3])
+    sections.append(("Dataset split assignment (hash draw, scan-speed)", p))
+
+    # 13. incremental near-dup index: band rows are one combinable
+    #     aggregation (the minhash groupBy) + row-local explodes — no
+    #     Python, no window, a single exchange
+    from french_admin_etl_spark.operators.neardup_index import NearDupIndex
+    from french_admin_etl_spark.table.lake_table import LakeTable as _LT
+
+    with tempfile.TemporaryDirectory(prefix="audit_nd_") as td:
+        idx = NearDupIndex.create(spark, os.path.join(td, "i"), num_buckets=2)
+        p = plan_of(idx.rebuild_rows(docs.select("doc_id", "text")))
+        band_ok = p.count("Exchange (") <= 1
+        check("near-dup band rows: one combinable agg, no Python", p,
+              ["partial_min"], ["BatchEvalPython", "ArrowEvalPython", "Window"])
+        CHECKS[-1] = (CHECKS[-1][0], CHECKS[-1][1] and band_ok,
+                      CHECKS[-1][2], CHECKS[-1][3])
+        sections.append(("Near-dup index band rows (minhash agg + explode)", p))
+
+        # 14. probe pushdown: on a compacted band_hash-sorted index the
+        #     probe's IN filter reaches the parquet scan (row-group
+        #     pruning at corpus scale)
+        rows = idx.rebuild_rows(docs.limit(200).select("doc_id", "text")).select(
+            "doc_id", "band_id", "band_hash",
+            F.col("doc_id").alias("lsn"), F.lit("I").alias("op"),
+        )
+        idx.table.merge(rows, batch_id=0)
+        idx.table.compact(sort_cols=["band_hash"], include_clean=True)
+        some = [r["band_hash"] for r in idx.table.read().limit(3).collect()]
+        p = plan_of(idx.table.read().filter(F.col("band_hash").isin(some)))
+        check("probe IN filter pushes to the compacted index scan", p,
+              ["In(band_hash"], ["BatchEvalPython"])
+        sections.append(("Near-dup probe (pushed IN scan on sorted index)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
