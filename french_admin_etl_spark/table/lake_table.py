@@ -614,6 +614,27 @@ class LakeTable:
         logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
         data_cols = [c for c in logical if c not in keys]
 
+        # Align source column types to the table's CURRENT schema. A
+        # caller may legitimately carry wider types — e.g. a multi-table
+        # envelope window parsed with a widened schema whose widen event
+        # applies in a LATER epoch of the same window — and staging those
+        # as-is writes parquet the snapshot schema cannot read back
+        # (INT64 files in an int file group; found by the DAG mid-window
+        # widen test). Cast is ANSI: a genuinely out-of-range value
+        # arriving before its widen raises instead of corrupting.
+        want = {f["name"]: f["type"] for f in snap["schemas"][str(sv)]["fields"]}
+        have = {f.name: f.dataType for f in source.schema.fields}
+        casts, realign = [], False
+        for c in source.columns:
+            target_t = _parse_type_json(want[c]) if c in want else None
+            if target_t is not None and have[c] != target_t:
+                casts.append(F.col(c).cast(target_t).alias(c))
+                realign = True
+            else:
+                casts.append(F.col(c))
+        if realign:
+            source = source.select(*casts)
+
         if snap.get("write_mode", "cow") == "mor":
             return self._merge_mor(
                 source, snap, seq_col, op_col, batch_id, extra_properties, fence_key,

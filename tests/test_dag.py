@@ -219,6 +219,45 @@ def test_dag_schema_evolution_mid_window(spark, tmp_root):
     }
 
 
+def test_dag_schema_widen_mid_window(spark, tmp_root):
+    """The third evolution kind (type widening) also lands mid-window: a
+    population value beyond int range written after the widen survives."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            (
+                "SCHEMA", "commune", None, 2,
+                json.dumps({"action": "widen", "name": "population", "type": "bigint"}),
+            ),
+            ("U", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 2**40}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs = {}
+    commune_int = T.StructType(
+        [
+            T.StructField("code", T.StringType()),
+            T.StructField("department_code", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("population", T.IntegerType()),  # pre-widen: int
+        ]
+    )
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", commune_int)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    dag = DagApplyJob(jobs, EDGES, writer_id="dag")
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=10**9
+    )
+    row = jobs["commune"].table.read().collect()[0].asDict()
+    assert row["population"] == 2**40
+
+
 def _write_segments(tmp_root, ev: pd.DataFrame, n_segments: int):
     """Land the envelope log as LSN-ordered segment files with increasing
     mtimes (the WAL contract run_stream documents: a segment is sealed
