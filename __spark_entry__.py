@@ -750,6 +750,15 @@ def t9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t10_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy corpus packing into ~50k-token training shards via the
+    distributed two-phase prefix sum (no single-task global window)."""
+    from french_admin_etl_spark.operators.packing import token_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return token_shards(docs, ["doc_id"], "n_chars", 50_000).select("doc_id", "shard")
+
+
 def g2_neardup_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup index driven end-to-end THROUGH the engine:
     the documents table arrives as TWO CDC waves into a lake table
@@ -905,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_neardup_index_rows": g2_neardup_index_rows,
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
+        "t10_token_shards": t10_token_shards,
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
@@ -1351,6 +1361,13 @@ def oracle_sql() -> dict[str, str]:
                        / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        "t10_token_shards": """
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     // 50000 AS shard
+            FROM documents
         """,
         "t9_stratified_sample": """
             SELECT doc_id, lang FROM (
