@@ -297,6 +297,9 @@ def bench_neardup_index(spark, sf_dir: str, sf: float, workdir: str) -> dict:
     t0 = time.monotonic()
     cascade.run_to_latest(ckpt)
     boot_wall = time.monotonic() - t0
+    # steady state runs on the maintained layout: band_hash-sorted files
+    # so the probe's pushed IN filter prunes row groups (PLANS.md #14)
+    idx.table.compact(sort_cols=["band_hash"], include_clean=True)
     table.merge(ev(inc, "I", 10_000_000), batch_id=1)
     t0 = time.monotonic()
     cascade.run_to_latest(ckpt)

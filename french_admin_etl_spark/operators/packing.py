@@ -7,17 +7,17 @@ every row into ONE task (the plan shows ``Exchange SinglePartition``):
 a non-starter at corpus scale. :func:`prefix_sum` is the classic
 two-phase scan instead:
 
-1. range-repartition by the order columns (parallel, order-preserving
-   across partitions);
-2. one tiny job collects per-partition totals (bounded by the partition
+1. split the order domain into range buckets (approx-percentile bounds
+   of the first order column, embedded as literals);
+2. one tiny job collects per-bucket totals (bounded by the bucket
    count, not the data) and turns them into exclusive offsets;
-3. each partition computes its LOCAL running sum in parallel and adds
-   its broadcast offset.
+3. each bucket computes its LOCAL running sum in parallel and adds its
+   broadcast offset.
 
-Where the range boundaries fall does not affect the result — only the
-total order does — so sampling jitter in ``repartitionByRange`` is
-harmless; the order columns must be a unique key for the order (and
-therefore the sum) to be well-defined.
+Where the bucket boundaries fall does not affect the result — only the
+total order does — so percentile-sketch jitter is harmless; the order
+columns must be a unique key for the order (and therefore the sum) to
+be well-defined.
 
 :func:`token_shards` assigns each document the shard its PRECEDING
 cumulative token count falls into (``prev_cum div budget``) — greedy
@@ -42,32 +42,52 @@ def prefix_sum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Inclusive prefix sum of ``value_col`` in the global order of
-    ``order_cols`` (which must be unique), without a single-task window."""
-    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(n), *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    ``order_cols`` (which must be unique), without a single-task window.
+
+    The range buckets come from driver-collected approx-percentile bounds
+    of the FIRST order column, embedded as literals — the bucket id is a
+    pure function of the row, so the totals job and the window job can
+    never disagree about who owns a row (``spark_partition_id`` after a
+    sampled repartitionByRange can, between separate executions), and
+    nothing needs to be pinned in the cache. Rows equal on the first
+    order column share a bucket; the window's full ordering handles them.
+    Cost: one percentile agg + one totals agg (both combinable) + the
+    partition-local windows.
+    """
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    ranged = ranged.persist()  # partition ids must agree between both reads
+    oc = F.col(order_cols[0])
+    pid = F.lit(0)
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = (
+            df.select(F.percentile_approx(oc, qs, 10_000).alias("b")).collect()[0]["b"]
+            or []
+        )
+        for b in bounds:
+            pid = pid + F.when(oc > F.lit(b), 1).otherwise(0)
+    part = df.withColumn("_pid", pid.cast("int"))
     totals = {
         r["_pid"]: r["_t"]
-        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+        for r in part.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
     }
     acc, offsets = 0, {}
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p] or 0
     off = F.lit(0).cast("long")
-    for pid, o in offsets.items():
+    for p, o in offsets.items():
         if o:
-            off = F.when(F.col("_pid") == pid, F.lit(o).cast("long")).otherwise(off)
+            off = F.when(F.col("_pid") == p, F.lit(o).cast("long")).otherwise(off)
     w = (
         Window.partitionBy("_pid")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.withColumn(out_col, (F.sum(value_col).over(w) + off).cast("long"))
-        .drop("_pid")
+    return part.withColumn(out_col, (F.sum(value_col).over(w) + off).cast("long")).drop(
+        "_pid"
     )
 
 
