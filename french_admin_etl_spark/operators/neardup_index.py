@@ -12,8 +12,7 @@ target over the documents table's ``changes()`` window:
 - document insert/update → its ``bands`` rows are upserted (the band
   count is schema-fixed, so every band row of a changed doc is rewritten
   — no stale bands can linger);
-- document delete (or an update whose new text yields no shingles) →
-  tombstones for all of the doc's band rows;
+- document delete → tombstones for all of the doc's band rows;
 - exactly-once: the cascade's fenced merge; a replayed window is a no-op.
 
 Probing an increment (``probe``) is **O(increment), not O(corpus)**: the
@@ -138,15 +137,15 @@ class NearDupIndex:
                     "doc_id", "band_id", "band_hash", "lsn", F.lit("U").alias("op")
                 )
             )
-            # deletes AND updated docs whose new text has no shingles: both
-            # must clear every old band row of the doc
-            unshingled = ups.join(
-                sig.select("doc_id"), ["doc_id"], "left_anti"
-            ).select("doc_id", "lsn")
+            # deletes clear every band row of the doc. (There is no
+            # "unshingleable upsert" path to handle: word_shingles yields
+            # at least one shingle for ANY text, null included — the
+            # degenerate '' gram — so every upserted doc re-lands all of
+            # its band rows; an anti-join safety net here would be dead
+            # code costing a join per window, reviewer-confirmed.)
             del_rows = (
                 df.filter(F.col("op") == "D")
                 .select(F.col(id_col).alias("doc_id"), "lsn")
-                .unionByName(unshingled)
                 .select(
                     "doc_id",
                     F.explode(band_range).alias("band_id"),

@@ -40,9 +40,13 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Inclusive prefix sum of ``value_col`` in the global order of
     ``order_cols`` (which must be unique), without a single-task window.
+    The first order column must be numeric/temporal (range bucketing);
+    ``materialize=True`` (default) localCheckpoints the input so the
+    three passes (bounds, totals, windows) run the upstream plan once.
 
     The range buckets come from driver-collected approx-percentile bounds
     of the FIRST order column, embedded as literals — the bucket id is a
@@ -58,6 +62,23 @@ def prefix_sum(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    first_t = df.schema[order_cols[0]].dataType.typeName()
+    if first_t not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+        "date", "timestamp", "timestamp_ntz",
+    ):
+        raise TypeError(
+            f"prefix_sum range-buckets on the first order column, which must "
+            f"be numeric/temporal for percentile bounds; got {order_cols[0]}: "
+            f"{first_t} — order by a numeric surrogate (e.g. a dense id) and "
+            f"keep the string key as a secondary column"
+        )
+    if materialize:
+        # the bounds job, the totals job, and the final window job would
+        # otherwise each re-run the upstream plan (3x an expensive
+        # tokenization/join); localCheckpoint executes it once and is
+        # reclaimed when the result is garbage-collected
+        df = df.localCheckpoint(eager=True)
     oc = F.col(order_cols[0])
     pid = F.lit(0)
     if n > 1:

@@ -27,8 +27,17 @@ from pyspark.sql import Window
 
 
 def uniform_hash(cols: list[str], seed: str = "0") -> Column:
-    """Deterministic per-row uniform in [0, 1) from the key columns."""
-    key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in cols])
+    """Deterministic per-row uniform in [0, 1) from the key columns.
+
+    Null key columns are encoded as an explicit ``\\x00`` sentinel —
+    ``concat_ws`` SKIPS nulls, which would collapse distinct keys like
+    ('x', NULL, 'y') and ('x', 'y', NULL) onto one draw (reviewer
+    finding). For non-null keys the string is unchanged
+    (``seed|v1|v2``), which is what the DuckDB oracles mirror."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+    ]
+    key = F.concat_ws("|", F.lit(seed), *parts)
     u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     return u32 / F.lit(float(2**32))
 
@@ -80,13 +89,22 @@ def stratified_sample(
     dozens of strata, not millions). Strata absent from ``fractions``
     fall back to ``default_fraction`` (0 = drop, the usual curation
     default for unvetted languages/sources)."""
-    sk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in strata_cols])
+    # match with TYPED literals per column (null-safe), never stringified
+    # Python values: str(True) is 'True' but Spark casts the column to
+    # 'true', so a string-rendered match silently sends boolean/typed
+    # strata to default_fraction (reviewer finding)
     thr = F.lit(float(default_fraction))
     for stratum, frac in fractions.items():
         key = stratum if isinstance(stratum, tuple) else (stratum,)
-        thr = F.when(
-            sk == F.lit("\x1f".join(str(s) for s in key)), F.lit(float(frac))
-        ).otherwise(thr)
+        if len(key) != len(strata_cols):
+            raise ValueError(
+                f"stratum {stratum!r} has {len(key)} values for "
+                f"{len(strata_cols)} strata columns"
+            )
+        match = F.lit(True)
+        for c, v in zip(strata_cols, key):
+            match = match & F.col(c).eqNullSafe(F.lit(v))
+        thr = F.when(match, F.lit(float(frac))).otherwise(thr)
     return df.filter(uniform_hash(key_cols, seed) < thr)
 
 

@@ -149,9 +149,14 @@ class CDCApplyJob:
         restricted to columns actually present in the incoming events
         (older events predate added columns) and excluding the derived
         ``content_sha``. Event columns BEYOND the current snapshot count
-        too — a SCHEMA event inside this batch is about to add them, and
-        a coalesce-mode partial update that sets ONLY the new column must
-        not be dead-lettered as all-null (reviewer finding)."""
+        too — but ONLY when a SCHEMA event inside this batch is about to
+        add/rename to them: a coalesce-mode partial update that sets only
+        the new column must not be dead-lettered as all-null, while an
+        event whose only set field is a stray column the table will NEVER
+        have must still dead-letter, not silently normalize to an empty
+        update (two reviewer findings, opposite directions). The marker
+        scan is a pushed-filter job that runs only when unknown columns
+        are present at all — the rare evolution-in-batch case."""
         snap = self.table.snapshot()
         logical = [
             f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
@@ -162,6 +167,21 @@ class CDCApplyJob:
             for c in df.columns
             if c not in logical and c not in meta and not c.startswith("_")
         ]
+        if extra and "props" in df.columns:
+            import json
+
+            introduced = set()
+            for r in (
+                df.filter(F.col("op") == "SCHEMA").select("props").collect()
+            ):
+                try:
+                    p = json.loads(r["props"])
+                except (TypeError, ValueError):
+                    continue
+                name = p.get("to") if p.get("action") == "rename_column" else p.get("name")
+                if name:
+                    introduced.add(name)
+            extra = [c for c in extra if c in introduced]
         return [
             c
             for c in [*logical, *extra]

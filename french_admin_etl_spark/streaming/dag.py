@@ -21,10 +21,12 @@ covers the whole DAG.
 FK gates (both broadcast-shaped — the parent/probe side of every join is
 the small side, so at 100 TB these are map-side filters, never shuffles):
 
-- **per-window** (default): the window's child events with a non-null FK
-  are anti-joined against the parent table AFTER the parents applied;
-  parent deletes are cross-checked against surviving children. O(window +
-  one child scan only when a parent was deleted).
+- **per-window** (default): the child table's LIVE rows for the keys the
+  window touched are anti-joined against the parent table AFTER the
+  window applied (post-merge state — immune to superseded/stale/replayed
+  events); parent deletes are cross-checked against surviving children.
+  O(window + one keyed child probe, + one child scan only when a parent
+  was deleted).
 - **deep** (:meth:`DagApplyJob.deep_fk_check`): the e2e gate — every
   child ROW against its parent table, the assertable form of the
   declarative constraint. O(child tables); run on demand, not per window.
@@ -38,15 +40,9 @@ from graphlib import CycleError, TopologicalSorter
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from french_admin_etl_spark.operators.dedup import dedup_coalesce, dedup_max_seq
 from french_admin_etl_spark.operators.dim_join import fk_orphans
 from french_admin_etl_spark.sources.envelope_log import MultiTableLog
-from french_admin_etl_spark.streaming.apply import (
-    BatchResult,
-    CDCApplyJob,
-    valid_predicate,
-    validation_rules,
-)
+from french_admin_etl_spark.streaming.apply import BatchResult, CDCApplyJob
 from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
 
 
@@ -220,33 +216,28 @@ class DagApplyJob:
         for e in self.edges:
             child_job, parent_job = self.jobs[e.child], self.jobs[e.parent]
             if e.child in typed and has(e.child, "I", "U"):
-                # Gate the window's FINAL-STATE contributions, not raw
-                # events: a superseded event (U then D of the same key, or
-                # an fk later overwritten) never reaches the table, and
-                # checking it against end-of-window parent state would
-                # raise a spurious violation on the standard
-                # delete-children-then-parent cascade (reviewer finding).
-                # The fold is the SAME one the merge applies (dedup_coalesce
-                # / dedup_max_seq), and only events apply_batch would
-                # actually merge count (shared valid_predicate).
-                ev = typed[e.child]
-                rules = validation_rules(
-                    child_job.merge_mode, child_job.keys, child_job._payload_cols(ev)
+                # Gate what the window actually LEFT IN THE TABLE: the
+                # child's live rows for the keys this window touched,
+                # against the parent's post-window state. Checking raw (or
+                # even folded) EVENTS false-positives whenever the table
+                # is ahead of the event — a superseded U in a
+                # delete-children-then-parent cascade, a stale event the
+                # LSN guard rejected, or a whole replayed window during a
+                # convergent re-apply (reviewer findings, rounds 3+3cont).
+                # Post-merge state is the invariant the DAG promises
+                # ("FK integrity holds at every window boundary"), so it
+                # is also the thing to assert. O(window): touched keys are
+                # broadcast into a semi-join probe of the child table.
+                touched = (
+                    typed[e.child]
+                    .filter(F.col("op").isin("I", "U"))
+                    .select(*child_job.keys)
+                    .distinct()
                 )
-                data = ev.filter(
-                    (F.col("op") != "SCHEMA") & valid_predicate(rules)
+                live = child_job.table.read().join(
+                    F.broadcast(touched), child_job.keys, "left_semi"
                 )
-                slim = data.select(
-                    *dict.fromkeys([*child_job.keys, "lsn", "op", e.fk_col])
-                )
-                folded = (
-                    dedup_coalesce(slim, child_job.keys)
-                    if child_job.merge_mode == "coalesce"
-                    else dedup_max_seq(slim, child_job.keys)
-                )
-                refs = folded.filter(
-                    (F.col("op") != "D") & F.col(e.fk_col).isNotNull()
-                )
+                refs = live.filter(F.col(e.fk_col).isNotNull())
                 bad = fk_orphans(
                     refs, parent_job.table.read(), e.fk_col, e.parent_key
                 ).take(5)
@@ -349,13 +340,16 @@ class DagApplyJob:
         Spark offsets + the per-table writer fences (a replayed epoch
         fences every table's merge to a no-op).
 
-        Epoch ids are Spark's own sequence, independent of
-        :meth:`run_incremental`'s batch ids, so this driver fences under
-        ``<writer_id>.stream.<table>`` — switching drivers against the
-        same tables can never fence fresh windows out as replays (the
-        worst case is a convergent, LSN-guarded re-apply), mirroring
-        ``CDCApplyJob.run_incremental_balanced``'s ``.balanced``
-        namespace.
+        Epoch ids are Spark's own sequence, scoped to ONE stream
+        checkpoint dir, so the fence namespace must be too: this driver
+        fences under ``<writer_id>.stream.<stream_uid>.<table>``, where
+        ``stream_uid`` is minted once per checkpoint dir (persisted in
+        ``<dir>/engine_id``). Replays within a checkpoint reuse the uid
+        (fences work); a FRESH checkpoint dir gets a fresh uid, so its
+        restarted epoch-0 can never be fenced out by a previous stream's
+        or driver's fence — the worst case is a convergent, LSN-guarded
+        re-apply (reviewer finding: a shared namespace across checkpoint
+        dirs silently dropped fresh events when epoch ids restarted).
 
         Requires the producer to land log segments in LSN order (see
         :meth:`MultiTableLog.read_stream`) so the per-window FK gates see
@@ -363,6 +357,17 @@ class DagApplyJob:
         fine (LSN-guarded merge), out-of-order SEGMENTS are a producer
         bug this driver surfaces as an FKViolation rather than hiding."""
         import os
+        import uuid
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        uid_path = os.path.join(checkpoint_dir, "engine_id")
+        if os.path.exists(uid_path):
+            with open(uid_path) as fh:
+                stream_uid = fh.read().strip()
+        else:
+            stream_uid = uuid.uuid4().hex[:12]
+            with open(uid_path, "w") as fh:
+                fh.write(stream_uid)
 
         results: list[WindowResult] = []
 
@@ -380,7 +385,7 @@ class DagApplyJob:
                         int(epoch_id),
                         int(bounds["lo"]),
                         int(bounds["hi"]) + 1,
-                        fence_ns=f"{self.writer_id}.stream",
+                        fence_ns=f"{self.writer_id}.stream.{stream_uid}",
                     )
                 )
             finally:

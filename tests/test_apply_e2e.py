@@ -429,3 +429,27 @@ def test_extreme_hot_key_skew_converges(spark, tmp_root):
     }
     assert got == exp
     assert ("hot_repo", "hot_path") in got  # the flooded key landed correctly
+
+
+def test_stray_column_only_update_still_dead_letters(spark, tmp_root):
+    """Coalesce mode: an update whose ONLY set field is a column the table
+    does not have and no SCHEMA event in the batch introduces must be
+    dead-lettered as an all-null update — not silently normalized into an
+    empty upsert (reviewer finding on the evolution-aware payload cols).
+    A column a same-batch SCHEMA event IS adding still validates."""
+    from pyspark.sql import types as T
+
+    table, job = _mk(spark, tmp_root, merge_mode="coalesce")
+    ev_schema = T.StructType(
+        list(EVENT_SCHEMA.fields) + [T.StructField("stray", T.StringType())]
+    )
+    rows = [
+        (1, None, "I", "a", "f", "c1", "py", "v1", 1, None, None),
+        # only 'stray' set: table will never have it -> all-null update
+        (2, None, "U", "a", "f", None, None, None, 1, None, "oops"),
+    ]
+    ev = spark.createDataFrame(rows, schema=ev_schema)
+    res = job.apply_batch(ev, batch_id=0)
+    assert res.n_rejects == 1
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got == {("a", "f"): "v1"}

@@ -287,10 +287,15 @@ def _write_segments(tmp_root, ev: pd.DataFrame, n_segments: int):
     return log_dir
 
 
-def test_dag_run_stream_matches_oracle_and_replay_fences(spark, tmp_root, cog_events):
+def test_dag_run_stream_matches_oracle_and_replay_converges(spark, tmp_root, cog_events):
     """Structured Streaming DAG driver: one micro-batch per sealed segment
-    (availableNow), FK order inside each batch; a full replay from a fresh
-    stream checkpoint fences every table-merge to a no-op."""
+    (availableNow), FK order inside each batch. A rerun from a FRESH
+    stream checkpoint gets a fresh fence uid — epoch ids restart at 0, so
+    fencing them against the first run's fences would silently drop fresh
+    events (reviewer finding); instead the whole log re-applies through
+    the LSN-guarded merge and converges to the identical state. WITHIN a
+    checkpoint, a retried epoch reuses its id and the uid-scoped fence
+    makes it a no-op."""
     log_dir = _write_segments(tmp_root, cog_events, n_segments=5)
     log = MultiTableLog(spark, log_dir)
     jobs, dag = _mk_dag(spark, tmp_root)
@@ -304,19 +309,22 @@ def test_dag_run_stream_matches_oracle_and_replay_fences(spark, tmp_root, cog_ev
         got, oracle["commune"].astype({"population": "int64"})[got.columns]
     )
     assert set(dag.deep_fk_check().values()) == {0}
-    # replay probe: fresh stream checkpoint replays all epochs; per-table
-    # fences make every merge a no-op and state is unchanged
+    # rerun from a fresh checkpoint: re-applies (NOT fenced) and converges
     replay = dag.run_stream(log, os.path.join(tmp_root, "sckpt2"), max_files_per_trigger=1)
     assert len(replay) == 5
-    # every replayed merge is either fenced or an empty per-table slice
-    # (empty slices never committed, so there is no fence to trip — the
-    # replay is a no-op either way)
-    for r in replay:
-        for br in r.tables.values():
-            assert br.merge.fenced or (
-                br.merge.rows_upserted == 0 and br.merge.rows_deleted == 0
-            )
-    assert any(br.merge.fenced for r in replay for br in r.tables.values())
+    assert not any(
+        br.merge.fenced for r in replay for br in r.tables.values() if br.merge
+    )
+    pd.testing.assert_frame_equal(_table_pdf(jobs["commune"]), got)
+    # within-checkpoint epoch retry: same uid + same epoch id -> fenced
+    with open(os.path.join(tmp_root, "sckpt2", "engine_id")) as fh:
+        uid = fh.read().strip()
+    window = log.lsn_range(replay[0].lo, replay[0].hi)
+    retried = dag.apply_window(
+        window, replay[0].batch_id, replay[0].lo, replay[0].hi,
+        fence_ns=f"dag.stream.{uid}",
+    )
+    assert all(br.merge.fenced for br in retried.tables.values() if br.merge)
     pd.testing.assert_frame_equal(_table_pdf(jobs["commune"]), got)
 
 
@@ -427,6 +435,49 @@ def test_dag_driver_switch_does_not_fence_out_fresh_events(spark, tmp_root, cog_
         jobs["commune"].table.read().filter(F.col("code") == code).collect()[0].asDict()
     )
     assert row["name"] == "SWITCHED" and row["population"] == 424242
+
+
+def test_dag_stream_restart_fresh_checkpoint_applies_fresh_events(spark, tmp_root, cog_events):
+    """The data-loss repro the fence uid exists for: stream run fences
+    epochs 0..N; operator restarts with a FRESH checkpoint dir and a
+    large trigger so ALL files (old + a new segment) land in epoch 0.
+    With a checkpoint-scoped fence uid the restarted stream re-applies
+    and the new events land; with a shared namespace epoch 0 would fence
+    against the old run's high-water mark and silently drop them."""
+    log_dir = _write_segments(tmp_root, cog_events, n_segments=3)
+    log = MultiTableLog(spark, log_dir)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    dag.run_stream(log, os.path.join(tmp_root, "sA"), max_files_per_trigger=1)
+    oracle = expected_cog_state(cog_events)
+    code = oracle["commune"]["code"].iloc[0]
+    dept = oracle["commune"]["department_code"].iloc[0]
+    extra = _envelope(
+        [("U", "commune", {"code": code, "department_code": dept, "name": "FRESH", "population": 777})]
+    )
+    extra["lsn"] = [int(log.max_lsn()) + 1]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("op", pa.string()),
+            ("table", pa.string()),
+            ("payload", pa.string()),
+            ("schema_version", pa.int32()),
+            ("props", pa.string()),
+        ]
+    )
+    p = os.path.join(log_dir, "seg-9999.parquet")
+    pq.write_table(pa.Table.from_pandas(extra, schema=arrow_schema), p)
+    os.utime(p, (1_700_000_100, 1_700_000_100))
+    # fresh checkpoint, one big epoch covering every file
+    dag.run_stream(log, os.path.join(tmp_root, "sB"), max_files_per_trigger=16)
+    row = (
+        jobs["commune"].table.read().filter(F.col("code") == code).collect()[0].asDict()
+    )
+    assert row["name"] == "FRESH" and row["population"] == 777
 
 
 def test_dag_coalesce_partial_update_of_just_added_column(spark, tmp_root):

@@ -58,6 +58,31 @@ def test_stratified_sample_rates_and_default(spark, docs):
     assert 0.1 < got["fr"] / base["fr"] < 0.45
 
 
+def test_uniform_hash_distinguishes_null_positions(spark):
+    """concat_ws skips nulls; the sentinel encoding must keep
+    ('x', NULL, 'y') and ('x', 'y', NULL) on distinct draws."""
+    from french_admin_etl_spark.operators.sampling import uniform_hash
+
+    df = spark.createDataFrame(
+        [("x", None, "y"), ("x", "y", None)], "a string, b string, c string"
+    )
+    u = [r["u"] for r in df.select(uniform_hash(["a", "b", "c"]).alias("u")).collect()]
+    assert u[0] != u[1]
+
+
+def test_stratified_sample_typed_strata(spark):
+    """Boolean (non-string) strata must match by typed equality, not by
+    Python str() rendering ('True' vs Spark's 'true')."""
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(400)], "doc_id long, is_code boolean"
+    )
+    out = stratified_sample(
+        df, ["is_code"], {True: 1.0, False: 0.0}, ["doc_id"], default_fraction=0.0
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [i for i in range(400) if i % 2 == 0]
+
+
 def test_stratified_quota_exact_and_stable(spark, docs):
     out = stratified_quota(docs, ["lang"], 30, ["doc_id"])
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}

@@ -26,7 +26,7 @@ PACKAGE = "french_admin_etl_spark"
 
 def build(out_path: str | None = None) -> str:
     out_path = out_path or os.path.join(REPO, "dist", "fae_spark.zip")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     entries = []
     pkg_root = os.path.join(REPO, PACKAGE)
     for dirpath, dirnames, filenames in os.walk(pkg_root):
