@@ -486,11 +486,23 @@ class CDCApplyJob:
     ) -> list[BatchResult]:
         """Structured Streaming driver: foreachBatch over the log directory,
         availableNow trigger (bounded replay), Spark-managed offsets +
-        table-side fence = exactly-once."""
+        table-side fence = exactly-once.
+
+        The fence is namespaced ``<writer>.stream.<uid>`` with the uid
+        minted per stream-checkpoint dir (see
+        :func:`.checkpoint.stream_fence_uid`): epoch ids restart at 0
+        under a fresh checkpoint, and fencing them against another
+        driver's (or an earlier stream's) high-water mark silently drops
+        fresh events — with the uid, the worst case is a convergent
+        LSN-guarded re-apply."""
+        from french_admin_etl_spark.streaming.checkpoint import stream_fence_uid
+
+        uid = stream_fence_uid(checkpoint_dir)
+        ns = f"{self.writer_id}.stream.{uid}" if self.writer_id else f"stream.{uid}"
         results: list[BatchResult] = []
 
         def handle(df: DataFrame, epoch_id: int) -> None:
-            results.append(self.apply_batch(df, int(epoch_id)))
+            results.append(self.apply_batch(df, int(epoch_id), fence_writer=ns))
 
         q = (
             log.read_stream(max_files_per_trigger)

@@ -30,3 +30,29 @@ class CheckpointStore:
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, self.path)  # atomic on POSIX
+
+
+def stream_fence_uid(checkpoint_dir: str) -> str:
+    """Identity of a Structured Streaming checkpoint dir, minted once and
+    persisted in ``<dir>/engine_id``.
+
+    Spark epoch ids are scoped to one stream checkpoint, so any
+    table-side fence keyed by them must be too: fencing a FRESH
+    checkpoint's epoch 0 against an old run's high-water mark silently
+    drops the new events while Spark marks their files consumed
+    (reviewer-found data loss). Namespacing the fence under this uid
+    makes a fresh checkpoint re-apply convergently instead, while
+    replayed epochs WITHIN a checkpoint still fence to no-ops."""
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    uid_path = os.path.join(checkpoint_dir, "engine_id")
+    if os.path.exists(uid_path):
+        with open(uid_path) as fh:
+            return fh.read().strip()
+    uid = uuid.uuid4().hex[:12]
+    tmp = uid_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(uid)
+    os.replace(tmp, uid_path)
+    return uid

@@ -357,18 +357,10 @@ class DagApplyJob:
         fine (LSN-guarded merge), out-of-order SEGMENTS are a producer
         bug this driver surfaces as an FKViolation rather than hiding."""
         import os
-        import uuid
 
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        uid_path = os.path.join(checkpoint_dir, "engine_id")
-        if os.path.exists(uid_path):
-            with open(uid_path) as fh:
-                stream_uid = fh.read().strip()
-        else:
-            stream_uid = uuid.uuid4().hex[:12]
-            with open(uid_path, "w") as fh:
-                fh.write(stream_uid)
+        from french_admin_etl_spark.streaming.checkpoint import stream_fence_uid
 
+        stream_uid = stream_fence_uid(checkpoint_dir)
         results: list[WindowResult] = []
 
         def handle(df: DataFrame, epoch_id: int) -> None:

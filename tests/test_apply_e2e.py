@@ -453,3 +453,35 @@ def test_stray_column_only_update_still_dead_letters(spark, tmp_root):
     assert res.n_rejects == 1
     got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
     assert got == {("a", "f"): "v1"}
+
+
+def test_stream_after_incremental_applies_fresh_events(spark, tmp_root, events):
+    """Driver switch: run_incremental advances the shared-sequence fence;
+    a later run_stream (fresh checkpoint, epoch ids from 0) must APPLY
+    fresh events, not fence them out against the batch driver's
+    high-water mark (reviewer-found silent data loss) — the stream fence
+    is namespaced per checkpoint-dir uid."""
+    log_dir = os.path.join(tmp_root, "events_sw")
+    spark.createDataFrame(events, schema=EVENT_SCHEMA).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+    table, job = _mk(spark, tmp_root)
+    job.run_incremental(
+        EventLog(spark, log_dir),
+        CheckpointStore(os.path.join(tmp_root, "ck_sw.json")),
+        batch_lsns=1000,
+    )
+    assert _sha_state(table) == _oracle_state(events)
+    # a fresh event lands as a new log file; operator switches drivers
+    mx = int(events["lsn"].max())
+    extra = [(mx + 1, None, "U", "r0", "p0", "c9", "py", "SWITCHED", 1, None)]
+    spark.createDataFrame(extra, schema=EVENT_SCHEMA).write.mode("append").parquet(log_dir)
+    job.run_stream(
+        EventLog(spark, log_dir), os.path.join(tmp_root, "s_sw"), max_files_per_trigger=64
+    )
+    row = (
+        table.read()
+        .filter((F.col("repo") == "r0") & (F.col("path") == "p0"))
+        .collect()
+    )
+    assert row and row[0]["content"] == "SWITCHED"
