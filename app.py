@@ -137,6 +137,81 @@ def cmd_cascade(args) -> None:
         )
 
 
+def cmd_dag(args) -> None:
+    """FK-ordered multi-table apply: one shared envelope log (Debezium
+    idiom: JSON payload + table tag), applied window-by-window to every
+    table in topological order with per-window FK gates. The topology
+    comes from a JSON spec file:
+
+        {"tables": {"region":   {"schema": "code string, name string",
+                                 "keys": ["code"]},
+                    "commune":  {"schema": "code string, department_code string",
+                                 "keys": ["code"]}},
+         "edges": [["commune", "department_code", "region", "code"]]}
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from french_admin_etl_spark.session import get_spark
+    from french_admin_etl_spark.sources.envelope_log import MultiTableLog
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.streaming.dag import DagApplyJob, FKEdge
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    with open(args.tables_json) as fh:
+        spec = _json.load(fh)
+    spark = get_spark(app_name="cdc_dag", cores=args.cores)
+    jobs = {}
+    for name, t in spec["tables"].items():
+        root = os.path.join(args.table_root, name)
+        if LakeTable.exists(root):
+            table = LakeTable(spark, root)
+        else:
+            table = LakeTable.create(
+                spark, root,
+                schema=T._parse_datatype_string(f"struct<{t['schema']}>"),
+                key_cols=t["keys"], num_buckets=args.num_buckets,
+                write_mode=args.write_mode or "mor",
+            )
+        jobs[name] = CDCApplyJob(
+            spark, table, merge_mode=t.get("merge_mode", "overwrite")
+        )
+    dag = DagApplyJob(
+        jobs,
+        [FKEdge(*e) for e in spec.get("edges", [])],
+        writer_id=args.writer_id,
+    )
+    log = MultiTableLog(spark, args.log_dir)
+    if args.stream:
+        results = dag.run_stream(log, args.checkpoint)
+    else:
+        results = dag.run_incremental(
+            log, CheckpointStore(os.path.join(args.checkpoint, "dag.json")),
+            batch_lsns=args.batch_lsns,
+        )
+    for r in results:
+        print(
+            json.dumps(
+                {
+                    "batch_id": r.batch_id,
+                    "window": [r.lo, r.hi],
+                    "tables": {
+                        n: {
+                            "events": br.n_events,
+                            "rejects": br.n_rejects,
+                            "upserted": br.merge.rows_upserted if br.merge else 0,
+                            "deleted": br.merge.rows_deleted if br.merge else 0,
+                            "fenced": bool(br.merge and br.merge.fenced),
+                        }
+                        for n, br in r.tables.items()
+                    },
+                }
+            )
+        )
+
+
 def cmd_maintain(args) -> None:
     """Table maintenance trio (run from a scheduler, never inline with
     ingest): compact MOR deltas, expire old snapshot metadata, vacuum
@@ -236,6 +311,22 @@ def main() -> None:
     cp.add_argument("--writer-id", default="cascade")
     cp.add_argument("--cores", type=int, default=None)
     cp.set_defaults(fn=cmd_cascade)
+
+    gp = sub.add_parser("dag", help="FK-ordered multi-table apply over one envelope log")
+    gp.add_argument("--log-dir", required=True)
+    gp.add_argument("--table-root", required=True,
+                    help="parent dir; each table lives at <root>/<name>")
+    gp.add_argument("--tables-json", required=True,
+                    help="JSON spec: tables {name: {schema, keys[, merge_mode]}}, edges [[child, fk, parent, pk], ...]")
+    gp.add_argument("--checkpoint", required=True)
+    gp.add_argument("--batch-lsns", type=int, default=1_000_000)
+    gp.add_argument("--num-buckets", type=int, default=32)
+    gp.add_argument("--write-mode", choices=["cow", "mor"], default=None)
+    gp.add_argument("--writer-id", default="dag")
+    gp.add_argument("--stream", action="store_true",
+                    help="Structured Streaming driver (availableNow over sealed segments)")
+    gp.add_argument("--cores", type=int, default=None)
+    gp.set_defaults(fn=cmd_dag)
 
     mp = sub.add_parser("maintain", help="compact / expire snapshots / vacuum")
     mp.add_argument("--table-root", required=True)

@@ -1,0 +1,66 @@
+"""CLI surface: the `dag` subcommand drives the multi-table apply from a
+JSON topology spec — the spark-submit entry point for the DAG story."""
+
+import json
+import os
+import sys
+
+import pandas as pd
+
+from french_admin_etl_spark.sources.envelope_log import ENVELOPE_SCHEMA
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dag_subcommand_end_to_end(spark, tmp_root, monkeypatch):
+    sys.path.insert(0, REPO)
+    import app
+
+    rows = [
+        (1, "I", "region", json.dumps({"code": "R1", "name": "A"})),
+        (2, "I", "department", json.dumps({"code": "D1", "region_code": "R1", "name": "B"})),
+        (3, "U", "department", json.dumps({"code": "D1", "region_code": "R1", "name": "B2"})),
+    ]
+    ev = pd.DataFrame(
+        {
+            "lsn": [r[0] for r in rows],
+            "ts": pd.Timestamp("2024-01-01"),
+            "op": [r[1] for r in rows],
+            "table": [r[2] for r in rows],
+            "payload": [r[3] for r in rows],
+            "schema_version": 1,
+            "props": None,
+        }
+    )
+    spark.createDataFrame(ev, schema=ENVELOPE_SCHEMA).write.parquet(
+        os.path.join(tmp_root, "mlog")
+    )
+    spec = {
+        "tables": {
+            "region": {"schema": "code string, name string", "keys": ["code"]},
+            "department": {
+                "schema": "code string, region_code string, name string",
+                "keys": ["code"],
+            },
+        },
+        "edges": [["department", "region_code", "region", "code"]],
+    }
+    spec_path = os.path.join(tmp_root, "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["app.py", "dag", "--log-dir", os.path.join(tmp_root, "mlog"),
+         "--table-root", os.path.join(tmp_root, "t"),
+         "--tables-json", spec_path,
+         "--checkpoint", os.path.join(tmp_root, "ck"),
+         "--num-buckets", "2", "--cores", "4"],
+    )
+    app.main()
+    dep = LakeTable(spark, os.path.join(tmp_root, "t", "department")).read().collect()
+    assert len(dep) == 1 and dep[0]["name"] == "B2"
+    # rerun: same checkpoint, no new events -> no windows, state unchanged
+    app.main()
+    dep2 = LakeTable(spark, os.path.join(tmp_root, "t", "department")).read().collect()
+    assert [r.asDict() for r in dep2] == [r.asDict() for r in dep]
