@@ -750,6 +750,36 @@ def t9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t11_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene pass: PII redaction + per-kind counts. The corpus
+    is synthetic (no real PII), so the query plants a deterministic
+    email + IPv4 per document first — both sides construct the identical
+    input, and the hash match proves the regex semantics agree between
+    the JVM engine and the oracle."""
+    from french_admin_etl_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    counts = pii_counts("text")
+    return aug.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        redact_pii("text").alias("redacted"),
+    )
+
+
 def t10_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy corpus packing into ~50k-token training shards via the
     distributed two-phase prefix sum (no single-task global window)."""
@@ -850,6 +880,39 @@ def g2_neardup_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _redact_pii_sql() -> str:
+    from french_admin_etl_spark.functions.text import PII_PATTERNS
+
+    e, i, p = PII_PATTERNS["EMAIL"], PII_PATTERNS["IPV4"], PII_PATTERNS["PHONE"]
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com from 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+          FROM documents
+        ),
+        step1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{e}')) AS n_email,
+                 regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1
+          FROM aug
+        ),
+        step2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t1, '{i}')) AS n_ipv4,
+                 regexp_replace(t1, '{i}', '<IPV4>', 'g') AS t2
+          FROM step1
+        )
+        SELECT doc_id,
+               CAST(n_email AS INT) AS n_email,
+               CAST(n_ipv4 AS INT) AS n_ipv4,
+               CAST(len(regexp_extract_all(t2, '{p}')) AS INT) AS n_phone,
+               regexp_replace(t2, '{p}', '<PHONE>', 'g') AS redacted
+        FROM step2
+    """
+
+
 def _neardup_index_sql(num_hashes: int = 16, bands: int = 4) -> str:
     r = num_hashes // bands
     band_selects = " UNION ALL ".join(
@@ -915,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
+        "t11_redact_pii": t11_redact_pii,
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
@@ -1362,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
         """,
+        "t11_redact_pii": _redact_pii_sql(),
         "t10_token_shards": """
             SELECT doc_id,
                    CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id

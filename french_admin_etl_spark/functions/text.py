@@ -103,3 +103,39 @@ def fingerprint(col: str | Column) -> Column:
     lowercased text (exact-dup detection robust to whitespace noise)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+# PII patterns deliberately use only portable regex constructs (character
+# classes, bounded repetition, alternation — no lookaround, no \b) so the
+# Java-regex engine (Spark) and the DuckDB oracle agree byte-for-byte.
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IPV4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "PHONE": r"\+[0-9]{1,3}([ .-][0-9]{1,4}){2,5}",
+}
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Training-corpus PII scrub: replace emails, IPv4 addresses, and
+    international phone numbers with typed placeholders (``<EMAIL>`` …).
+    Order matters: emails first (an address can embed digit runs), then
+    IPs, then phones. Pure JVM regexp_replace chain — scan speed, the
+    first-pass hygiene filter of any corpus pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    for tag in ("EMAIL", "IPV4", "PHONE"):
+        c = F.regexp_replace(c, PII_PATTERNS[tag], f"<{tag}>")
+    return c
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts (emitted alongside redaction so the
+    pipeline can quarantine documents above a PII-density threshold)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    remaining = c
+    for tag in ("EMAIL", "IPV4", "PHONE"):
+        out[f"n_{tag.lower()}"] = F.size(
+            F.regexp_extract_all(remaining, F.lit(PII_PATTERNS[tag]), F.lit(0))
+        )
+        remaining = F.regexp_replace(remaining, PII_PATTERNS[tag], f"<{tag}>")
+    return out

@@ -511,3 +511,29 @@ def test_connected_components_raises_on_nonconvergence(spark):
     comp = {r["id"]: r["component"] for r in
             connected_components(chain, max_iterations=20).collect()}
     assert set(comp.values()) == {10}
+
+
+def test_redact_pii_and_counts(spark):
+    from french_admin_etl_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org or at 192.168.0.1 please"),
+        (2, "call +33 1 42 68 53 00 today"),
+        (3, "clean text, no identifiers here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    c = pii_counts("text")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            c["n_email"].alias("ne"), c["n_ipv4"].alias("ni"), c["n_phone"].alias("np"),
+        ).collect()
+    }
+    assert got[1]["red"] == "mail me at <EMAIL> or at <IPV4> please"
+    assert (got[1]["ne"], got[1]["ni"], got[1]["np"]) == (1, 1, 0)
+    assert got[2]["red"] == "call <PHONE> today"
+    assert (got[2]["ne"], got[2]["ni"], got[2]["np"]) == (0, 0, 1)
+    assert got[3]["red"] == rows[2][1]
+    assert (got[3]["ne"], got[3]["ni"], got[3]["np"]) == (0, 0, 0)
