@@ -780,6 +780,27 @@ def t11_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t12_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal (the boilerplate filter):
+    repeated lines keep only their first occurrence, order preserved.
+    The corpus is single-line, so the query first builds a deterministic
+    multi-line document — sentence-split on '. ' plus the whole first
+    line appended again (a guaranteed repeat) — identically on both
+    sides."""
+    from french_admin_etl_spark.functions.text import dedup_lines, repeated_line_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ml = docs.withColumn("text", F.regexp_replace("text", r"\. ", ".\n")).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit("\n"), F.split(F.col("text"), "\n")[0]),
+    )
+    return ml.select(
+        "doc_id",
+        repeated_line_count("text").alias("n_repeated"),
+        dedup_lines("text").alias("deduped"),
+    )
+
+
 def t10_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy corpus packing into ~50k-token training shards via the
     distributed two-phase prefix sum (no single-task global window)."""
@@ -979,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
         "t11_redact_pii": t11_redact_pii,
+        "t12_dedup_lines": t12_dedup_lines,
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
@@ -1425,6 +1447,23 @@ def oracle_sql() -> dict[str, str]:
                        / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        "t12_dedup_lines": """
+            WITH ml0 AS (
+              SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t
+              FROM documents
+            ),
+            ml AS (
+              SELECT doc_id,
+                     string_split(t || chr(10) || string_split(t, chr(10))[1], chr(10)) AS ls
+              FROM ml0
+            )
+            SELECT doc_id,
+                   CAST(len(ls) - len(list_distinct(ls)) AS INT) AS n_repeated,
+                   array_to_string(
+                     list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)
+                   ) AS deduped
+            FROM ml
         """,
         "t11_redact_pii": _redact_pii_sql(),
         "t10_token_shards": """

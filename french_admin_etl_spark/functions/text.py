@@ -139,3 +139,21 @@ def pii_counts(col: str | Column) -> dict[str, Column]:
         )
         remaining = F.regexp_replace(remaining, PII_PATTERNS[tag], f"<{tag}>")
     return out
+
+
+def dedup_lines(col: str | Column, sep: str = "\n") -> Column:
+    """Within-document repetition removal: keep each line's FIRST
+    occurrence, preserving order (the boilerplate/header filter of
+    web-corpus pipelines — repeated nav bars, footers, chorus lines).
+    Pure array expressions: split → array_distinct (order-preserving in
+    Spark) → rejoin; scan speed, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+
+
+def repeated_line_count(col: str | Column, sep: str = "\n") -> Column:
+    """How many lines repetition removal would drop (quarantine metric:
+    documents above a repeated-line ratio are usually boilerplate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, sep)
+    return F.size(lines) - F.size(F.array_distinct(lines))

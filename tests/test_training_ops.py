@@ -537,3 +537,22 @@ def test_redact_pii_and_counts(spark):
     assert (got[2]["ne"], got[2]["ni"], got[2]["np"]) == (0, 0, 1)
     assert got[3]["red"] == rows[2][1]
     assert (got[3]["ne"], got[3]["ni"], got[3]["np"]) == (0, 0, 0)
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    from french_admin_etl_spark.functions.text import dedup_lines, repeated_line_count
+
+    df = spark.createDataFrame(
+        [(1, "header\nbody one\nheader\nbody two\nheader"), (2, "a\nb\nc")],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["d"], r["n"])
+        for r in df.select(
+            "id",
+            dedup_lines("text").alias("d"),
+            repeated_line_count("text").alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("header\nbody one\nbody two", 2)
+    assert got[2] == ("a\nb\nc", 0)
