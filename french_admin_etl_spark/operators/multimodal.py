@@ -8,11 +8,13 @@ delineated (this container has no PIL/ffmpeg):
 - **REAL decode, no libraries needed**: uncompressed raster images
   (PPM ``P6`` / PGM ``P5`` headers + numpy reshape; 24-bit uncompressed
   ``BM`` bitmaps incl. bottom-up row order and 4-byte row padding) and
-  PCM WAV audio (stdlib ``wave``). Real nearest-neighbor RESIZE to an
-  8×8 grayscale thumbnail is the image feature; per-segment RMS energy
-  is the audio feature. Rows whose codec needs an external library
-  (JPEG/PNG/MP3/…) get a per-row ``err`` instead of failing the batch —
-  the engine's S9 dead-letter philosophy applied to media.
+  **PNG** (stdlib ``zlib`` inflate + all five scanline filters, 8-bit
+  gray/RGB/GA/RGBA non-interlaced), and PCM WAV audio (stdlib
+  ``wave``). Real nearest-neighbor RESIZE to an 8×8 grayscale thumbnail
+  is the image feature; per-segment RMS energy is the audio feature.
+  Rows whose codec needs an external library (JPEG/MP3/…) get a
+  per-row ``err`` instead of failing the batch — the engine's S9
+  dead-letter philosophy applied to media.
 - **STUBBED**: compressed codecs and video frame iteration
   (``decode_stub=True`` swaps in a deterministic fake so the pipeline
   shape is exercised end-to-end; the real-video seam raises
@@ -135,9 +137,89 @@ def decode_image(payload: bytes):
             bgr = bgr[::-1]
         gray = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
         return w, h, gray
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
         f"codec not decodable without image libraries (magic {payload[:4]!r})"
     )
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decode, stdlib-only (zlib inflate + numpy unfiltering):
+    8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced. All five scanline filters (none/sub/up/
+    average/paeth) are implemented; alpha is ignored for the grayscale
+    feature. Interlaced or exotic-depth PNGs raise NotImplementedError
+    (per-row err isolation upstream, S9)."""
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} interlace={interlace}"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("malformed PNG: truncated IDAT")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:  # sub
+                    v = line[x] + a
+                elif f == 3:  # average
+                    v = line[x] + ((a + b) >> 1)
+                elif f == 4:  # paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(h, w, channels).astype(np.float64)
+    if ctype == 0:
+        gray = px[:, :, 0]
+    elif ctype == 4:
+        gray = px[:, :, 0]  # alpha ignored
+    else:  # 2 or 6: RGB(+A)
+        gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return w, h, gray
 
 
 def resize_gray(gray, out_h: int = 8, out_w: int = 8):
