@@ -996,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_salted_two_phase_agg": a3_salted_two_phase_agg,
         "g1_dag_final_state": g1_dag_final_state,
         "g2_neardup_index_rows": g2_neardup_index_rows,
+        "g3_ann_index_rows": g3_ann_index_rows,
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
@@ -1222,6 +1223,105 @@ def _lang_id_sql() -> str:
     """
 
 
+def g3_ann_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index driven end-to-end THROUGH the engine: the
+    embeddings table arrives as TWO CDC waves into a vector lake table
+    (bootstrap, then late inserts + sign-flips + deletes), and after each
+    wave a CascadeJob maintains the sign-LSH bucket index from the
+    table's changes(). Returns (vec_id, bucket); the oracle derives the
+    same buckets declaratively from the FINAL vector set — hash-match
+    proves incremental maintenance == batch rebuild on the embedding
+    side, mirroring g2 for text."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.operators.ann_index import AnnIndex, ann_index_schema
+    from french_admin_etl_spark.streaming.cascade import CascadeJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    N = 10_000_000
+
+    def ev(df: DataFrame, op: str, base: int) -> DataFrame:
+        return df.select(
+            "vec_id", "embedding",
+            (F.lit(base) + F.col("vec_id")).alias("lsn"),
+            F.lit(op).alias("op"),
+        )
+
+    w1 = ev(vecs.filter(F.col("vec_id") % 3 != 2), "I", 0)
+    w2 = (
+        ev(vecs.filter(F.col("vec_id") % 3 == 2), "I", N)
+        .unionByName(
+            ev(
+                vecs.filter(F.col("vec_id") % 5 == 0).withColumn(
+                    "embedding",
+                    F.transform("embedding", lambda x: -x).cast("array<float>"),
+                ),
+                "U",
+                2 * N,
+            )
+        )
+        .unionByName(
+            ev(
+                vecs.filter(F.col("vec_id") % 7 == 3).withColumn(
+                    "embedding", F.lit(None).cast("array<float>")
+                ),
+                "D",
+                3 * N,
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="g3_annidx_")
+    try:
+        table = LakeTable.create(
+            spark,
+            os.path.join(root, "vecs"),
+            schema=T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField("embedding", T.ArrayType(T.FloatType())),
+                ]
+            ),
+            key_cols=["vec_id"],
+            num_buckets=8,
+            write_mode="mor",
+        )
+        idx = AnnIndex.create(spark, os.path.join(root, "annidx"), num_buckets=8)
+        cascade = CascadeJob(
+            spark, table, idx.table, transform=idx.transform(), writer_id="g3"
+        )
+        ckpt = CheckpointStore(os.path.join(root, "ck.json"))
+        table.merge(w1, batch_id=0)
+        cascade.run_to_latest(ckpt)
+        table.merge(w2, batch_id=1)
+        cascade.run_to_latest(ckpt)
+        out = idx.table.read().select("vec_id", "bucket")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ann_index_sql(bits: int = 8) -> str:
+    return f"""
+        WITH final AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 5 = 0
+                      THEN list_transform(embedding, x -> -x)
+                      ELSE embedding END AS e
+          FROM embeddings
+          WHERE vec_id % 7 != 3
+        )
+        SELECT vec_id, CAST({_bucket_sql("e", bits)} AS INT) AS bucket
+        FROM final
+    """
+
+
 def _bucket_sql(col: str, bits: int) -> str:
     return " + ".join(
         f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
@@ -1436,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d1_minhash_lsh_pairs": _lsh_pairs_sql(),
         "g2_neardup_index_rows": _neardup_index_sql(),
+        "g3_ann_index_rows": _ann_index_sql(),
         "t8_dataset_split": """
             SELECT doc_id, lang,
                    CASE WHEN u < 0.8 THEN 'train'

@@ -77,7 +77,7 @@ def bench_queries(spark, sf_dir: str, passes: int = 2) -> tuple[dict, dict]:
     times: dict[str, float] = {}
     all_passes: dict[str, list[float]] = {}
     for name, fn in qs.items():
-        if name in ("g1_dag_final_state", "g2_neardup_index_rows"):
+        if name in ("g1_dag_final_state", "g2_neardup_index_rows", "g3_ann_index_rows"):
             # correctness-gate-only: these drive real engine machinery
             # (DAG apply / incremental index maintenance) over small
             # inputs, so their time is pure fixed per-window overhead
