@@ -243,6 +243,24 @@ def main() -> None:
               ["In(band_hash"], ["BatchEvalPython"])
         sections.append(("Near-dup probe (pushed IN scan on sorted index)", p))
 
+    # 15. incremental ANN probe: the corpus side is restricted by a
+    #     broadcast equi-join on the bucket BEFORE any cosine arithmetic —
+    #     never a cartesian or sort-merge over vectors
+    from french_admin_etl_spark.operators.ann_index import AnnIndex
+
+    with tempfile.TemporaryDirectory(prefix="audit_ann_") as td:
+        aidx = AnnIndex.create(spark, os.path.join(td, "a"), num_buckets=2)
+        seed_rows = aidx.rebuild_rows(emb.limit(100)).select(
+            "vec_id", "embedding", "bucket",
+            F.col("vec_id").alias("lsn"), F.lit("I").alias("op"),
+        )
+        aidx.table.merge(seed_rows, batch_id=0)
+        some_ids = spark.createDataFrame([(1,), (2,)], "vec_id long")
+        p = plan_of(aidx.probe(some_ids, k=5))
+        check("ANN probe restricts by broadcast bucket join (no cartesian)", p,
+              ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"])
+        sections.append(("Incremental ANN probe (bucket-restricted top-k)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
