@@ -1235,7 +1235,7 @@ def g3_ann_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from french_admin_etl_spark.operators.ann_index import AnnIndex, ann_index_schema
+    from french_admin_etl_spark.operators.ann_index import AnnIndex
     from french_admin_etl_spark.streaming.cascade import CascadeJob
     from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
     from french_admin_etl_spark.table.lake_table import LakeTable

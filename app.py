@@ -149,8 +149,6 @@ def cmd_dag(args) -> None:
                                  "keys": ["code"]}},
          "edges": [["commune", "department_code", "region", "code"]]}
     """
-    import json as _json
-
     from pyspark.sql import types as T
 
     from french_admin_etl_spark.session import get_spark
@@ -161,7 +159,7 @@ def cmd_dag(args) -> None:
     from french_admin_etl_spark.table.lake_table import LakeTable
 
     with open(args.tables_json) as fh:
-        spec = _json.load(fh)
+        spec = json.load(fh)
     spark = get_spark(app_name="cdc_dag", cores=args.cores)
     jobs = {}
     for name, t in spec["tables"].items():
@@ -232,6 +230,8 @@ def cmd_maintain(args) -> None:
         out["tombstone_vacuum_version"] = table.vacuum_tombstones(
             args.vacuum_tombstones_watermark
         )
+    if args.prune_fence_prefix:
+        out["fences_pruned"] = table.prune_fences(args.prune_fence_prefix)
     out["current_version"] = table.current_version()
     print(json.dumps(out))
 
@@ -337,6 +337,10 @@ def main() -> None:
                     help="never delete unreferenced files younger than this "
                          "(protects in-flight commits)")
     mp.add_argument("--vacuum-tombstones-watermark", type=int, default=None)
+    mp.add_argument("--prune-fence-prefix", default=None,
+                    help="drop retired fence properties with this key prefix "
+                         "(e.g. 'last_batch_id.job1.stream.' after a stream "
+                         "checkpoint is decommissioned)")
     mp.add_argument("--cores", type=int, default=None)
     mp.set_defaults(fn=cmd_maintain)
 

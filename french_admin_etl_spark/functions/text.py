@@ -111,7 +111,10 @@ def fingerprint(col: str | Column) -> Column:
 PII_PATTERNS = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "IPV4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
-    "PHONE": r"\+[0-9]{1,3}([ .-][0-9]{1,4}){2,5}",
+    # international (+CC ...) OR French-style national (0X xx xx xx xx) —
+    # the reference domain is French administrative data, so the dominant
+    # national format must not leak (reviewer finding)
+    "PHONE": r"(\+[0-9]{1,3}([ .-][0-9]{1,4}){2,5}|0[1-9]([ .-][0-9]{2}){4})",
 }
 
 
@@ -146,14 +149,16 @@ def dedup_lines(col: str | Column, sep: str = "\n") -> Column:
     occurrence, preserving order (the boilerplate/header filter of
     web-corpus pipelines — repeated nav bars, footers, chorus lines).
     Pure array expressions: split → array_distinct (order-preserving in
-    Spark) → rejoin; scan speed, no shuffle."""
+    Spark) → rejoin; scan speed, no shuffle. ``sep`` is a LITERAL
+    separator (quoted before the regex split — '|' or '.' would
+    otherwise split per character, reviewer finding)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+    return F.array_join(F.array_distinct(F.split(c, f"\\Q{sep}\\E")), sep)
 
 
 def repeated_line_count(col: str | Column, sep: str = "\n") -> Column:
     """How many lines repetition removal would drop (quarantine metric:
     documents above a repeated-line ratio are usually boilerplate)."""
     c = F.col(col) if isinstance(col, str) else col
-    lines = F.split(c, sep)
+    lines = F.split(c, f"\\Q{sep}\\E")
     return F.size(lines) - F.size(F.array_distinct(lines))

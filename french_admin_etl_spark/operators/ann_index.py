@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from french_admin_etl_spark.operators.dedup import dedup_max_seq
 from french_admin_etl_spark.operators.similarity import cosine, sign_bucket
 from french_admin_etl_spark.table.lake_table import LakeTable
 
@@ -83,13 +82,15 @@ class AnnIndex:
         expression over the CHANGED vectors only."""
 
         def tf(df: DataFrame) -> DataFrame:
-            ups = dedup_max_seq(
-                df.filter(F.col("op") != "D").select(
-                    F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).cast("array<float>").alias("embedding"),
-                    "lsn",
-                ),
-                ["vec_id"],
+            # no dedup here: the cascade window is already one row per key
+            # (changes()/read_raw resolve), the downstream merge dedups the
+            # transform output again, and — unlike the near-dup transform,
+            # whose inner dedup gates an expensive minhash — the bucket
+            # expression is scan-speed, so an extra groupBy would be a
+            # pure wasted shuffle per window (reviewer finding)
+            ups = df.filter(F.col("op") != "D").select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<float>").alias("embedding"),
                 "lsn",
             ).select(
                 "vec_id",
@@ -127,43 +128,52 @@ class AnnIndex:
     ) -> DataFrame:
         """Top-``k`` cosine neighbors per NEW vector against the standing
         index: (q_id, vec_id, cos_sim), scored only inside the query's
-        bucket (+ ``probe_flips`` hamming-1 buckets). One corpus read,
-        restricted by a broadcast bucket join before any arithmetic."""
-        idx = self.table.read()
-        q = idx.join(
-            F.broadcast(new_ids.select(F.col(new_ids.columns[0]).alias("vec_id"))),
-            ["vec_id"],
-            "left_semi",
-        ).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("bucket").alias("_qb"),
-        )
-        if probe_flips:
-            probes = F.array(
-                F.col("_qb"),
-                *[
-                    F.col("_qb").bitwiseXOR(F.lit(1 << i))
-                    for i in range(probe_flips)
-                ],
+        bucket (+ ``probe_flips`` hamming-1 buckets). ONE corpus read,
+        persisted for its two consumers (query extraction + the bucket
+        join) — re-reading the index per consumer re-runs the MOR
+        resolution each time, the exact cost measured and fixed in the
+        near-dup probe (reviewer finding)."""
+        idx = self.table.read().persist()
+        try:
+            q = idx.join(
+                F.broadcast(
+                    new_ids.select(F.col(new_ids.columns[0]).alias("vec_id"))
+                ),
+                ["vec_id"],
+                "left_semi",
+            ).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("bucket").alias("_qb"),
             )
-            q = q.withColumn("bucket", F.explode(probes)).drop("_qb")
-        else:
-            q = q.withColumnRenamed("_qb", "bucket")
-        hits = (
-            idx.join(F.broadcast(q), ["bucket"])
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select(
-                "q_id",
-                "vec_id",
-                cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+            if probe_flips:
+                probes = F.array(
+                    F.col("_qb"),
+                    *[
+                        F.col("_qb").bitwiseXOR(F.lit(1 << i))
+                        for i in range(probe_flips)
+                    ],
+                )
+                q = q.withColumn("bucket", F.explode(probes)).drop("_qb")
+            else:
+                q = q.withColumnRenamed("_qb", "bucket")
+            hits = (
+                idx.join(F.broadcast(q), ["bucket"])
+                .filter(F.col("vec_id") != F.col("q_id"))
+                .select(
+                    "q_id",
+                    "vec_id",
+                    cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+                )
             )
-        )
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cos_sim").desc(), F.col("vec_id")
-        )
-        return (
-            hits.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .drop("_rk")
-        )
+            w = Window.partitionBy("q_id").orderBy(
+                F.col("cos_sim").desc(), F.col("vec_id")
+            )
+            return (
+                hits.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k)
+                .drop("_rk")
+                .localCheckpoint()
+            )
+        finally:
+            idx.unpersist()

@@ -183,35 +183,52 @@ def _decode_png(payload: bytes):
         raise ValueError("malformed PNG: truncated IDAT")
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels  # bytes per pixel at depth 8
+    zeros_px = np.zeros(bpp, np.int32)
     for y in range(h):
         f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        # channel-lane shape (w, bpp): none/up/sub are fully vectorized
+        # (sub is a mod-256 prefix sum per lane); only average/paeth have
+        # a genuine serial pixel dependency, and those loop per PIXEL
+        # with vector ops across channels — not per byte (a 2000x2000
+        # photo would otherwise cost ~12M interpreter iterations,
+        # reviewer finding)
+        line = (
+            np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            )
+            .astype(np.int32)
+            .reshape(w, bpp)
+        )
+        prev = (
+            out[y - 1].astype(np.int32).reshape(w, bpp)
+            if y
+            else np.zeros((w, bpp), np.int32)
+        )
         if f == 0:
             cur = line
+        elif f == 1:  # sub: recon[x] = sum(line[0..x]) mod 256 per lane
+            cur = np.cumsum(line, axis=0) & 0xFF
         elif f == 2:  # up
             cur = (line + prev) & 0xFF
-        else:
-            cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
+        elif f in (3, 4):
+            cur = np.zeros((w, bpp), np.int32)
+            for x in range(w):
+                a = cur[x - 1] if x else zeros_px
                 b = prev[x]
-                if f == 1:  # sub
-                    v = line[x] + a
-                elif f == 3:  # average
+                if f == 3:  # average
                     v = line[x] + ((a + b) >> 1)
-                elif f == 4:  # paeth
-                    c = prev[x - bpp] if x >= bpp else 0
+                else:  # paeth
+                    c = prev[x - 1] if x else zeros_px
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
                     v = line[x] + pred
-                else:
-                    raise ValueError(f"bad PNG filter {f}")
                 cur[x] = v & 0xFF
-        out[y] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.reshape(stride).astype(np.uint8)
     px = out.reshape(h, w, channels).astype(np.float64)
     if ctype == 0:
         gray = px[:, :, 0]

@@ -50,9 +50,20 @@ def stream_fence_uid(checkpoint_dir: str) -> str:
     if os.path.exists(uid_path):
         with open(uid_path) as fh:
             return fh.read().strip()
+    # exclusive-create protocol (same as the table's commit): two drivers
+    # racing on a fresh dir must agree on ONE uid — a write-then-replace
+    # here would let the loser keep fencing under a uid that was never
+    # persisted (reviewer finding). os.link fails if the target exists,
+    # so exactly one minter wins and the loser re-reads.
     uid = uuid.uuid4().hex[:12]
-    tmp = uid_path + ".tmp"
+    tmp = f"{uid_path}.{uid}.tmp"
     with open(tmp, "w") as fh:
         fh.write(uid)
-    os.replace(tmp, uid_path)
+    try:
+        os.link(tmp, uid_path)
+    except FileExistsError:
+        with open(uid_path) as fh:
+            uid = fh.read().strip()
+    finally:
+        os.unlink(tmp)
     return uid

@@ -1049,6 +1049,46 @@ class LakeTable:
             self._snap_cache.pop(v, None)
         return removed
 
+    def prune_fences(self, prefix: str, keep: list[str] | None = None) -> int:
+        """Drop retired fence properties (metadata-only commit).
+
+        Per-writer and per-stream-uid fences each live as a
+        ``last_batch_id.<namespace>`` snapshot property that is carried
+        forward by every commit FOREVER; an operator that recreates
+        stream checkpoint dirs per run therefore grows the snapshot JSON
+        without bound (reviewer finding). This is the maintenance
+        counterpart: remove every property whose key starts with
+        ``prefix`` (except those in ``keep``) — call it ONLY for
+        namespaces whose writer is retired; pruning a live writer's fence
+        re-opens its replay window (the next replayed batch re-applies —
+        convergent under the LSN guard, but no longer a fenced no-op).
+
+        Returns the number of properties removed (0 = nothing to do, no
+        commit). Optimistic-concurrency: retries on CommitConflict."""
+        keep_set = set(keep or [])
+        for _ in range(5):
+            snap = self.snapshot()
+            props = dict(snap["properties"])
+            doomed = [
+                k for k in props if k.startswith(prefix) and k not in keep_set
+            ]
+            if not doomed:
+                return 0
+            for k in doomed:
+                del props[k]
+            new = dict(snap)
+            new.update(
+                version=snap["version"] + 1,
+                properties=props,
+                parent=snap["version"],
+            )
+            try:
+                self._commit(new)
+                return len(doomed)
+            except CommitConflict:
+                continue  # racing writer won; re-read and retry
+        raise CommitConflict("prune_fences lost 5 commit races; retry later")
+
     def vacuum_orphans(self, min_age_sec: float = 300.0) -> int:
         """Delete data files not referenced by ANY snapshot (lost commits).
 

@@ -373,3 +373,41 @@ def test_lookup_non_string_keys(spark, tmp_root):
     t.merge(src, batch_id=0)
     got = {r["id"]: r["v"] for r in t.lookup([(5,), (17,), (999,)]).collect()}
     assert got == {5: "v5", 17: "v17"}
+
+
+def test_prune_fences_drops_retired_namespaces(spark, tmp_root):
+    """Per-stream-uid fence properties accumulate forever without GC
+    (reviewer finding); prune_fences removes a retired prefix in a
+    metadata-only commit, keeps everything else, and leaves data intact.
+    Pruning re-opens the replay window: the same batch re-applies
+    (convergent) instead of fencing."""
+    import os
+
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "pf"),
+        T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]),
+        ["k"], num_buckets=2, write_mode="mor",
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v string, lsn long, op string")  # noqa: E731
+    t.merge(mk([("a", "1", 1, "I")]), batch_id=0, writer_id="w.stream.deadbeef")
+    t.merge(mk([("b", "2", 2, "I")]), batch_id=0, writer_id="w.stream.cafef00d")
+    t.merge(mk([("c", "3", 3, "I")]), batch_id=0, writer_id="live")
+    props = t.snapshot()["properties"]
+    assert sum(k.startswith("last_batch_id.w.stream.") for k in props) == 2
+    assert t.prune_fences("last_batch_id.w.stream.") == 2
+    props2 = t.snapshot()["properties"]
+    assert not any(k.startswith("last_batch_id.w.stream.") for k in props2)
+    assert props2.get("last_batch_id.live") == 0  # untouched
+    assert {r["k"] for r in t.read().collect()} == {"a", "b", "c"}
+    # replay of a pruned namespace re-applies convergently (not fenced)
+    # — and re-mints its fence property, which prunes again
+    s = t.merge(mk([("a", "1", 1, "I")]), batch_id=0, writer_id="w.stream.deadbeef")
+    assert not s.fenced
+    assert {r["k"] for r in t.read().collect()} == {"a", "b", "c"}
+    assert t.prune_fences("last_batch_id.w.stream.") == 1
+    # nothing left to prune -> no commit
+    v = t.current_version()
+    assert t.prune_fences("last_batch_id.w.stream.") == 0
+    assert t.current_version() == v

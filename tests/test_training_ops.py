@@ -644,3 +644,28 @@ def test_png_decode_all_filters(spark):
     )
     with _pytest.raises(NotImplementedError, match="interlace"):
         decode_image(bad)
+
+
+def test_dedup_lines_literal_separator(spark):
+    """Regex-metachar separators are treated literally (reviewer finding:
+    '|' as a regex splits per character and garbles the text)."""
+    from french_admin_etl_spark.functions.text import dedup_lines, repeated_line_count
+
+    df = spark.createDataFrame([(1, "ab|cd|ab|ef")], "id int, text string")
+    r = df.select(
+        dedup_lines("text", sep="|").alias("d"),
+        repeated_line_count("text", sep="|").alias("n"),
+    ).collect()[0]
+    assert r["d"] == "ab|cd|ef" and r["n"] == 1
+
+
+def test_redact_pii_national_phone(spark):
+    """French national numbers (the reference domain) must not leak."""
+    from french_admin_etl_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "appelez le 01 42 68 53 00 ce soir")], "id int, text string"
+    )
+    c = pii_counts("text")
+    r = df.select(redact_pii("text").alias("red"), c["n_phone"].alias("np")).collect()[0]
+    assert r["red"] == "appelez le <PHONE> ce soir" and r["np"] == 1
