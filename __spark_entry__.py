@@ -801,6 +801,33 @@ def t12_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k1_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch: distinct users per event
+    type, estimated from the 64 smallest md5-derived hashes per group.
+    Deterministic, mergeable, combinable — the cardinality primitive for
+    10^10-event logs where exact COUNT(DISTINCT) shuffles every value.
+    The oracle reproduces the estimator bit-for-bit in SQL."""
+    from french_admin_etl_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    return kmv_distinct(ev, "u", ["event_type"], k=64, salt_buckets=8)
+
+
+def k2_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch cells over the event stream's user ids: a 4×128
+    counter grid whose point queries never under-estimate a user's event
+    count. The sketch table IS the query output (hash-checked); the
+    one-sided estimate guarantee is unit-tested in test_sketches.py."""
+    from french_admin_etl_spark.operators.sketches import cms_build
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    return cms_build(ev, "u", depth=4, width=128)
+
+
 def t10_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy corpus packing into ~50k-token training shards via the
     distributed two-phase prefix sum (no single-task global window)."""
@@ -1002,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_token_shards": t10_token_shards,
         "t11_redact_pii": t11_redact_pii,
         "t12_dedup_lines": t12_dedup_lines,
+        "k1_kmv_distinct": k1_kmv_distinct,
+        "k2_cms_heavy_hitters": k2_cms_heavy_hitters,
         "w3_sessionize": w3_sessionize,
         "r2_rollup_hierarchy": r2_rollup_hierarchy,
         "o2_percentiles": o2_percentiles,
@@ -1548,6 +1577,37 @@ def oracle_sql() -> dict[str, str]:
                        / 4294967296.0 AS u
               FROM documents
             )
+        """,
+        "k1_kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM h
+            )
+            SELECT event_type,
+                   max(CASE WHEN rn = 64 THEN hv END) AS kmv_kth,
+                   CAST(CASE WHEN max(n) < 64 THEN max(n)
+                             ELSE floor(63 * 4294967296.0 / max(CASE WHEN rn = 64 THEN hv END))
+                        END AS BIGINT) AS distinct_est
+            FROM r
+            GROUP BY event_type
+        """,
+        "k2_cms_heavy_hitters": """
+            WITH e AS (
+              SELECT r.range AS row_id, CAST(user_id AS VARCHAR) AS v
+              FROM events, range(4) r
+            )
+            SELECT row_id,
+                   CAST(('0x' || substr(md5(CAST(row_id AS VARCHAR) || '|' || v), 1, 8)) AS BIGINT) % 128 AS cell,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM e
+            GROUP BY 1, 2
         """,
         "t12_dedup_lines": """
             WITH ml0 AS (

@@ -108,6 +108,40 @@ def _bucket_expr(keys: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast("int")
 
 
+def _footer_stats(md, cols: list[str]) -> dict | None:
+    """Per-file min/max for ``cols`` straight from the parquet footer we
+    already open for row counts — zero extra jobs, zero extra I/O. Only
+    JSON-safe scalar types (int/float/str) are kept; a column missing
+    stats in ANY row group is dropped (absent stats must read as "may
+    contain anything", never as a bound). This is the manifest-level
+    data-skipping layer (Iceberg manifest ``lower_bounds``/``upper_bounds``
+    analog): at 10^10 rows, ``lookup()`` prunes whole files driver-side
+    before any scan task is scheduled."""
+    want = set(cols)
+    out: dict[str, list] = {}
+    for ci in range(md.num_columns):
+        name = md.row_group(0).column(ci).path_in_schema if md.num_row_groups else None
+        if name not in want:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if (
+            ok
+            and not isinstance(mn, bool)
+            and isinstance(mn, (int, float, str))
+            and isinstance(mx, (int, float, str))
+        ):
+            out[name] = [mn, mx]
+    return out or None
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -264,6 +298,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         resolve: bool = True,
+        file_pruner=None,
     ) -> DataFrame:
         """All physical rows (incl. tombstones + internal cols), optionally
         pruned to a bucket subset (the MERGE fast path).
@@ -275,7 +310,15 @@ class LakeTable:
         (``_lsn=0``) and a delta, or a replayed delta, carry the same LSN.
         (Bucket pruning is safe before resolution — a key's rows all share
         one bucket.) ``resolve=False`` exposes the raw multiplicity (used
-        by compaction metrics/debugging)."""
+        by compaction metrics/debugging).
+
+        ``file_pruner(stats_or_None) -> bool`` drops individual files by
+        their manifest min/max stats BEFORE the scan is planned (the
+        Iceberg manifest-bounds skip). Callers must only prune files that
+        cannot contain any row of the keys they're after — then MOR
+        resolution over the surviving files is unchanged, because every
+        physical row of a requested key is still present. Files with no
+        recorded stats always survive."""
         snap = self.snapshot(version)
         cur_v = snap["schema_version"]
         groups = snap["file_groups"]
@@ -289,7 +332,12 @@ class LakeTable:
         by_key: dict[tuple[int, int, bool], list[str]] = {}
         for g in groups:
             k = (g["schema_version"], g.get("seq", 0), bool(g.get("coalesce")))
-            by_key.setdefault(k, []).extend(g["files"])
+            files = g["files"]
+            if file_pruner is not None:
+                st = g.get("stats") or [None] * len(files)
+                files = [f for f, s in zip(files, st) if file_pruner(s)]
+            if files:
+                by_key.setdefault(k, []).extend(files)
         parts = []
         for (sv, seq, coal), files in sorted(by_key.items()):
             df = self.spark.read.schema(self._schema_at(snap, sv)).parquet(
@@ -373,7 +421,17 @@ class LakeTable:
         bucket set comes from one k-row job running the WRITER'S OWN hash
         expression (no reimplementation that could drift from xxhash64's
         exact semantics); the key predicate pushes through the resolution
-        aggregate because it filters grouping columns."""
+        aggregate because it filters grouping columns.
+
+        Between bucket pruning and the pushed predicate sits manifest
+        pruning: files whose recorded key min/max ranges exclude every
+        requested key are dropped driver-side (sound for MOR resolution —
+        a skipped file contains NO row of any requested key, so per-key
+        max-(_lsn, seq) over the remaining files is unchanged; tombstones
+        carry the key, so delete markers survive pruning too). Stats live
+        under write-time physical names; after a key rename old files
+        simply stop pruning (absent range = unconstrained), never skip
+        wrongly."""
         snap = self.snapshot()
         keys, nb = snap["key_cols"], snap["num_buckets"]
         if not key_values:
@@ -401,8 +459,27 @@ class LakeTable:
                 c = F.col(k) == F.lit(v)
                 clause = c if clause is None else (clause & c)
             pred = clause if pred is None else (pred | clause)
+
+        def _covers(rng, v) -> bool:
+            if rng is None or v is None:
+                return True
+            try:
+                return rng[0] <= v <= rng[1]
+            except TypeError:
+                # type mismatch (e.g. stats from a differently-typed old
+                # schema version) — must read as "may contain"
+                return True
+
+        def _may_contain(stats) -> bool:
+            if not stats:
+                return True
+            return any(
+                all(_covers(stats.get(k), v) for k, v in zip(keys, kv))
+                for kv in key_values
+            )
+
         return (
-            self.read_raw(buckets=buckets)
+            self.read_raw(buckets=buckets, file_pruner=_may_contain)
             .filter(pred)
             .filter(~F.col("_deleted"))
             .select(*logical)
@@ -510,7 +587,15 @@ class LakeTable:
         ``sort_cols`` sorts rows WITHIN each bucket partition before the
         write, so parquet row-group min/max stats on those columns become
         narrow, disjoint ranges — point/range scans then skip row groups
-        (``optimize_sort``)."""
+        (``optimize_sort``).
+
+        Every staged file also records manifest-level min/max stats for
+        the key columns (+ sort_cols) in the file group (``stats``,
+        parallel to ``files``), read from the same footer as the row
+        count — the Iceberg manifest bounds analog that lets ``lookup()``
+        skip files before any task is scheduled."""
+        snap = self.snapshot()
+        stat_cols = list(dict.fromkeys(snap["key_cols"] + (sort_cols or [])))
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         shaped = df.repartition(F.col("_bucket"))
         if sort_cols:
@@ -526,18 +611,27 @@ class LakeTable:
                 continue
             bucket = int(entry.split("=", 1)[1])
             files = []
+            stats = []
             rows = 0
             for i, fname in enumerate(sorted(os.listdir(os.path.join(staging, entry)))):
                 if not fname.endswith(".parquet"):
                     continue
                 src = os.path.join(staging, entry, fname)
                 rel = f"data/s{schema_version}-b{bucket}-{uuid.uuid4().hex[:12]}-{i}.parquet"
-                rows += pq.ParquetFile(src).metadata.num_rows
+                md = pq.ParquetFile(src).metadata
+                rows += md.num_rows
+                stats.append(_footer_stats(md, stat_cols))
                 os.rename(src, os.path.join(self.root, rel))
                 files.append(rel)
             if files:
                 groups.append(
-                    {"bucket": bucket, "files": files, "schema_version": schema_version, "rows": rows}
+                    {
+                        "bucket": bucket,
+                        "files": files,
+                        "schema_version": schema_version,
+                        "rows": rows,
+                        "stats": stats,
+                    }
                 )
         shutil.rmtree(staging, ignore_errors=True)
         return groups

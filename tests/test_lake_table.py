@@ -375,6 +375,94 @@ def test_lookup_non_string_keys(spark, tmp_root):
     assert got == {5: "v5", 17: "v17"}
 
 
+def test_lookup_manifest_stats_skip_files(spark, tmp_root):
+    """Manifest-level data skipping: every staged file records key min/max
+    from its parquet footer; lookup drops files whose range excludes all
+    requested keys BEFORE the scan is planned. num_buckets=1 so bucket
+    pruning contributes nothing — what's measured is purely the stats."""
+    import json as _json
+    import os as _os
+
+    st = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    t = LakeTable.create(
+        spark, _os.path.join(tmp_root, "mstats"), schema=st, key_cols=["id"],
+        num_buckets=1, write_mode="mor",
+    )
+    lo = [(i, f"v{i}", i, "I") for i in range(1, 101)]
+    hi = [(i, f"v{i}", i, "I") for i in range(1000, 1101)]
+    src = "id long, v string, lsn long, op string"
+    t.merge(spark.createDataFrame(lo, src), batch_id=0)
+    t.merge(spark.createDataFrame(hi, src), batch_id=1)
+
+    snap = t.snapshot()
+    # stats recorded for every staged file, under the key column
+    for g in snap["file_groups"]:
+        assert len(g["stats"]) == len(g["files"])
+        for s in g["stats"]:
+            assert s is not None and "id" in s
+
+    covering = {
+        _os.path.basename(f)
+        for g in snap["file_groups"]
+        for f, s in zip(g["files"], g["stats"])
+        if s["id"][0] <= 5 <= s["id"][1]
+    }
+    all_files = {
+        _os.path.basename(f) for g in snap["file_groups"] for f in g["files"]
+    }
+    assert covering < all_files  # the hi batch's files are skippable
+    scanned = {_os.path.basename(f) for f in t.lookup([(5,)]).inputFiles()}
+    assert scanned and scanned <= covering, (scanned, covering)
+    assert {r["id"] for r in t.lookup([(5,), (1050,)]).collect()} == {5, 1050}
+
+    # a delete is a change: the tombstone file covers the key, survives
+    # pruning, and the lookup honors it
+    t.merge(spark.createDataFrame([(2000, "D", 5, None)], "lsn long, op string, id long, v string"), batch_id=2)
+    assert t.lookup([(5,)]).count() == 0
+
+    # legacy snapshots without stats: pruning must read "may contain"
+    # (strip the stats from the latest snapshot on disk and re-read)
+    v = t.current_version()
+    meta = _os.path.join(tmp_root, "mstats", "_meta", f"v{v:08d}.json")
+    with open(meta) as fh:
+        legacy = _json.load(fh)
+    for g in legacy["file_groups"]:
+        g.pop("stats", None)
+    with open(meta, "w") as fh:
+        _json.dump(legacy, fh)
+    t._snap_cache.clear()
+    got = {r["id"]: r["v"] for r in t.lookup([(5,), (42,), (1050,)]).collect()}
+    assert got == {42: "v42", 1050: "v1050"}
+    # without stats nothing is skippable: the scan covers every file,
+    # including the tombstone file the delete batch added after all_files
+    # was captured
+    assert {_os.path.basename(f) for f in t.lookup([(42,)]).inputFiles()} >= all_files
+
+
+def test_lookup_manifest_stats_survive_compaction_sort(spark, tmp_root):
+    """compact(sort_cols=keys) rewrites each bucket sorted by key; the
+    rewritten files' manifest ranges stay correct, so point lookups keep
+    skipping after compaction folds the deltas."""
+    import os as _os
+
+    st = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    t = LakeTable.create(
+        spark, _os.path.join(tmp_root, "mstats2"), schema=st, key_cols=["id"],
+        num_buckets=1, write_mode="mor",
+    )
+    src = "id long, v string, lsn long, op string"
+    t.merge(spark.createDataFrame([(i, f"v{i}", i, "I") for i in range(1, 200)], src), batch_id=0)
+    t.merge(spark.createDataFrame([(7, "v7b", 500, "U")], src), batch_id=1)
+    t.compact(sort_cols=["id"], include_clean=True)
+    snap = t.snapshot()
+    assert all(not g.get("delta") for g in snap["file_groups"])
+    for g in snap["file_groups"]:
+        for s in g["stats"]:
+            assert s is not None and s["id"][0] >= 1 and s["id"][1] <= 199
+    got = {r["id"]: r["v"] for r in t.lookup([(7,)]).collect()}
+    assert got == {7: "v7b"}
+
+
 def test_prune_fences_drops_retired_namespaces(spark, tmp_root):
     """Per-stream-uid fence properties accumulate forever without GC
     (reviewer finding); prune_fences removes a retired prefix in a
