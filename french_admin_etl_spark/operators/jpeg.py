@@ -1,0 +1,295 @@
+"""Baseline JPEG decode, stdlib + numpy only — no PIL/libjpeg.
+
+Closes the last declared media-decode stub for the most common codec:
+baseline sequential DCT JPEGs (SOF0/SOF1), 8-bit, grayscale or YCbCr with
+any sampling factors (4:4:4, 4:2:2, 4:2:0, ...), interleaved or
+single-component scans, restart markers (DRI/RSTn), multi-segment DQT/DHT.
+Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
+raise ``NotImplementedError`` — per-row err isolation upstream (S9) turns
+those into dead-letter rows, same as every other codec gap.
+
+The decode pipeline is the textbook one (ITU-T T.81):
+
+  marker parse → entropy segment split on RSTn → Huffman-decode MCUs
+  (DC predict + AC run-length) → dequantize → de-zigzag → 8x8 IDCT
+  (orthonormal separable DCT-III via one matrix product pair) → level
+  shift + clamp → per-component planes.
+
+``decode_jpeg`` returns the component planes (Y, Cb, Cr at their coded
+resolutions); ``decode_jpeg_gray`` returns the full-resolution luma plane
+— for the grayscale feature pipeline Y IS the BT.601 luma that
+``decode_image`` computes from RGB for other codecs, so no chroma
+upsampling or color conversion is needed (and none of their rounding).
+
+Scale note: this runs inside ``mapInPandas`` workers (one image per row,
+Arrow-batched) — per-image Python cost is the decode itself, which is
+numpy-vectorized where it matters (IDCT, dequant); the bit-serial Huffman
+loop is inherent to the format. Tested round-trip against a from-scratch
+encoder in ``tests/test_jpeg.py`` (forward DCT + canonical Huffman built
+in the test, so no golden bytes from any external tool are needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# natural index of the k-th coefficient in zigzag order (T.81 fig. 5):
+# diagonal d = i+j; even diagonals run bottom-left→top-right (i desc)
+ZIGZAG = np.array(
+    sorted(
+        range(64),
+        key=lambda n: (
+            (n >> 3) + (n & 7),
+            (n >> 3) if ((n >> 3) + (n & 7)) % 2 else -(n >> 3),
+        ),
+    ),
+    dtype=np.int64,
+)
+
+
+def dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: forward X = C x Cᵀ, inverse
+    x = Cᵀ X C. Shared with the test encoder so round-trip error is pure
+    quantization, not basis mismatch."""
+    n = np.arange(8)
+    k = n.reshape(8, 1)
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+_C = dct_matrix()
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+class _Bits:
+    """MSB-first bit reader over one entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        d, p = self.d, self.p
+        if p + n > len(d) * 8:
+            raise ValueError("truncated entropy segment")
+        for _ in range(n):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.p = p
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code")
+
+
+def huff_table(counts: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman decode table from the DHT BITS/HUFFVAL arrays:
+    (length, code) → symbol. Same derivation as T.81 annex C — shared
+    with the test encoder."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline JPEG → (width, height, [component planes]).
+
+    Planes are float64 arrays in [0, 255] at each component's CODED
+    resolution (chroma stays subsampled — callers upsample if they need
+    RGB; the gray path needs only plane 0)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    frame = None
+    dri = 0
+    i = 2
+    scan = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker sync lost at {i}")
+        m = payload[i + 1]
+        if m == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+            i += 2
+            continue
+        ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+        seg = payload[i + 4 : i + 2 + ln]
+        i += 2 + ln
+        if m == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p : p + 128], ">u2").astype(np.float64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], np.uint8).astype(np.float64)
+                    p += 64
+                q = np.zeros(64)
+                q[ZIGZAG] = vals  # DQT stores zigzag order → natural
+                qt[tq] = q.reshape(8, 8)
+        elif m == 0xC4:  # DHT — possibly several tables per segment
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                nv = sum(counts)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                (hdc if tc == 0 else hac)[th] = huff_table(counts, vals)
+                p += 17 + nv
+        elif m in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF marker 0x{m:02x} (not baseline)")
+        elif m == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS — entropy data follows the header
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scomps.append({"id": cid, "td": tt >> 4, "ta": tt & 15})
+            scan = (scomps, i)
+            break
+        # APPn / COM / others: skipped via their length
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    scomps, dpos = scan
+
+    # split entropy-coded data into restart segments, un-stuffing 0xFF00
+    segs: list[bytearray] = [bytearray()]
+    j = dpos
+    n = len(payload)
+    while j < n:
+        b = payload[j]
+        if b != 0xFF:
+            segs[-1].append(b)
+            j += 1
+            continue
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            segs[-1].append(0xFF)
+            j += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytearray())
+            j += 2
+        elif nxt == 0xFF:
+            j += 1  # fill byte
+        else:
+            break  # EOI or next real marker
+
+    comps = frame["comps"]
+    w, hgt = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: c for c in comps}
+    interleaved = len(scomps) > 1
+    if interleaved:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-hgt // (8 * vmax))
+        units = [(by_id[s["id"]], s, by_id[s["id"]]["h"], by_id[s["id"]]["v"]) for s in scomps]
+    else:
+        c = by_id[scomps[0]["id"]]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(hgt * c["v"]) // vmax)
+        mcus_x = -(-cw // 8)
+        mcus_y = -(-ch // 8)
+        units = [(c, scomps[0], 1, 1)]
+    planes = {}
+    for c, _s, hu, vu in units:
+        planes[c["id"]] = np.zeros((mcus_y * vu * 8, mcus_x * hu * 8))
+
+    pred = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    bits = _Bits(bytes(segs[0]))
+    total = mcus_x * mcus_y
+    for mi in range(total):
+        if dri and mi and mi % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            bits = _Bits(bytes(segs[seg_i]))
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mi, mcus_x)
+        for c, s, hu, vu in units:
+            q = qt[c["tq"]]
+            dct = hdc[s["td"]]
+            act = hac[s["ta"]]
+            for v in range(vu):
+                for hh in range(hu):
+                    zig = np.zeros(64)
+                    t = bits.huff(dct)
+                    pred[c["id"]] += _extend(bits.read(t), t)
+                    zig[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = bits.huff(act)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overrun")
+                        zig[k] = _extend(bits.read(sz), sz)
+                        k += 1
+                    nat = np.zeros(64)
+                    nat[ZIGZAG] = zig
+                    px = _idct2(nat.reshape(8, 8) * q) + 128.0
+                    y0 = (my * vu + v) * 8
+                    x0 = (mx * hu + hh) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    out = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(hgt * c["v"]) // vmax)
+        out.append(np.clip(planes[c["id"]][:ch, :cw], 0.0, 255.0))
+    return w, hgt, out
+
+
+def decode_jpeg_gray(payload: bytes):
+    """(width, height, gray) — the luma plane, which for JFIF YCbCr is
+    exactly the BT.601 gray the other decoders compute from RGB."""
+    w, h, planes = decode_jpeg(payload)
+    return w, h, planes[0]

@@ -7,13 +7,16 @@ delineated (this container has no PIL/ffmpeg):
 
 - **REAL decode, no libraries needed**: uncompressed raster images
   (PPM ``P6`` / PGM ``P5`` headers + numpy reshape; 24-bit uncompressed
-  ``BM`` bitmaps incl. bottom-up row order and 4-byte row padding) and
+  ``BM`` bitmaps incl. bottom-up row order and 4-byte row padding),
   **PNG** (stdlib ``zlib`` inflate + all five scanline filters, 8-bit
-  gray/RGB/GA/RGBA non-interlaced), and PCM WAV audio (stdlib
-  ``wave``). Real nearest-neighbor RESIZE to an 8×8 grayscale thumbnail
-  is the image feature; per-segment RMS energy is the audio feature.
-  Rows whose codec needs an external library (JPEG/MP3/…) get a
-  per-row ``err`` instead of failing the batch — the engine's S9
+  gray/RGB/GA/RGBA non-interlaced), **baseline JPEG** (from-scratch
+  Huffman + dequant + IDCT in ``operators/jpeg.py``: SOF0/SOF1, any
+  chroma sampling, restart markers; round-trip tested against a
+  from-scratch encoder), and PCM WAV audio (stdlib ``wave``). Real
+  nearest-neighbor RESIZE to an 8×8 grayscale thumbnail is the image
+  feature; per-segment RMS energy is the audio feature. Rows whose
+  codec still needs an external library (progressive JPEG, MP3/…) get
+  a per-row ``err`` instead of failing the batch — the engine's S9
   dead-letter philosophy applied to media.
 - **STUBBED**: compressed codecs and video frame iteration
   (``decode_stub=True`` swaps in a deterministic fake so the pipeline
@@ -139,6 +142,12 @@ def decode_image(payload: bytes):
         return w, h, gray
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        # baseline JPEG, from-scratch (operators/jpeg.py): the luma plane
+        # IS the BT.601 gray the other branches compute from RGB
+        from french_admin_etl_spark.operators.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
     raise NotImplementedError(
         f"codec not decodable without image libraries (magic {payload[:4]!r})"
     )

@@ -1,0 +1,296 @@
+"""Baseline JPEG decoder, verified by round-trip against a from-scratch
+encoder built HERE (forward DCT + canonical Huffman + byte stuffing +
+restart markers) — no golden bytes from any external tool, so the test
+pins the T.81 wire format itself, not a library's output."""
+
+import numpy as np
+import pytest
+
+from french_admin_etl_spark.operators.jpeg import (
+    ZIGZAG,
+    dct_matrix,
+    decode_jpeg,
+    decode_jpeg_gray,
+)
+
+C = dct_matrix()
+
+
+# --------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):  # pad to byte boundary with 1-bits (T.81 F.1.2.3)
+        while self.n:
+            self.write(1, 1)
+
+
+def _cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _mag(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _pad_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate to bh*8 x bw*8."""
+    out = np.empty((bh * 8, bw * 8))
+    h, w = plane.shape
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def _zig(natural64: np.ndarray) -> np.ndarray:
+    return natural64[ZIGZAG]
+
+
+def _block_tokens(qzig: np.ndarray, pred: int):
+    toks = []
+    diff = int(qzig[0]) - pred
+    t = _cat(diff)
+    toks.append(("dc", t, _mag(diff, t), t))
+    run = 0
+    for k in range(1, 64):
+        v = int(qzig[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append(("ac", 0xF0, 0, 0))
+            run -= 16
+        s = _cat(v)
+        toks.append(("ac", (run << 4) | s, _mag(v, s), s))
+        run = 0
+    if run:
+        toks.append(("ac", 0x00, 0, 0))  # EOB
+    return toks, int(qzig[0])
+
+
+def _canonical(symbols):
+    """Equal-length canonical table over the used symbols (leaves the
+    all-ones code unused, as T.81 requires of encoders)."""
+    syms = sorted(set(symbols))
+    L = 1
+    while (1 << L) < len(syms) + 1:
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+
+def encode_jpeg(planes, w, h, factors, qt_of, qtabs, dri=0):
+    """Minimal baseline encoder. ``planes``: coded-resolution float
+    arrays [0,255]; ``factors``: [(h_i, v_i)]; ``qt_of``: quant-table id
+    per component; ``qtabs``: {id: 8x8 natural-order array}. Component
+    0 uses Huffman tables 0, the rest table 1 (JFIF convention)."""
+    nc = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if nc > 1:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        units = [(i, factors[i][0], factors[i][1]) for i in range(nc)]
+    else:
+        mcus_x = -(-planes[0].shape[1] // 8)
+        mcus_y = -(-planes[0].shape[0] // 8)
+        units = [(0, 1, 1)]
+    padded = []
+    for i, hu, vu in units:
+        padded.append(_pad_blocks(planes[i], mcus_y * vu, mcus_x * hu))
+
+    # pass 1: quantize + tokenize in scan order, restart-aware
+    all_toks = []  # list per MCU: list of (comp, tokens)
+    pred = [0] * nc
+    for mi in range(mcus_x * mcus_y):
+        if dri and mi and mi % dri == 0:
+            pred = [0] * nc
+        my, mx = divmod(mi, mcus_x)
+        mcu = []
+        for ui, (i, hu, vu) in enumerate(units):
+            q = qtabs[qt_of[i]]
+            for v in range(vu):
+                for hh in range(hu):
+                    y0, x0 = (my * vu + v) * 8, (mx * hu + hh) * 8
+                    blk = padded[ui][y0 : y0 + 8, x0 : x0 + 8]
+                    x = C @ (blk - 128.0) @ C.T
+                    qzig = _zig(np.round(x / q).astype(np.int64).reshape(64).copy())
+                    toks, dc = _block_tokens(qzig, pred[i])
+                    pred[i] = dc
+                    mcu.append((i, toks))
+        all_toks.append(mcu)
+
+    # pass 2: canonical tables per (class, table id 0|1)
+    used = {("dc", 0): [], ("ac", 0): [], ("dc", 1): [], ("ac", 1): []}
+    for mcu in all_toks:
+        for ci, toks in mcu:
+            tid = 0 if ci == 0 else 1
+            for cls, sym, _mb, _nb in toks:
+                used[(cls, tid)].append(sym)
+    tables = {k: _canonical(v) for k, v in used.items() if v}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    for tid, q in qtabs.items():
+        qz = q.reshape(64)[ZIGZAG].astype(int)
+        seg(0xDB, bytes([tid]) + bytes(int(x) for x in qz))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], qt_of[i]])
+    seg(0xC0, sof)
+    for (cls, tid), (counts, syms, _codes) in sorted(tables.items()):
+        tc = 0 if cls == "dc" else 1
+        seg(0xC4, bytes([(tc << 4) | tid]) + bytes(counts) + bytes(syms))
+    if dri:
+        seg(0xDD, dri.to_bytes(2, "big"))
+    sos = bytes([nc])
+    for i in range(nc):
+        tid = 0 if i == 0 else 1
+        sos += bytes([i + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    for mi, mcu in enumerate(all_toks):
+        if dri and mi and mi % dri == 0:
+            bw.align()
+            out.extend(bw.out)
+            out.extend(bytes([0xFF, 0xD0 + ((mi // dri - 1) % 8)]))
+            bw = _BitWriter()
+        for ci, toks in mcu:
+            tid = 0 if ci == 0 else 1
+            for cls, sym, mb, nb in toks:
+                code, ln = tables[(cls, tid)][2][sym]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(mb, nb)
+    bw.align()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _img(h, w, seed=0):
+    """Deterministic mid-range test image (avoids clamp nonlinearity)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 110 + 60 * np.sin(xx / 5.0) + 40 * np.cos(yy / 7.0)
+    return np.clip(base + rng.randint(-10, 11, (h, w)), 40, 215).astype(np.float64)
+
+
+# ---------------------------------------------------------------- tests
+
+
+def test_gray_near_lossless_roundtrip():
+    img = _img(17, 24)  # not multiples of 8: exercises edge padding/crop
+    q1 = np.ones((8, 8))
+    payload = encode_jpeg([img], 24, 17, [(1, 1)], [0], {0: q1})
+    w, h, gray = decode_jpeg_gray(payload)
+    assert (w, h) == (24, 17) and gray.shape == (17, 24)
+    # q=1: error is pure DCT rounding, bounded well under one gray level
+    assert np.max(np.abs(gray - img)) <= 2.0
+
+
+def test_color_444_all_planes_within_quant_error():
+    y, cb, cr = _img(16, 16, 1), _img(16, 16, 2), _img(16, 16, 3)
+    q = {0: np.full((8, 8), 8.0), 1: np.full((8, 8), 12.0)}
+    payload = encode_jpeg([y, cb, cr], 16, 16, [(1, 1)] * 3, [0, 1, 1], q)
+    w, h, planes = decode_jpeg(payload)
+    assert (w, h) == (16, 16) and [p.shape for p in planes] == [(16, 16)] * 3
+    for p, src, qv in zip(planes, (y, cb, cr), (8.0, 12.0, 12.0)):
+        rmse = float(np.sqrt(np.mean((p - src) ** 2)))
+        assert rmse <= qv / 2 + 0.5, rmse
+    # the gray entry point returns the luma plane
+    assert np.array_equal(decode_jpeg_gray(payload)[2], planes[0])
+
+
+def test_chroma_420_subsampled_planes():
+    y = _img(24, 32, 4)
+    cb = _img(12, 16, 5)  # coded (subsampled) resolution
+    cr = _img(12, 16, 6)
+    q = {0: np.full((8, 8), 4.0), 1: np.full((8, 8), 6.0)}
+    payload = encode_jpeg(
+        [y, cb, cr], 32, 24, [(2, 2), (1, 1), (1, 1)], [0, 1, 1], q
+    )
+    w, h, planes = decode_jpeg(payload)
+    assert (w, h) == (32, 24)
+    assert planes[0].shape == (24, 32)
+    assert planes[1].shape == (12, 16) and planes[2].shape == (12, 16)
+    for p, src, qv in zip(planes, (y, cb, cr), (4.0, 6.0, 6.0)):
+        assert float(np.sqrt(np.mean((p - src) ** 2))) <= qv / 2 + 0.5
+
+
+def test_restart_markers_change_nothing():
+    img = _img(24, 40, 7)
+    q = {0: np.full((8, 8), 4.0)}
+    plain = encode_jpeg([img], 40, 24, [(1, 1)], [0], {0: q[0]})
+    with_rst = encode_jpeg([img], 40, 24, [(1, 1)], [0], {0: q[0]}, dri=2)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    a = decode_jpeg_gray(plain)[2]
+    b = decode_jpeg_gray(with_rst)[2]
+    # same quantized coefficients → bit-identical reconstruction
+    assert np.array_equal(a, b)
+
+
+def test_progressive_and_garbage_rejected():
+    img = _img(8, 8)
+    payload = bytearray(encode_jpeg([img], 8, 8, [(1, 1)], [0], {0: np.ones((8, 8))}))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        # SOI but then truncated mid-stream
+        decode_jpeg(bytes(encode_jpeg([img], 8, 8, [(1, 1)], [0], {0: np.ones((8, 8))}))[:40])
+
+
+def test_jpeg_flows_through_feature_pipeline(spark):
+    """e2e: a JPEG payload decodes inside mapInPandas next to a PGM one,
+    producing dims + 8x8 thumbnail with no err (S9 isolation intact for
+    a corrupt row)."""
+    from french_admin_etl_spark.operators.multimodal import extract_image_features
+
+    img = _img(16, 16, 8)
+    jpg = encode_jpeg([img], 16, 16, [(1, 1)], [0], {0: np.ones((8, 8))})
+    pgm = b"P5\n16 16\n255\n" + bytes(np.clip(img, 0, 255).astype(np.uint8))
+    rows = [
+        (1, "image", bytearray(jpg)),
+        (2, "image", bytearray(pgm)),
+        (3, "image", bytearray(b"\xff\xd8junk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in extract_image_features(df, decode_stub=False).collect()
+    }
+    assert got[1]["err"] is None and (got[1]["width"], got[1]["height"]) == (16, 16)
+    assert got[2]["err"] is None
+    # near-lossless JPEG of the same image ⇒ nearly the same thumbnail
+    f1 = np.array(got[1]["feature"])
+    f2 = np.array(got[2]["feature"])
+    assert f1.shape == f2.shape and np.max(np.abs(f1 - f2)) <= 3.0
+    assert got[3]["err"] is not None  # corrupt row dead-letters, batch survives
