@@ -401,34 +401,68 @@ def media_metadata(media: DataFrame) -> DataFrame:
 def sample_video_frames(
     media: DataFrame, every_nth: int = 30, decode_stub: bool = True
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits (media_id,
-    frame_idx, frame_sha) rows. Stubbed decode derives a deterministic
-    pseudo frame count/digest from the payload; a real build replaces the
-    stub with ffmpeg/pyav iteration inside the same mapInPandas seam."""
+    """Frame sampling for video payloads: emits (media_id, frame_idx,
+    frame_sha, err) rows — every Nth frame's luma digest.
+
+    ``decode_stub=False`` does REAL frame iteration for library-free
+    containers (Y4M planar YCbCr and uncompressed 24-bit AVI —
+    ``operators/video.py``); ``frame_sha`` is the sha256 of the frame's
+    gray plane bytes, so downstream exact frame dedup works across
+    containers that carry identical pixels. Compressed codecs (the
+    ffmpeg seam) and corrupt payloads dead-letter per row (S9) — one
+    err row, batch survives. The frame iterator is lazy: sampling every
+    Nth frame skips the rest without materializing them as rows, and
+    payloads stay inside the executor (Arrow batches, never the driver).
+
+    The stub path keeps the deterministic pseudo frames for pipelines
+    exercised without media fixtures."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
-            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_idx", T.IntegerType(), True),
             T.StructField("frame_sha", T.StringType(), True),
+            T.StructField("err", T.StringType(), True),
         ]
     )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from french_admin_etl_spark.operators.video import decode_video_frames
+
         for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "frame_sha": []}
+            rows = {"media_id": [], "frame_idx": [], "frame_sha": [], "err": []}
+
+            def emit(mid, idx, sha, err=None):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["frame_sha"].append(sha)
+                rows["err"].append(err)
+
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if not decode_stub:
-                    raise NotImplementedError("real frame sampling requires ffmpeg/pyav")
-                h = hashlib.sha256(payload).digest()
-                n_frames = 60 + h[0]  # deterministic pseudo frame count
-                for idx in range(0, n_frames, every_nth):
-                    rows["media_id"].append(mid)
-                    rows["frame_idx"].append(idx)
-                    rows["frame_sha"].append(
-                        hashlib.sha256(payload + idx.to_bytes(4, "big")).hexdigest()
-                    )
+                if decode_stub:
+                    h = hashlib.sha256(payload).digest()
+                    n_frames = 60 + h[0]  # deterministic pseudo frame count
+                    for idx in range(0, n_frames, every_nth):
+                        emit(
+                            mid,
+                            idx,
+                            hashlib.sha256(payload + idx.to_bytes(4, "big")).hexdigest(),
+                        )
+                    continue
+                try:
+                    for idx, _w, _h, gray in decode_video_frames(bytes(payload)):
+                        if idx % every_nth:
+                            continue
+                        emit(
+                            mid,
+                            idx,
+                            hashlib.sha256(
+                                gray.astype("uint8").tobytes()
+                            ).hexdigest(),
+                        )
+                except Exception as e:  # noqa: BLE001 — S9 per-row isolation
+                    emit(mid, None, None, f"{type(e).__name__}: {e}")
             yield pd.DataFrame(rows)
 
     vids = media.filter(F.col("kind") == "video").select("media_id", "payload")

@@ -1,0 +1,149 @@
+"""Real video frame iteration for library-free containers — no ffmpeg.
+
+Two raw-frame container formats are fully parseable with stdlib + numpy,
+and they are the standard interchange formats for UNCOMPRESSED video
+(what ffmpeg itself emits with ``-f yuv4mpegpipe`` / ``-c:v rawvideo``):
+
+- **Y4M (YUV4MPEG2)**: a text header (``W<width> H<height> F<rate>
+  C<chroma>``) followed by ``FRAME`` records of planar YCbCr. The luma
+  plane is the BT.601 gray directly. Chroma subsampling tags C420*,
+  C422, C444 and Cmono are supported (chroma planes are skipped — the
+  gray pipeline needs only Y).
+- **Uncompressed AVI** (RIFF ``AVI `` with ``BI_RGB`` 24-bit frames):
+  chunk-walk ``hdrl`` for the BITMAPINFOHEADER, then iterate the
+  ``movi`` list's ``..db``/``..dc`` chunks — each is one bottom-up,
+  4-byte-row-padded BGR frame (same pixel layout as BMP, which
+  ``multimodal.decode_image`` already decodes).
+
+Compressed codecs inside AVI (``biCompression != 0``) raise
+``NotImplementedError`` — the honest ffmpeg seam, dead-lettered per row
+by the caller (S9). Frames are yielded lazily so sampling every Nth
+frame of a long clip never materializes the rest.
+
+Reference: the reference engine has no media path at all (it ingests
+INSEE CSV/JSON, ``internal/usecases/*.go``); this extends the engine's
+binary-column story for multimodal training data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_CHROMA_FACTOR = {
+    # bytes of BOTH chroma planes as a fraction of the luma plane
+    "420": 0.5,
+    "420jpeg": 0.5,
+    "420mpeg2": 0.5,
+    "420paldv": 0.5,
+    "422": 1.0,
+    "444": 2.0,
+    "mono": 0.0,
+}
+
+
+def _iter_y4m(payload: bytes):
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    w = h = None
+    chroma = "420"
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode("ascii")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma not in _CHROMA_FACTOR:
+        raise NotImplementedError(f"Y4M chroma mode C{chroma}")
+    ysize = w * h
+    csize = int(ysize * _CHROMA_FACTOR[chroma])
+    pos = nl + 1
+    idx = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"Y4M frame {idx}: bad FRAME marker")
+        fnl = payload.index(b"\n", pos)  # frame params (if any) run to \n
+        pos = fnl + 1
+        if pos + ysize + csize > n:
+            raise ValueError(f"Y4M frame {idx}: truncated")
+        yplane = (
+            np.frombuffer(payload, np.uint8, count=ysize, offset=pos)
+            .reshape(h, w)
+            .astype(np.float64)
+        )
+        pos += ysize + csize
+        yield idx, w, h, yplane
+        idx += 1
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, data_start, data_size) walking a RIFF chunk run."""
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks pad to even
+
+
+def _iter_avi(payload: bytes):
+    if payload[8:12] != b"AVI ":
+        raise ValueError("RIFF file is not AVI")
+    strf = None
+    movi = None
+    for fourcc, start, size in _riff_chunks(payload, 12, len(payload)):
+        if fourcc != b"LIST":
+            continue
+        kind = payload[start : start + 4]
+        if kind == b"hdrl":
+            # find the first stream's strf (BITMAPINFOHEADER)
+            for f2, s2, z2 in _riff_chunks(payload, start + 4, start + size):
+                if f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    for f3, s3, z3 in _riff_chunks(payload, s2 + 4, s2 + z2):
+                        if f3 == b"strf":
+                            strf = payload[s3 : s3 + z3]
+                            break
+                if strf:
+                    break
+        elif kind == b"movi":
+            movi = (start + 4, start + size)
+    if strf is None or movi is None:
+        raise ValueError("AVI missing strf header or movi list")
+    w = int.from_bytes(strf[4:8], "little", signed=True)
+    h = int.from_bytes(strf[8:12], "little", signed=True)
+    bpp = int.from_bytes(strf[14:16], "little")
+    compression = int.from_bytes(strf[16:20], "little")
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"AVI codec biCompression={compression} bpp={bpp} needs ffmpeg"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    idx = 0
+    for fourcc, start, size in _riff_chunks(payload, movi[0], movi[1]):
+        if fourcc[2:4] not in (b"db", b"dc"):
+            continue  # index/audio chunks
+        if size < stride * h:
+            raise ValueError(f"AVI frame {idx}: truncated")
+        rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=start)
+        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+        if bottom_up:
+            bgr = bgr[::-1]
+        gray = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
+        yield idx, w, h, gray
+        idx += 1
+
+
+def decode_video_frames(payload: bytes):
+    """Lazily yield (frame_idx, width, height, gray float64 HxW) for a
+    library-free container; NotImplementedError marks the ffmpeg seam."""
+    if payload[:9] == b"YUV4MPEG2":
+        return _iter_y4m(payload)
+    if payload[:4] == b"RIFF":
+        return _iter_avi(payload)
+    raise NotImplementedError(
+        f"video container not decodable without ffmpeg (magic {payload[:4]!r})"
+    )

@@ -1,0 +1,128 @@
+"""Real video frame iteration (Y4M + uncompressed AVI), containers built
+by hand in the test so the formats themselves are pinned."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from french_admin_etl_spark.operators.video import decode_video_frames
+
+
+def _y4m(frames_y, w, h, chroma="420"):
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode()
+    csize = {"420": (w // 2) * (h // 2) * 2, "444": w * h * 2, "mono": 0}[chroma]
+    out = bytearray(head)
+    for y in frames_y:
+        out += b"FRAME\n" + bytes(y.astype(np.uint8).tobytes()) + bytes(csize)
+    return bytes(out)
+
+
+def _chunk(fourcc, data):
+    pad = b"\x00" if len(data) & 1 else b""
+    return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+
+def _list(kind, body):
+    return _chunk(b"LIST", kind + body)
+
+
+def _avi(frames_bgr, w, h, compression=0, bpp=24):
+    """Minimal RIFF AVI: hdrl(avih + strl(strh+strf BITMAPINFOHEADER)) +
+    movi(00db raw bottom-up padded BGR frames)."""
+    stride = (w * 3 + 3) & ~3
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive = bottom-up
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + compression.to_bytes(4, "little")
+        + bytes(20)
+    )
+    strh = b"vids" + bytes(52)
+    avih = bytes(56)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    for bgr in frames_bgr:
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytes(bgr[y].astype(np.uint8).tobytes())
+            rows += row + bytes(stride - w * 3)
+        movi_body += _chunk(b"00db", bytes(rows))
+    movi = _list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _frames(n, h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w)).astype(np.float64) for _ in range(n)]
+
+
+def test_y4m_luma_planes_exact():
+    ys = _frames(4, 6, 8)
+    for chroma in ("420", "444", "mono"):
+        got = list(decode_video_frames(_y4m(ys, 8, 6, chroma)))
+        assert [g[0] for g in got] == [0, 1, 2, 3]
+        for (_i, w, h, gray), src in zip(got, ys):
+            assert (w, h) == (8, 6)
+            assert np.array_equal(gray, src), chroma
+
+
+def test_y4m_malformed_and_unsupported():
+    ys = _frames(2, 4, 4)
+    with pytest.raises(NotImplementedError):
+        list(decode_video_frames(_y4m(ys, 4, 4).replace(b"C420", b"C410")))
+    with pytest.raises(ValueError):
+        list(decode_video_frames(_y4m(ys, 4, 4)[:-10]))  # truncated frame
+
+
+def test_avi_bgr_frames_bt601_and_row_padding():
+    h, w = 4, 5  # stride 16 != 15: padding exercised
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (h, w, 3)).astype(np.float64) for _ in range(3)]
+    got = list(decode_video_frames(_avi(frames, w, h)))
+    assert len(got) == 3
+    for (_i, gw, gh, gray), bgr in zip(got, frames):
+        assert (gw, gh) == (w, h)
+        want = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
+        assert np.allclose(gray, want)
+
+
+def test_avi_compressed_is_the_ffmpeg_seam():
+    frames = [np.zeros((4, 4, 3))]
+    with pytest.raises(NotImplementedError):
+        list(decode_video_frames(_avi(frames, 4, 4, compression=0x44495658)))  # XVID
+    with pytest.raises(NotImplementedError):
+        list(decode_video_frames(b"\x00\x00\x00\x00unknown container"))
+
+
+def test_sample_video_frames_real_decode_e2e(spark):
+    """mapInPandas plumbing over real containers: every-Nth sampling,
+    cross-container frame digests, and per-row err isolation."""
+    from french_admin_etl_spark.operators.multimodal import sample_video_frames
+
+    ys = _frames(7, 8, 8, seed=9)
+    clip = _y4m(ys, 8, 8)
+    rows = [
+        (1, "video", bytearray(clip)),
+        (2, "video", bytearray(b"RIFF\x08\x00\x00\x00AVI ")),  # no strf/movi
+        (3, "image", bytearray(b"ignored")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = sample_video_frames(df, every_nth=3, decode_stub=False).collect()
+    ok = sorted(
+        (r["frame_idx"], r["frame_sha"]) for r in out if r["media_id"] == 1
+    )
+    want = [
+        (i, hashlib.sha256(ys[i].astype(np.uint8).tobytes()).hexdigest())
+        for i in (0, 3, 6)
+    ]
+    assert ok == want
+    bad = [r for r in out if r["media_id"] == 2]
+    assert len(bad) == 1 and bad[0]["err"] is not None
+    assert not [r for r in out if r["media_id"] == 3]  # kind filter
