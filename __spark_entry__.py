@@ -1024,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_dag_final_state": g1_dag_final_state,
         "g2_neardup_index_rows": g2_neardup_index_rows,
         "g3_ann_index_rows": g3_ann_index_rows,
+        "g4_agg_view": g4_agg_view,
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
@@ -1336,6 +1337,102 @@ def g3_ann_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def g4_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view driven end-to-end THROUGH
+    the engine: the events table arrives as two CDC waves into a MOR lake
+    table (bootstrap inserts, then late inserts + group-moving updates +
+    deletes), and after each wave ``AggregateView.sync()`` advances a
+    per-event-type (count, sum) view from the table's changes() window —
+    retractions from time-travel before-images, insertions from the CDF
+    rows, net increments into an additive table. The oracle states the
+    final view declaratively (GROUP BY over the final event set), so the
+    hash-match proves incremental maintenance == recompute.
+
+    Wave arithmetic (event_id mod classes): %3==2 arrive late, %5==0 get
+    MOVED to a '<type>_v2' group with amount doubled, %7==3 are deleted
+    last. Amounts are floor(value*100) bigints so sums are exact and
+    order-independent on both engines (double SUM would be
+    order-sensitive and could never hash-match)."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.streaming.aggview import AggregateView
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    ev0 = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("amount"),
+    )
+    N = 10_000_000
+
+    def ev(df: DataFrame, op: str, base: int) -> DataFrame:
+        return df.select(
+            "event_id",
+            "event_type",
+            "amount",
+            (F.lit(base) + F.col("event_id")).alias("lsn"),
+            F.lit(op).alias("op"),
+        )
+
+    w1 = ev(ev0.filter(F.col("event_id") % 3 != 2), "I", 0)
+    w2 = (
+        ev(ev0.filter(F.col("event_id") % 3 == 2), "I", N)
+        .unionByName(
+            ev(
+                ev0.filter(F.col("event_id") % 5 == 0)
+                .withColumn("event_type", F.concat(F.col("event_type"), F.lit("_v2")))
+                .withColumn("amount", F.col("amount") * 2),
+                "U",
+                2 * N,
+            )
+        )
+        .unionByName(
+            ev(
+                ev0.filter(F.col("event_id") % 7 == 3)
+                .withColumn("event_type", F.lit(None).cast("string"))
+                .withColumn("amount", F.lit(None).cast("long")),
+                "D",
+                3 * N,
+            )
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="g4_aggview_")
+    try:
+        table = LakeTable.create(
+            spark,
+            os.path.join(root, "events"),
+            schema=T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("amount", T.LongType()),
+                ]
+            ),
+            key_cols=["event_id"],
+            num_buckets=8,
+            write_mode="mor",
+        )
+        view = AggregateView.create(
+            spark,
+            table,
+            os.path.join(root, "view"),
+            group_cols=["event_type"],
+            sums={"total_amount": "amount"},
+            num_buckets=4,
+        )
+        table.merge(w1, batch_id=0)
+        view.sync()  # bootstrap after wave 1...
+        table.merge(w2, batch_id=1)
+        view.sync()  # ...incremental (retract + insert) after wave 2
+        out = view.read().select("event_type", "cnt", "total_amount")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ann_index_sql(bits: int = 8) -> str:
     return f"""
         WITH final AS (
@@ -1566,6 +1663,23 @@ def oracle_sql() -> dict[str, str]:
         "d1_minhash_lsh_pairs": _lsh_pairs_sql(),
         "g2_neardup_index_rows": _neardup_index_sql(),
         "g3_ann_index_rows": _ann_index_sql(),
+        "g4_agg_view": """
+            WITH final AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 5 = 0 THEN event_type || '_v2'
+                          ELSE event_type END AS event_type,
+                     CASE WHEN event_id % 5 = 0
+                          THEN 2 * CAST(floor(value * 100) AS BIGINT)
+                          ELSE CAST(floor(value * 100) AS BIGINT) END AS amount
+              FROM events
+              WHERE event_id % 7 <> 3
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(amount) AS BIGINT) AS total_amount
+            FROM final
+            GROUP BY event_type
+        """,
         "t8_dataset_split": """
             SELECT doc_id, lang,
                    CASE WHEN u < 0.8 THEN 'train'

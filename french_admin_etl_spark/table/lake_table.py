@@ -356,7 +356,30 @@ class LakeTable:
         # column order normalized to current schema
         cols = [f.name for f in phys_cur.fields]
         out = out.select(*cols, "_cseq", "_coal")
-        if resolve and any(g.get("delta") for g in groups):
+        if resolve and snap["properties"].get("resolution") == "additive":
+            # additive tables (incremental aggregate views): every physical
+            # row is an increment; resolution = SUM per key, not max-LSN.
+            # One combinable aggregate — map-side partial sums collapse
+            # deltas before the shuffle, the same scale shape as W1 dedup.
+            # Sums widen (int→bigint) under Spark's agg typing, so each is
+            # cast back to the column's declared type (ANSI: a genuine
+            # overflow raises instead of wrapping).
+            key_cols = snap["key_cols"]
+            aggs = [
+                F.sum(c).cast(phys_cur[c].dataType).alias(c)
+                for c in cols
+                if c not in key_cols and c not in INTERNAL_COLS
+            ]
+            out = (
+                out.groupBy(*key_cols)
+                .agg(
+                    *aggs,
+                    F.max("_lsn").alias("_lsn"),
+                    F.max("_deleted").alias("_deleted"),
+                )
+                .select(*cols)
+            )
+        elif resolve and any(g.get("delta") for g in groups):
             ord_key = F.struct(F.col("_lsn"), F.col("_cseq"))
             if any(g.get("coalesce") for g in groups):
                 # S7 partial-column resolution: each column independently
@@ -512,6 +535,11 @@ class LakeTable:
                 "changes() requires write_mode='mor' (COW merges rewrite "
                 "buckets without recording per-row changes)"
             )
+        if snap["properties"].get("resolution") == "additive":
+            raise ValueError(
+                "changes() on an additive table would replay increments as "
+                "row states; consumers must read the resolved view"
+            )
         if from_version >= to_v:
             raise ValueError(f"empty window: from {from_version} >= to {to_v}")
         cur_v = snap["schema_version"]
@@ -636,10 +664,25 @@ class LakeTable:
         shutil.rmtree(staging, ignore_errors=True)
         return groups
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Full-table load (bootstrap): logical columns in, snapshot out."""
+    def overwrite(self, df: DataFrame, extra_properties: dict | None = None) -> int:
+        """Full-table load (bootstrap): logical columns in, snapshot out.
+        ``extra_properties`` ride the same commit (e.g. an aggregate
+        view's resync marker must land atomically with its state)."""
         snap = self.snapshot()
         keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        # align source types to the table schema (same ANSI cast rule as
+        # merge): staging e.g. a DOUBLE aggregate into a bigint column
+        # writes parquet the snapshot schema cannot read back
+        want = {f["name"]: f["type"] for f in snap["schemas"][str(sv)]["fields"]}
+        have = {f.name: f.dataType for f in df.schema.fields}
+        casts = []
+        for c in df.columns:
+            target_t = _parse_type_json(want[c]) if c in want else None
+            if target_t is not None and have[c] != target_t:
+                casts.append(F.col(c).cast(target_t).alias(c))
+            else:
+                casts.append(F.col(c))
+        df = df.select(*casts)
         phys = (
             df.withColumn("_lsn", F.lit(0).cast("long"))
             .withColumn("_deleted", F.lit(False))
@@ -649,7 +692,15 @@ class LakeTable:
         for g in groups:  # stamp the writing commit (changes() provenance)
             g["seq"] = snap["version"] + 1
         new = dict(snap)
-        new.update(version=snap["version"] + 1, file_groups=groups, parent=snap["version"])
+        props = dict(snap["properties"])
+        for k, v in (extra_properties or {}).items():
+            props[k] = v
+        new.update(
+            version=snap["version"] + 1,
+            file_groups=groups,
+            properties=props,
+            parent=snap["version"],
+        )
         self._commit(new)
         return new["version"]
 
@@ -697,6 +748,10 @@ class LakeTable:
         fence is the shared ``last_batch_id`` (single-writer-sequence).
         """
         snap = self.snapshot()
+        if snap["properties"].get("resolution") == "additive":
+            raise ValueError(
+                "additive tables take increments, not row states — use merge_add()"
+            )
         keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
         fence_key = "last_batch_id" if writer_id is None else f"last_batch_id.{writer_id}"
 
@@ -973,6 +1028,108 @@ class LakeTable:
                 # version race leaves deltas in place (correctness
                 # unaffected) — never fail the streaming batch over it
                 pass
+        return stats
+
+    def merge_add(
+        self,
+        deltas: DataFrame,
+        batch_id: int | None = None,
+        writer_id: str | None = None,
+        lsn: int = 0,
+        extra_properties: dict | None = None,
+    ) -> MergeStats:
+        """Append INCREMENTS to an additive table (``properties
+        {"resolution": "additive"}``, MOR) — the storage half of an
+        incrementally-maintained aggregate view (``streaming/aggview.py``).
+
+        ``deltas`` carries the key columns plus numeric per-column
+        increments (negative = retraction); reads resolve SUM per key, so
+        the write is O(batch) with no target read and no join, exactly
+        the MOR delta-append shape. Exactly-once via the same per-writer
+        batch-id fence as ``merge`` — a replayed window is a no-op, which
+        is what makes additive state safe at all (increments are NOT
+        idempotent on their own). ``lsn`` stamps ``_lsn`` (the source
+        high-water mark the increment was derived from; reads surface the
+        max). Compaction folds increments into one row per key through
+        the same resolved-read path.
+
+        This generalizes the reference's run-metric counters
+        (``internal/usecases/import_communes.go`` success/failure tallies)
+        into maintained aggregate state at CDC scale."""
+        snap = self.snapshot()
+        if snap["properties"].get("resolution") != "additive":
+            raise ValueError(
+                'merge_add() needs an additive table (create with properties '
+                '{"resolution": "additive"}); row-state tables use merge()'
+            )
+        if snap.get("write_mode", "cow") != "mor":
+            raise ValueError("additive tables must be write_mode='mor'")
+        keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        fence_key = "last_batch_id" if writer_id is None else f"last_batch_id.{writer_id}"
+        phys = self._schema_at(snap, sv)
+        logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
+        data_cols = [c for c in logical if c not in keys]
+        for c in data_cols:
+            if not isinstance(phys[c].dataType, T.NumericType):
+                raise ValueError(f"additive column {c!r} must be numeric, is {phys[c].dataType}")
+
+        delta = deltas.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).cast(phys[c].dataType).alias(c) for c in data_cols],
+        )
+        delta = (
+            delta.withColumn("_lsn", F.lit(lsn).cast("long"))
+            .withColumn("_deleted", F.lit(False))
+            .withColumn("_bucket", _bucket_expr(keys, nb))
+        )
+        groups = self._stage_write(delta, sv)
+        if not groups:
+            return MergeStats(batch_id, snap["version"], 0, 0, 0)
+        rows = sum(g["rows"] for g in groups)
+        for g in groups:
+            g["delta"] = True
+
+        # same bounded rebase-retry as the MOR delta append: increments are
+        # independent of target state, so a conflicting commit just rebases
+        # the staged groups onto the newest snapshot
+        for attempt in range(10):
+            snap = self.snapshot()
+            if batch_id is not None:
+                fence = snap["properties"].get(fence_key)
+                if fence is not None and batch_id <= fence:
+                    return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
+            for g in groups:
+                g["seq"] = snap["version"] + 1
+            new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
+            props = dict(snap["properties"])
+            if batch_id is not None:
+                props[fence_key] = batch_id
+            for k, v in (extra_properties or {}).items():
+                props[k] = v
+            new = dict(snap)
+            new.update(
+                version=snap["version"] + 1,
+                file_groups=new_groups,
+                properties=props,
+                parent=snap["version"],
+            )
+            try:
+                self._commit(new)
+                break
+            except CommitConflict:
+                if attempt == 9:
+                    raise
+        stats = MergeStats(batch_id, new["version"], rows, 0, len(groups))
+        threshold = int(props.get("compact.max-delta-files", 8))
+        from collections import Counter
+
+        counts = Counter(g["bucket"] for g in new_groups if g.get("delta"))
+        over = [b for b, c in counts.items() if c >= threshold]
+        if over:
+            try:
+                self.compact(buckets=over)
+            except CommitConflict:
+                pass  # best-effort maintenance, fenced commit already landed
         return stats
 
     def compact(

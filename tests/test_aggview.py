@@ -1,0 +1,233 @@
+"""Additive tables + incrementally-maintained aggregate views.
+
+Every check compares the maintained view against a from-scratch GROUP BY
+of the source's live rows — the definition of view correctness."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.streaming.aggview import AggregateView
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "lsn long, op string, repo string, path string, lang string, size long"
+    )
+
+
+def _mk_source(spark, root):
+    return LakeTable.create(
+        spark, root, SRC_SCHEMA, ["repo", "path"], num_buckets=4, write_mode="mor"
+    )
+
+
+def _truth(source):
+    got = {}
+    for r in source.read().collect():
+        c, s = got.get(r["lang"], (0, 0))
+        got[r["lang"]] = (c + 1, s + (r["size"] or 0))
+    return got
+
+
+def _view_state(view):
+    return {
+        r["lang"]: (r["cnt"], int(r["total_size"]))
+        for r in view.read().collect()
+    }
+
+
+def test_additive_table_contract(spark, tmp_root):
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "add"),
+        T.StructType([T.StructField("k", T.StringType()), T.StructField("cnt", T.LongType())]),
+        ["k"],
+        num_buckets=2,
+        write_mode="mor",
+        properties={"resolution": "additive"},
+    )
+    inc = lambda rows: spark.createDataFrame(rows, "k string, cnt long")
+    t.merge_add(inc([("a", 2), ("b", 1)]), batch_id=1)
+    t.merge_add(inc([("a", 3), ("b", -1), ("c", 5)]), batch_id=2)
+    state = {r["k"]: r["cnt"] for r in t.read().collect()}
+    assert state == {"a": 5, "b": 0, "c": 5}
+    # replay fences out — increments never double-apply
+    st = t.merge_add(inc([("a", 100)]), batch_id=2)
+    assert st.fenced
+    assert {r["k"]: r["cnt"] for r in t.read().collect()} == state
+    # compaction folds the increments, preserving the sums
+    t.compact(include_clean=True)
+    assert all(not g.get("delta") for g in t.snapshot()["file_groups"])
+    assert {r["k"]: r["cnt"] for r in t.read().collect()} == state
+    t.merge_add(inc([("a", -5)]), batch_id=3)
+    assert {r["k"]: r["cnt"] for r in t.read().collect()} == {"a": 0, "b": 0, "c": 5}
+    # row-state API is refused on additive tables, and vice versa
+    with pytest.raises(ValueError):
+        t.merge(_src(spark, []), batch_id=9)
+    with pytest.raises(ValueError):
+        t.changes(0)
+    normal = _mk_source(spark, os.path.join(tmp_root, "normal"))
+    with pytest.raises(ValueError):
+        normal.merge_add(inc([("a", 1)]), batch_id=0)
+
+
+def test_additive_rejects_non_numeric(spark, tmp_root):
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "addbad"),
+        T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]),
+        ["k"],
+        num_buckets=2,
+        write_mode="mor",
+        properties={"resolution": "additive"},
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        t.merge_add(spark.createDataFrame([("a", "x")], "k string, v string"), batch_id=0)
+
+
+def test_aggview_bootstrap_incremental_and_group_death(spark, tmp_root):
+    source = _mk_source(spark, os.path.join(tmp_root, "src"))
+    rows = [(i, "I", f"r{i % 7}", f"p{i}", ["py", "go", "rs"][i % 3], 10 * i) for i in range(1, 31)]
+    source.merge(_src(spark, rows), batch_id=0)
+
+    view = AggregateView.create(
+        spark,
+        source,
+        os.path.join(tmp_root, "view"),
+        group_cols=["lang"],
+        sums={"total_size": "size"},
+        num_buckets=2,
+    )
+    rep = view.sync()
+    assert rep["mode"] == "bootstrap"
+    assert _view_state(view) == _truth(source)
+
+    # window 2: inserts, a group MOVE (lang change), size updates, deletes
+    source.merge(
+        _src(
+            spark,
+            [
+                (100, "I", "rX", "new1", "py", 7),
+                (101, "U", "r1", "p1", "go", 999),  # was py: py loses, go gains
+                (102, "U", "r2", "p2", "go", 5),  # same group, new size
+                (103, "D", "r0", "p3", None, None),
+            ],
+        ),
+        batch_id=1,
+    )
+    rep = view.sync()
+    assert rep["mode"] == "incremental"
+    assert _view_state(view) == _truth(source)
+
+    # window 3: kill every 'rs' row — the group must vanish from read()
+    rs_keys = [
+        (r["repo"], r["path"]) for r in source.read().filter(F.col("lang") == "rs").collect()
+    ]
+    source.merge(
+        _src(spark, [(200 + i, "D", k[0], k[1], None, None) for i, k in enumerate(rs_keys)]),
+        batch_id=2,
+    )
+    rep = view.sync()
+    assert rep["mode"] == "incremental"
+    truth = _truth(source)
+    assert "rs" not in truth
+    assert _view_state(view) == truth
+    # the dead group is cnt=0 underneath, filtered by read()
+    raw = {r["lang"]: r["cnt"] for r in view.view.read().collect()}
+    assert raw.get("rs") == 0
+
+
+def test_aggview_sync_is_idempotent(spark, tmp_root):
+    source = _mk_source(spark, os.path.join(tmp_root, "src2"))
+    source.merge(_src(spark, [(1, "I", "a", "p", "py", 4)]), batch_id=0)
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "view2"), ["lang"], {"total_size": "size"}, 2
+    )
+    view.sync()
+    before = _view_state(view)
+    assert view.sync()["mode"] == "noop"  # nothing new
+    # crash replay: marker says synced, but pretend the caller re-drives
+    # the same window — the batch fence turns it into a no-op
+    view.view.merge_add(
+        spark.createDataFrame([("py", 1, 1.0)], "lang string, cnt long, total_size double"),
+        batch_id=view.synced_version(),
+        writer_id=view.writer_id,
+    )
+    assert _view_state(view) == before
+
+
+def test_aggview_net_zero_window_advances_marker(spark, tmp_root):
+    source = _mk_source(spark, os.path.join(tmp_root, "src3"))
+    source.merge(_src(spark, [(1, "I", "a", "p", "py", 4)]), batch_id=0)
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "view3"), ["lang"], {"total_size": "size"}, 2
+    )
+    view.sync()
+    # same group, same size: retraction exactly cancels insertion
+    source.merge(_src(spark, [(2, "U", "a", "p", "py", 4)]), batch_id=1)
+    rep = view.sync()
+    assert rep["mode"] == "net-zero"
+    assert view.synced_version() == source.current_version()
+    assert _view_state(view) == _truth(source)
+
+
+def test_aggview_folded_window_falls_back_to_resync(spark, tmp_root):
+    source = _mk_source(spark, os.path.join(tmp_root, "src4"))
+    source.merge(
+        _src(spark, [(i, "I", "r", f"p{i}", "py" if i % 2 else "go", i) for i in range(1, 11)]),
+        batch_id=0,
+    )
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "view4"), ["lang"], {"total_size": "size"}, 2
+    )
+    view.sync()
+    source.merge(_src(spark, [(20, "I", "r", "pnew", "rs", 100)]), batch_id=1)
+    source.compact(include_clean=True)  # folds the window's deltas away
+    source.merge(_src(spark, [(21, "D", "r", "p1", None, None)]), batch_id=2)
+    rep = view.sync()
+    assert rep["mode"] == "resync"
+    assert _view_state(view) == _truth(source)
+    # and the view keeps advancing incrementally afterwards
+    source.merge(_src(spark, [(30, "I", "r", "pz", "py", 3)]), batch_id=3)
+    assert view.sync()["mode"] == "incremental"
+    assert _view_state(view) == _truth(source)
+
+
+def test_aggview_randomized_windows_vs_truth(spark, tmp_root):
+    import random
+
+    rng = random.Random(42)
+    source = _mk_source(spark, os.path.join(tmp_root, "src5"))
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "view5"), ["lang"], {"total_size": "size"}, 2
+    )
+    langs = ["py", "go", "rs", "c"]
+    lsn = 0
+    live = set()
+    for w in range(5):
+        batch = {}
+        for _ in range(rng.randint(3, 12)):
+            lsn += 1
+            key = (f"r{rng.randint(0, 3)}", f"p{rng.randint(0, 9)}")
+            if key in live and rng.random() < 0.3:
+                batch[key] = (lsn, "D", *key, None, None)
+                live.discard(key)
+            else:
+                batch[key] = (lsn, "U" if key in live else "I", *key, rng.choice(langs), rng.randint(1, 50))
+                live.add(key)
+        source.merge(_src(spark, list(batch.values())), batch_id=w)
+        view.sync()
+        assert _view_state(view) == _truth(source), f"window {w}"
