@@ -124,7 +124,8 @@ class AnnIndex:
     # ------------------------------------------------------------------ probe
 
     def probe(
-        self, new_ids: DataFrame, k: int = 10, probe_flips: int = 0
+        self, new_ids: DataFrame, k: int = 10, probe_flips: int = 0,
+        materialize: bool = True,
     ) -> DataFrame:
         """Top-``k`` cosine neighbors per NEW vector against the standing
         index: (q_id, vec_id, cos_sim), scored only inside the query's
@@ -132,7 +133,12 @@ class AnnIndex:
         persisted for its two consumers (query extraction + the bucket
         join) — re-reading the index per consumer re-runs the MOR
         resolution each time, the exact cost measured and fixed in the
-        near-dup probe (reviewer finding)."""
+        near-dup probe (reviewer finding).
+
+        ``materialize=False`` skips the eager localCheckpoint and returns
+        the LAZY plan (the plan audit asserts its join shape, which the
+        checkpointed RDD would hide); lazy results recompute the index
+        resolution per action since the persist is released on return."""
         idx = self.table.read().persist()
         try:
             q = idx.join(
@@ -169,11 +175,9 @@ class AnnIndex:
             w = Window.partitionBy("q_id").orderBy(
                 F.col("cos_sim").desc(), F.col("vec_id")
             )
-            return (
-                hits.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= k)
-                .drop("_rk")
-                .localCheckpoint()
-            )
+            out = hits.withColumn("_rk", F.row_number().over(w)).filter(
+                F.col("_rk") <= k
+            ).drop("_rk")
+            return out.localCheckpoint() if materialize else out
         finally:
             idx.unpersist()

@@ -256,10 +256,58 @@ def main() -> None:
         )
         aidx.table.merge(seed_rows, batch_id=0)
         some_ids = spark.createDataFrame([(1,), (2,)], "vec_id long")
-        p = plan_of(aidx.probe(some_ids, k=5))
+        # materialize=False: the production probe localCheckpoints (eager),
+        # which collapses explain() to a Scan ExistingRDD and hides the
+        # join shape this assertion exists to pin
+        p = plan_of(aidx.probe(some_ids, k=5, materialize=False))
         check("ANN probe restricts by broadcast bucket join (no cartesian)", p,
               ["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"])
         sections.append(("Incremental ANN probe (bucket-restricted top-k)", p))
+
+    # 16. additive view read: SUM resolution is ONE combinable aggregate
+    #     (map-side partial sums collapse increments before the shuffle) —
+    #     no join, no window, no Python
+    with tempfile.TemporaryDirectory(prefix="audit_add_") as td:
+        from pyspark.sql import types as _T
+
+        at = LakeTable.create(
+            spark, os.path.join(td, "t"),
+            _T.StructType([_T.StructField("k", _T.StringType()),
+                           _T.StructField("cnt", _T.LongType())]),
+            ["k"], num_buckets=2, write_mode="mor",
+            properties={"resolution": "additive"},
+        )
+        inc = lambda rows: spark.createDataFrame(rows, "k string, cnt long")
+        at.merge_add(inc([("a", 1), ("b", 2)]), batch_id=0)
+        at.merge_add(inc([("a", 3), ("b", -2)]), batch_id=1)
+        p = plan_of(at.read())
+        check("additive view read: one combinable SUM aggregate", p,
+              ["partial_sum"],
+              ["Window", "SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"])
+        sections.append(("Additive aggregate-view read resolution", p))
+
+    # 17. sketches: the KMV hash dedup partial-aggregates map-side and
+    #     never cross-joins; CMS cells are one combinable groupBy-count
+    from french_admin_etl_spark.operators.sketches import cms_build, kmv_distinct
+
+    p = plan_of(
+        kmv_distinct(
+            ev.select("event_type", F.col("user_id").cast("string").alias("u")),
+            "u", ["event_type"], k=64, salt_buckets=8,
+        )
+    )
+    check("KMV sketch: combinable hash dedup, no cartesian, no Python", p,
+          ["partial_"], ["CartesianProduct", "BroadcastNestedLoopJoin",
+                         "BatchEvalPython", "ArrowEvalPython"])
+    sections.append(("KMV distinct sketch (two-phase bottom-k)", p))
+
+    p = plan_of(cms_build(ev.select(F.col("user_id").cast("string").alias("u")), "u"))
+    cms_ok = p.count("Exchange (") <= 1
+    check("CMS cells: one combinable groupBy-count, no Python", p,
+          ["partial_count"], ["Window", "BatchEvalPython", "ArrowEvalPython"])
+    CHECKS[-1] = (CHECKS[-1][0], CHECKS[-1][1] and cms_ok,
+                  CHECKS[-1][2], CHECKS[-1][3])
+    sections.append(("Count-min sketch cells (depth-fanout + one agg)", p))
 
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
