@@ -142,6 +142,21 @@ def _footer_stats(md, cols: list[str]) -> dict | None:
     return out or None
 
 
+def _bloom_positions_expr(keys: list[str], bits: int, hashes: int):
+    """Array of ``hashes`` bit positions for a row's key tuple — the
+    bloom-filter address set. Each hash is the table's own xxhash64 over
+    (hash index, key columns): salting with the literal index derives
+    independent hash functions from the one JVM-side primitive, and the
+    SAME expression computes write-side bits and probe-side positions, so
+    the two can never drift (the bucket-hash lesson applied to blooms)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), *[F.col(k) for k in keys]), F.lit(bits)).cast("int")
+            for i in range(hashes)
+        ]
+    )
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -299,6 +314,7 @@ class LakeTable:
         version: int | None = None,
         resolve: bool = True,
         file_pruner=None,
+        group_pruner=None,
     ) -> DataFrame:
         """All physical rows (incl. tombstones + internal cols), optionally
         pruned to a bucket subset (the MERGE fast path).
@@ -318,13 +334,20 @@ class LakeTable:
         cannot contain any row of the keys they're after — then MOR
         resolution over the surviving files is unchanged, because every
         physical row of a requested key is still present. Files with no
-        recorded stats always survive."""
+        recorded stats always survive.
+
+        ``group_pruner(group_dict) -> bool`` is the same contract one
+        level up: drop a whole file GROUP (e.g. by its key bloom filter)
+        when it cannot contain any requested key. Groups without the
+        pruner's evidence must survive."""
         snap = self.snapshot(version)
         cur_v = snap["schema_version"]
         groups = snap["file_groups"]
         if buckets is not None:
             bs = set(buckets)
             groups = [g for g in groups if g["bucket"] in bs]
+        if group_pruner is not None:
+            groups = [g for g in groups if group_pruner(g)]
         phys_cur = self._schema_at(snap, cur_v)
         # group files by (schema version, commit seq, coalesce flag); seq
         # counts distinct scans, but outstanding delta commits are bounded
@@ -454,7 +477,16 @@ class LakeTable:
         carry the key, so delete markers survive pruning too). Stats live
         under write-time physical names; after a key rename old files
         simply stop pruning (absent range = unconstrained), never skip
-        wrongly."""
+        wrongly.
+
+        When the table keeps key blooms (property ``bloom.bits``), whole
+        file GROUPS are additionally pruned by bloom membership — the
+        point-lookup complement to min/max: hash-distributed keys make
+        every delta group's min/max span the domain, but a bloom still
+        answers "was this key ever written here". Same soundness rule
+        (prune only what cannot match; absent/mismatched-config blooms
+        keep the group), same driver-side cost (bitset tests over the
+        manifest)."""
         snap = self.snapshot()
         keys, nb = snap["key_cols"], snap["num_buckets"]
         if not key_values:
@@ -470,10 +502,33 @@ class LakeTable:
             [T.StructField(k, _parse_type_json(fields[k]), True) for k in keys]
         )
         one = self.spark.createDataFrame(key_values, key_schema)
-        # buckets computed driver-side from the same hash the writer used
-        buckets = sorted(
-            {r["_b"] for r in one.select(_bucket_expr(keys, nb).alias("_b")).collect()}
-        )
+        # buckets (and, when the table keeps blooms, the probe's bloom
+        # positions) computed driver-side from the same hash expressions
+        # the writer used — one k-row job serves both
+        bbits = int(snap["properties"].get("bloom.bits", 0) or 0)
+        bk = int(snap["properties"].get("bloom.hashes", 3) or 3)
+        probe_cols = [_bucket_expr(keys, nb).alias("_b")]
+        if bbits:
+            probe_cols.append(_bloom_positions_expr(keys, bbits, bk).alias("_ps"))
+        probe_rows = one.select(*probe_cols).collect()
+        buckets = sorted({r["_b"] for r in probe_rows})
+        group_pruner = None
+        if bbits:
+            pos_by_bucket: dict[int, list[list[int]]] = {}
+            for r in probe_rows:
+                pos_by_bucket.setdefault(r["_b"], []).append(list(r["_ps"]))
+
+            def group_pruner(g) -> bool:
+                bl = g.get("bloom")
+                # no bloom, or one written under a DIFFERENT config
+                # (property changed between commits): no evidence → keep
+                if not bl or bl["bits"] != bbits or bl["k"] != bk:
+                    return True
+                ba = bytes.fromhex(bl["hex"])
+                return any(
+                    all((ba[p // 8] >> (p % 8)) & 1 for p in ps)
+                    for ps in pos_by_bucket.get(g["bucket"], [])
+                )
         logical = [f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]]
         pred = None
         for kv in key_values:
@@ -502,7 +557,9 @@ class LakeTable:
             )
 
         return (
-            self.read_raw(buckets=buckets, file_pruner=_may_contain)
+            self.read_raw(
+                buckets=buckets, file_pruner=_may_contain, group_pruner=group_pruner
+            )
             .filter(pred)
             .filter(~F.col("_deleted"))
             .select(*logical)
@@ -621,7 +678,21 @@ class LakeTable:
         the key columns (+ sort_cols) in the file group (``stats``,
         parallel to ``files``), read from the same footer as the row
         count — the Iceberg manifest bounds analog that lets ``lookup()``
-        skip files before any task is scheduled."""
+        skip files before any task is scheduled.
+
+        With table property ``bloom.bits`` set (> 0), each staged file
+        GROUP additionally carries a key bloom filter (``bloom``: bits /
+        hash count / hex bitset) — min/max ranges are near-useless for
+        point lookups on hash-distributed keys (every delta group spans
+        the whole key domain), but a bloom answers "is THIS key possibly
+        here" per group, so ``lookup()`` skips the delta groups a key was
+        never written to. Computed by ONE extra distributed aggregation
+        over the just-written staging files (column-pruned to the keys,
+        page-cache warm; bounded state — ≤ ``bloom.bits`` positions per
+        bucket reach the driver), the same pay-at-write-time economics as
+        Iceberg's file stats. Key column types are immutable (rename AND
+        widen of key columns are refused in ``evolve``), so write-time
+        positions stay valid for the life of the file."""
         snap = self.snapshot()
         stat_cols = list(dict.fromkeys(snap["key_cols"] + (sort_cols or [])))
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
@@ -633,6 +704,33 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(staging)
         )
+        blooms: dict[int, str] = {}
+        bbits = int(snap["properties"].get("bloom.bits", 0) or 0)
+        bk = int(snap["properties"].get("bloom.hashes", 3) or 3)
+        if bbits:
+            if bbits % 8 or bbits < 64 or bk < 1:
+                raise ValueError(
+                    f"bloom.bits must be a multiple of 8 and >= 64 (got {bbits}), "
+                    f"bloom.hashes >= 1 (got {bk})"
+                )
+            staged = self.spark.read.parquet(staging)
+            if "_bucket" in staged.columns:  # absent when the write was empty
+                pos_rows = (
+                    staged.select(
+                        F.col("_bucket").cast("int").alias("_b"),
+                        F.explode(
+                            _bloom_positions_expr(snap["key_cols"], bbits, bk)
+                        ).alias("_p"),
+                    )
+                    .groupBy("_b")
+                    .agg(F.collect_set("_p").alias("_ps"))
+                    .collect()
+                )
+                for r in pos_rows:
+                    ba = bytearray(bbits // 8)
+                    for p in r["_ps"]:
+                        ba[p // 8] |= 1 << (p % 8)
+                    blooms[r["_b"]] = ba.hex()
         groups = []
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("_bucket="):
@@ -652,15 +750,16 @@ class LakeTable:
                 os.rename(src, os.path.join(self.root, rel))
                 files.append(rel)
             if files:
-                groups.append(
-                    {
-                        "bucket": bucket,
-                        "files": files,
-                        "schema_version": schema_version,
-                        "rows": rows,
-                        "stats": stats,
-                    }
-                )
+                g = {
+                    "bucket": bucket,
+                    "files": files,
+                    "schema_version": schema_version,
+                    "rows": rows,
+                    "stats": stats,
+                }
+                if bucket in blooms:
+                    g["bloom"] = {"bits": bbits, "k": bk, "hex": blooms[bucket]}
+                groups.append(g)
         shutil.rmtree(staging, ignore_errors=True)
         return groups
 
@@ -1132,6 +1231,66 @@ class LakeTable:
                 pass  # best-effort maintenance, fenced commit already landed
         return stats
 
+    def delete_where(
+        self,
+        condition,
+        lsn: int | None = None,
+        batch_id: int | None = None,
+        writer_id: str | None = None,
+        extra_properties: dict | None = None,
+    ) -> MergeStats:
+        """Predicate delete — tombstone every LIVE row matching
+        ``condition`` (a Column or SQL string), the GDPR /
+        right-to-be-forgotten shape (Iceberg's DELETE FROM ... WHERE).
+
+        Two phases, both distributed: (1) one predicate-pushed scan of the
+        resolved table yields the matching KEYS (they never hit the
+        driver); (2) a standard MERGE of op='D' events at ``lsn`` writes
+        the tombstones — an O(matched) delta append on MOR, a rewrite of
+        only the touched buckets on COW. The deletes then behave like any
+        CDC delete: late out-of-order events below ``lsn`` stay shadowed
+        by the tombstone (T6), redelivery with the same ``batch_id``
+        fences to a no-op (T5), ``changes()`` surfaces them to downstream
+        consumers (cascades, aggregate views), and ``vacuum_tombstones``
+        reclaims them once the log watermark passes ``lsn``.
+
+        ``lsn=None`` stamps the deletes at the table's current high-water
+        mark + 1 ("delete as of now"): one single-row aggregation job.
+        Note the matched-key set is evaluated at CALL time — for
+        exactly-once semantics under retry, pass a ``batch_id`` (the
+        fence, not the predicate, is what makes the retry a no-op).
+
+        Reference parity: the reference's yearly COG reload deletes rows
+        absent from the new file (``import_communes.go`` full-refresh
+        semantics); this is the targeted-predicate generalization."""
+        snap = self.snapshot()
+        sv = snap["schema_version"]
+        keys = snap["key_cols"]
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        if lsn is None:
+            row = self.read_raw().agg(F.max("_lsn").alias("m")).collect()[0]
+            lsn = int(row["m"] or 0) + 1
+        fields = {f["name"]: f["type"] for f in snap["schemas"][str(sv)]["fields"]}
+        doomed = self.read().filter(condition).select(*keys)
+        payload = [
+            F.lit(None).cast(_parse_type_json(t)).alias(c)
+            for c, t in fields.items()
+            if c not in keys
+        ]
+        source = doomed.select(
+            *[F.col(k) for k in keys],
+            *payload,
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit("D").alias("op"),
+        )
+        return self.merge(
+            source,
+            batch_id=batch_id,
+            writer_id=writer_id,
+            extra_properties=extra_properties,
+        )
+
     def compact(
         self,
         buckets: list[int] | None = None,
@@ -1213,6 +1372,14 @@ class LakeTable:
                 fields.append(T.StructField(op.name, _parse_type(op.type), True))
             elif op.action == "widen":
                 idx = _field_index(fields, op.name)
+                if op.name in snap["key_cols"]:
+                    # xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash
+                    # differently), so widening a key column would route
+                    # new versions of existing keys to a DIFFERENT bucket
+                    # than their current rows — resolution then never sees
+                    # both and the table silently forks per key. Same
+                    # rationale as the key-rename refusal below.
+                    raise ValueError("cannot widen a key column (bucket hash is type-sensitive)")
                 old = fields[idx].dataType.simpleString()
                 if (old, op.type) not in _WIDEN_OK:
                     raise ValueError(f"illegal widen {old}->{op.type}")

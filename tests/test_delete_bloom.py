@@ -1,0 +1,227 @@
+"""Predicate deletes (delete_where), bloom-filter group pruning, and the
+key-column widen guard."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.table.lake_table import LakeTable, SchemaOp
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "lsn long, op string, repo string, path string, lang string, content string"
+    )
+
+
+def _state(table):
+    return {(r["repo"], r["path"]): (r["lang"], r["content"]) for r in table.read().collect()}
+
+
+SEED = [
+    (1, "I", "a", "f1", "go", "g1"),
+    (2, "I", "a", "f2", "py", "p1"),
+    (3, "I", "b", "f3", "go", "g2"),
+    (4, "I", "b", "f4", "rs", "r1"),
+]
+
+
+# ------------------------------------------------------------- delete_where
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_where_removes_matches_both_modes(spark, tmp_root, mode):
+    t = LakeTable.create(
+        spark, f"{tmp_root}/dw_{mode}", SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode=mode,
+    )
+    t.merge(_src(spark, SEED), batch_id=0)
+    stats = t.delete_where("lang = 'go'", lsn=10, batch_id=1)
+    assert not stats.fenced
+    assert _state(t) == {("a", "f2"): ("py", "p1"), ("b", "f4"): ("rs", "r1")}
+
+
+def test_delete_where_fence_replay_noop(spark, tmp_root):
+    t = LakeTable.create(
+        spark, tmp_root + "/dw_fence", SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    t.merge(_src(spark, SEED), batch_id=0)
+    t.delete_where("lang = 'go'", lsn=10, batch_id=1)
+    v = t.current_version()
+    replay = t.delete_where("lang = 'go'", lsn=10, batch_id=1)
+    assert replay.fenced and t.current_version() == v
+
+
+def test_delete_where_tombstone_shadows_late_event(spark, tmp_root):
+    t = LakeTable.create(
+        spark, tmp_root + "/dw_late", SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    t.merge(_src(spark, SEED), batch_id=0)
+    t.delete_where("lang = 'go'", lsn=10, batch_id=1)
+    # a late out-of-order update for a deleted key, below the delete LSN
+    t.merge(_src(spark, [(7, "U", "a", "f1", "go", "late")]), batch_id=2)
+    assert ("a", "f1") not in _state(t)
+
+
+def test_delete_where_default_lsn_is_high_water(spark, tmp_root):
+    """lsn=None stamps max(_lsn)+1 — the delete supersedes every live row
+    it matched, whatever LSNs they carry."""
+    t = LakeTable.create(
+        spark, tmp_root + "/dw_hw", SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    t.merge(_src(spark, SEED), batch_id=0)
+    t.delete_where(F.col("lang") == "go", batch_id=1)
+    assert set(_state(t)) == {("a", "f2"), ("b", "f4")}
+    raw = t.read_raw(resolve=False).filter(F.col("_deleted"))
+    assert {int(r["_lsn"]) for r in raw.collect()} == {5}  # max seed lsn 4, +1
+
+
+def test_delete_where_visible_in_changes(spark, tmp_root):
+    t = LakeTable.create(
+        spark, tmp_root + "/dw_cdf", SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    t.merge(_src(spark, SEED), batch_id=0)
+    v0 = t.current_version()
+    t.delete_where("lang = 'go'", lsn=10, batch_id=1)
+    ch = t.changes(v0).collect()
+    assert {(r["repo"], r["path"]) for r in ch if r["_deleted"]} == {("a", "f1"), ("b", "f3")}
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_root):
+    t = LakeTable.create(
+        spark, tmp_root + "/dw_none", SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    t.merge(_src(spark, SEED), batch_id=0)
+    v = t.current_version()
+    t.delete_where("lang = 'zig'", lsn=10)
+    assert t.current_version() == v and len(_state(t)) == 4
+
+
+# ------------------------------------------------------------ bloom pruning
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_root):
+    """num_buckets=1 so bucket pruning can't help; interleaved key ranges so
+    min/max stats can't help either — only the bloom distinguishes the two
+    delta groups."""
+    t = LakeTable.create(
+        spark, tmp_root + "/bloom", SCHEMA, ["repo", "path"],
+        num_buckets=1, write_mode="mor",
+        properties={"bloom.bits": 1024, "bloom.hashes": 3},
+    )
+    even = [(i, "I", f"r{i:02d}", "f", "go", f"c{i}") for i in range(0, 10, 2)]
+    odd = [(i, "I", f"r{i:02d}", "f", "py", f"c{i}") for i in range(1, 10, 2)]
+    t.merge(_src(spark, even), batch_id=0)
+    t.merge(_src(spark, odd), batch_id=1)
+    return t
+
+
+def test_bloom_groups_recorded(bloom_table):
+    snap = bloom_table.snapshot()
+    blooms = [g.get("bloom") for g in snap["file_groups"]]
+    assert len(blooms) == 2 and all(b and b["bits"] == 1024 and b["k"] == 3 for b in blooms)
+
+
+def test_bloom_lookup_prunes_other_batchs_group(spark, bloom_table):
+    """A key written only in the even batch must not scan the odd batch's
+    files (and vice versa) — asserted via the planned scan's inputFiles,
+    the same pin the bucket-pruning test uses."""
+    snap = bloom_table.snapshot()
+    by_batch = {g["seq"]: set(g["files"]) for g in snap["file_groups"]}
+    even_seq, odd_seq = sorted(by_batch)
+    df = bloom_table.lookup([("r02", "f")])
+    assert [(r["repo"], r["content"]) for r in df.collect()] == [("r02", "c2")]
+    scanned = {f.split("/bloom/")[-1] for f in df.inputFiles()}
+    assert scanned & by_batch[even_seq]
+    assert not scanned & by_batch[odd_seq]
+    df2 = bloom_table.lookup([("r03", "f")])
+    assert [r["content"] for r in df2.collect()] == ["c3"]
+    scanned2 = {f.split("/bloom/")[-1] for f in df2.inputFiles()}
+    assert not scanned2 & by_batch[even_seq]
+
+
+def test_bloom_multi_key_lookup_unions_groups(bloom_table):
+    got = {r["repo"]: r["content"] for r in bloom_table.lookup(
+        [("r02", "f"), ("r03", "f")]
+    ).collect()}
+    assert got == {"r02": "c2", "r03": "c3"}
+
+
+def test_bloom_survives_compaction_and_deletes(spark, bloom_table):
+    bloom_table.delete_where("repo = 'r02'", lsn=100, batch_id=2)
+    bloom_table.compact()
+    snap = bloom_table.snapshot()
+    assert all(g.get("bloom") for g in snap["file_groups"])
+    assert bloom_table.lookup([("r02", "f")]).collect() == []
+    assert [r["content"] for r in bloom_table.lookup([("r04", "f")]).collect()] == ["c4"]
+
+
+def test_bloom_config_mismatch_keeps_group(spark, bloom_table):
+    """Groups whose bloom was written under a different (bits, k) config
+    carry no usable evidence — they must survive pruning, never skip."""
+    import json, os
+
+    snap = bloom_table.snapshot()
+    doctored = json.loads(json.dumps(snap))
+    for g in doctored["file_groups"]:
+        g["bloom"]["bits"] = 512  # pretend an older config wrote these
+    doctored.update(version=snap["version"] + 1, parent=snap["version"])
+    bloom_table._commit(doctored)
+    df = bloom_table.lookup([("r02", "f")])
+    assert [r["content"] for r in df.collect()] == ["c2"]
+    assert len(df.inputFiles()) == 2  # both groups scanned — no false skip
+
+
+def test_bloom_bad_config_raises(spark, tmp_root):
+    t = LakeTable.create(
+        spark, tmp_root + "/bloom_bad", SCHEMA, ["repo", "path"],
+        num_buckets=1, properties={"bloom.bits": 100},  # not a multiple of 8
+    )
+    with pytest.raises(ValueError, match="bloom.bits"):
+        t.merge(_src(spark, SEED[:1]), batch_id=0)
+
+
+# ---------------------------------------------------------- key widen guard
+
+
+def test_widen_key_column_refused(spark, tmp_root):
+    """xxhash64 is type-sensitive: int 5 and bigint 5 land in different
+    buckets, so widening a key column would fork existing keys across
+    buckets. evolve() must refuse (same contract as key renames)."""
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    t = LakeTable.create(spark, tmp_root + "/widen_key", schema, ["id"], num_buckets=4)
+    with pytest.raises(ValueError, match="key column"):
+        t.evolve([SchemaOp(action="widen", name="id", type="bigint")])
+    # non-key widen still works
+    t.evolve([SchemaOp(action="widen", name="v", type="bigint")])
+
+
+def test_bucket_hash_is_type_sensitive(spark):
+    """The fact the guard exists for: same value, int vs bigint, different
+    xxhash64 — if Spark ever changed this, the guard could be relaxed."""
+    row = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit(5).cast("int")).alias("i"),
+            F.xxhash64(F.lit(5).cast("long")).alias("l"),
+        )
+        .collect()[0]
+    )
+    assert row["i"] != row["l"]
