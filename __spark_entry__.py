@@ -1025,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_neardup_index_rows": g2_neardup_index_rows,
         "g3_ann_index_rows": g3_ann_index_rows,
         "g4_agg_view": g4_agg_view,
+        "g5_secondary_index": g5_secondary_index,
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
@@ -1433,6 +1434,87 @@ def g4_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def g5_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary index + predicate delete driven end-to-end THROUGH the
+    engine: documents arrive as two CDC waves into a MOR lake table that
+    keeps key bloom filters (property ``bloom.bits`` — exercises the
+    bloom write path on every merge), a ``SecondaryIndex`` on ``lang`` is
+    cascade-maintained after each wave, and ``delete_where(lang='de')``
+    tombstones a whole language between waves. The result is the
+    source rows the INDEX reports for lang ∈ {fr, de} — fr proves
+    postings moved/arrived correctly (updates re-route %5==0 docs to
+    'xx', late inserts land), de proves the predicate delete cascaded
+    into the index (it must contribute ZERO rows). The oracle states the
+    final set declaratively, so the hash-match proves maintained-index
+    search == recompute-from-truth.
+
+    Wave arithmetic mirrors g4: %3==2 arrive late, %5==0 change lang to
+    'xx' with n_chars doubled, then every doc whose FINAL lang is 'de'
+    is deleted by predicate."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    N = 10_000_000
+
+    def ev(df: DataFrame, op: str, base: int) -> DataFrame:
+        return df.select(
+            "doc_id", "lang", "source", "n_chars",
+            (F.lit(base) + F.col("doc_id")).alias("lsn"), F.lit(op).alias("op"),
+        )
+
+    w1 = ev(docs.filter(F.col("doc_id") % 3 != 2), "I", 0)
+    w2 = ev(docs.filter(F.col("doc_id") % 3 == 2), "I", N).unionByName(
+        ev(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumn("lang", F.lit("xx"))
+            .withColumn("n_chars", F.col("n_chars") * 2),
+            "U",
+            2 * N,
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="g5_secidx_")
+    try:
+        table = LakeTable.create(
+            spark,
+            os.path.join(root, "docs"),
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("lang", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                    T.StructField("n_chars", T.LongType()),
+                ]
+            ),
+            key_cols=["doc_id"],
+            num_buckets=8,
+            write_mode="mor",
+            properties={"bloom.bits": 2048},
+        )
+        idx = SecondaryIndex.create(spark, table, os.path.join(root, "idx"), ["lang"])
+        ckpt = CheckpointStore(os.path.join(root, "idx.ck"))
+        table.merge(w1, batch_id=0)
+        idx.sync(ckpt)  # bootstrap after wave 1...
+        table.merge(w2, batch_id=1)
+        table.delete_where("lang = 'de'", batch_id=2)
+        idx.sync(ckpt)  # ...incremental (late inserts, moves, deletes)
+        out = idx.rows(lang="fr").unionByName(idx.rows(lang="de")).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ann_index_sql(bits: int = 8) -> str:
     return f"""
         WITH final AS (
@@ -1679,6 +1761,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(amount) AS BIGINT) AS total_amount
             FROM final
             GROUP BY event_type
+        """,
+        "g5_secondary_index": """
+            WITH final AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+                     source,
+                     CASE WHEN doc_id % 5 = 0 THEN CAST(n_chars * 2 AS BIGINT)
+                          ELSE CAST(n_chars AS BIGINT) END AS n_chars
+              FROM documents
+            ),
+            live AS (  -- delete_where removes every FINAL-lang 'de' row
+              SELECT * FROM final WHERE lang <> 'de'
+            )
+            SELECT doc_id, lang, source, n_chars
+            FROM live
+            WHERE lang IN ('fr', 'de')
         """,
         "t8_dataset_split": """
             SELECT doc_id, lang,

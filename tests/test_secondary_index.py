@@ -1,0 +1,151 @@
+"""SecondaryIndex: CDC-maintained value→keys index over non-key columns."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "lsn long, op string, repo string, path string, lang string, content string"
+    )
+
+
+@pytest.fixture()
+def rig(spark, tmp_root):
+    source = LakeTable.create(
+        spark, tmp_root + "/src", SCHEMA, ["repo", "path"],
+        num_buckets=4, write_mode="mor",
+    )
+    source.merge(
+        _src(spark, [
+            (1, "I", "a", "f1", "go", "g1"),
+            (2, "I", "a", "f2", "py", "p1"),
+            (3, "I", "b", "f3", "go", "g2"),
+            (4, "I", "b", "f4", "rs", "r1"),
+        ]),
+        batch_id=0,
+    )
+    idx = SecondaryIndex.create(spark, source, tmp_root + "/idx", ["lang"])
+    ckpt = CheckpointStore(os.path.join(tmp_root, "idx.ck"))
+    return source, idx, ckpt
+
+
+def _index_state(idx):
+    return {(r["repo"], r["path"]): r["lang"] for r in idx.table.read().collect()}
+
+
+def test_bootstrap_then_search(spark, rig):
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    assert _index_state(idx) == {
+        ("a", "f1"): "go", ("a", "f2"): "py", ("b", "f3"): "go", ("b", "f4"): "rs",
+    }
+    hits = {(r["repo"], r["path"]) for r in idx.search(lang="go").collect()}
+    assert hits == {("a", "f1"), ("b", "f3")}
+
+
+def test_update_is_self_cleaning(spark, rig):
+    """A value change must MOVE the posting, never strand it under the
+    old value — the property the source-keyed design buys."""
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    source.merge(_src(spark, [(10, "U", "a", "f1", "py", "g1b")]), batch_id=1)
+    idx.sync(ckpt)
+    assert {(r["repo"], r["path"]) for r in idx.search(lang="go").collect()} == {("b", "f3")}
+    assert {(r["repo"], r["path"]) for r in idx.search(lang="py").collect()} == {
+        ("a", "f1"), ("a", "f2"),
+    }
+
+
+def test_delete_removes_posting(spark, rig):
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    source.merge(_src(spark, [(10, "D", "b", "f3", None, None)]), batch_id=1)
+    idx.sync(ckpt)
+    assert {(r["repo"], r["path"]) for r in idx.search(lang="go").collect()} == {("a", "f1")}
+
+
+def test_rows_returns_full_source_rows(spark, rig):
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    got = {(r["repo"], r["path"]): r["content"] for r in idx.rows(lang="go").collect()}
+    assert got == {("a", "f1"): "g1", ("b", "f3"): "g2"}
+    assert set(idx.rows(lang="go").columns) == {"repo", "path", "lang", "content"}
+
+
+def test_incremental_sync_is_exactly_once(spark, rig):
+    """Replaying the same window (fresh cascade over the same checkpoint
+    state) must fence to a no-op, and the index must equal a from-scratch
+    rebuild after arbitrary update/delete traffic."""
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    source.merge(
+        _src(spark, [
+            (10, "U", "a", "f2", "go", "p2"),
+            (11, "D", "b", "f4", None, None),
+            (12, "I", "c", "f5", "py", "c1"),
+        ]),
+        batch_id=1,
+    )
+    res = idx.sync(ckpt)
+    assert any(r.mode == "incremental" for r in res)
+    v = idx.table.current_version()
+    again = idx.sync(ckpt)
+    assert all(r.mode == "noop" for r in again) and idx.table.current_version() == v
+    # maintained index == declarative projection of the live source
+    truth = {
+        (r["repo"], r["path"]): r["lang"]
+        for r in source.read().select("repo", "path", "lang").collect()
+    }
+    assert _index_state(idx) == truth
+
+
+def test_optimize_clusters_by_value(spark, rig):
+    """After optimize(), each index file's lang min==max (value-clustered
+    layout) wherever a file holds one lang — the row-group-pruning shape.
+    Weaker cross-file assert: search results unchanged."""
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    before = {tuple(sorted(r.asDict().items())) for r in idx.search(lang="go").collect()}
+    idx.optimize()
+    after = {tuple(sorted(r.asDict().items())) for r in idx.search(lang="go").collect()}
+    assert before == after
+    snap = idx.table.snapshot()
+    assert all(g.get("sorted_by") == ["lang"] for g in snap["file_groups"])
+
+
+def test_create_rejects_key_and_unknown_columns(spark, rig):
+    source, idx, ckpt = rig
+    with pytest.raises(ValueError, match="key columns"):
+        SecondaryIndex.create(spark, source, "/tmp/nope1", ["repo"])
+    with pytest.raises(ValueError, match="no column"):
+        SecondaryIndex.create(spark, source, "/tmp/nope2", ["nope"])
+    with pytest.raises(ValueError, match="not in indexed"):
+        idx.search(content="x")
+
+
+def test_delete_where_flows_into_index(spark, rig):
+    """Predicate deletes on the source surface in changes() and therefore
+    must cascade into the index like any CDC delete."""
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    source.delete_where("lang = 'go'", batch_id=1)
+    idx.sync(ckpt)
+    assert idx.search(lang="go").collect() == []
+    assert set(_index_state(idx).values()) == {"py", "rs"}
