@@ -232,6 +232,13 @@ def cmd_maintain(args) -> None:
         )
     if args.prune_fence_prefix:
         out["fences_pruned"] = table.prune_fences(args.prune_fence_prefix)
+    if args.delete_where:
+        stats = table.delete_where(
+            args.delete_where, batch_id=args.delete_batch_id
+        )
+        out["delete_where"] = {
+            "rows_tombstoned": stats.rows_deleted, "fenced": stats.fenced,
+        }
     out["current_version"] = table.current_version()
     print(json.dumps(out))
 
@@ -341,6 +348,11 @@ def main() -> None:
                     help="drop retired fence properties with this key prefix "
                          "(e.g. 'last_batch_id.job1.stream.' after a stream "
                          "checkpoint is decommissioned)")
+    mp.add_argument("--delete-where", default=None, metavar="SQL_PREDICATE",
+                    help="tombstone every live row matching this predicate "
+                         "(GDPR erasure, e.g. \"repo = 'acme/secrets'\")")
+    mp.add_argument("--delete-batch-id", type=int, default=None,
+                    help="fence id for --delete-where (makes retries no-ops)")
     mp.add_argument("--cores", type=int, default=None)
     mp.set_defaults(fn=cmd_maintain)
 

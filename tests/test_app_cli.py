@@ -64,3 +64,39 @@ def test_dag_subcommand_end_to_end(spark, tmp_root, monkeypatch):
     app.main()
     dep2 = LakeTable(spark, os.path.join(tmp_root, "t", "department")).read().collect()
     assert [r.asDict() for r in dep2] == [r.asDict() for r in dep]
+
+
+def test_maintain_delete_where_subcommand(spark, tmp_root, monkeypatch, capsys):
+    """`maintain --delete-where` is the operator-facing GDPR erasure
+    surface: predicate in, fenced tombstones out, JSON report on stdout."""
+    sys.path.insert(0, REPO)
+    import app
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "gdpr"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]),
+        ["repo", "path"], num_buckets=2, write_mode="mor",
+    )
+    src = spark.createDataFrame(
+        [(1, "I", "a", "f1", "go"), (2, "I", "a", "f2", "py"), (3, "I", "b", "f3", "go")],
+        "lsn long, op string, repo string, path string, lang string",
+    )
+    t.merge(src, batch_id=0)
+    argv = ["app.py", "maintain", "--table-root", os.path.join(tmp_root, "gdpr"),
+            "--delete-where", "lang = 'go'", "--delete-batch-id", "99", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["delete_where"] == {"rows_tombstoned": 2, "fenced": False}
+    assert {r["path"] for r in t.read().collect()} == {"f2"}
+    # retry with the same fence id: no-op
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report2["delete_where"]["fenced"] is True
+    assert {r["path"] for r in t.read().collect()} == {"f2"}
