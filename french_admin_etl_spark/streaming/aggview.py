@@ -52,17 +52,39 @@ class AggregateView:
         view: LakeTable,
         group_cols: list[str],
         sums: dict[str, str] | None = None,
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
         writer_id: str = "aggview",
     ):
         """``sums`` maps view output columns to source numeric columns
         (summed over live rows; SQL SUM semantics — nulls contribute 0).
         The count column ``cnt`` is always maintained: it is what decides
-        group liveness."""
+        group liveness.
+
+        ``mins``/``maxs`` add MIN/MAX aggregates with the Materialize-style
+        MONOTONIC fast path: min/max combine under insertion but cannot be
+        retracted incrementally (the retracted value might BE the current
+        extreme, and the runner-up is not in the view's state). So windows
+        containing only inserts of NEW keys maintain min/max by combining
+        — the append-only common case of a CDC log — and any window with a
+        delete or an update of a live key falls back to the full-resync
+        path (recompute-and-overwrite, always correct). Count/sum-only
+        views never take that hit; declare min/max only when needed."""
         self.spark = spark
         self.source = source
         self.view = view
         self.group_cols = list(group_cols)
         self.sums = dict(sums or {})
+        self.mins = dict(mins or {})
+        self.maxs = dict(maxs or {})
+        overlap = (
+            {"cnt"} | set(self.sums) | set(self.mins) | set(self.maxs)
+        )
+        if len(overlap) != 1 + len(self.sums) + len(self.mins) + len(self.maxs):
+            raise ValueError(
+                "output column collision across cnt/sums/mins/maxs: "
+                f"sums={sorted(self.sums)} mins={sorted(self.mins)} maxs={sorted(self.maxs)}"
+            )
         self.writer_id = writer_id
         self._synced_key = f"aggview.synced.{writer_id}"
 
@@ -76,12 +98,16 @@ class AggregateView:
         root: str,
         group_cols: list[str],
         sums: dict[str, str] | None = None,
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
         num_buckets: int = 16,
         writer_id: str = "aggview",
     ) -> "AggregateView":
         """Create the backing additive table: group cols typed from the
         source's logical schema; ``cnt`` bigint; sum columns bigint for
-        integer sources, double otherwise."""
+        integer sources, double otherwise; min/max columns keep the
+        source column's own type (min/max never widen) and register their
+        combine function as ``additive.agg.<col>`` table properties."""
         snap = source.snapshot()
         fields = {f["name"]: f["type"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]}
         cols = [
@@ -94,6 +120,13 @@ class AggregateView:
             cols.append(
                 T.StructField(out, T.LongType() if num is not None else T.DoubleType(), True)
             )
+        props: dict = {"resolution": "additive"}
+        for out, src_col in {**(mins or {}), **(maxs or {})}.items():
+            cols.append(T.StructField(out, _src_type(fields, src_col), True))
+        for out in (mins or {}):
+            props[f"additive.agg.{out}"] = "min"
+        for out in (maxs or {}):
+            props[f"additive.agg.{out}"] = "max"
         view = LakeTable.create(
             spark,
             root,
@@ -101,9 +134,9 @@ class AggregateView:
             key_cols=list(group_cols),
             num_buckets=num_buckets,
             write_mode="mor",
-            properties={"resolution": "additive"},
+            properties=props,
         )
-        return cls(spark, source, view, group_cols, sums, writer_id)
+        return cls(spark, source, view, group_cols, sums, mins, maxs, writer_id)
 
     # --------------------------------------------------------------- sync
 
@@ -122,6 +155,19 @@ class AggregateView:
                     col_out
                 )
             )
+        for col_out, col_src in {**self.mins, **self.maxs}.items():
+            # min/max contributions exist only for insertions; the sync
+            # path guarantees sign=-1 never reaches a min/max view
+            # (retractions force a resync), but emit NULL defensively —
+            # F.min/F.max ignore nulls, so a stray retraction row can
+            # never fabricate an extreme
+            # F.when with no otherwise = typed NULL of col_src's own type
+            # (keeps the retract/insert unionByName type-aligned)
+            out.append(
+                (F.col(col_src) if sign > 0 else F.when(F.lit(False), F.col(col_src))).alias(
+                    col_out
+                )
+            )
         return rows.select(*out)
 
     def _increments(self, contribs: DataFrame) -> DataFrame:
@@ -130,6 +176,10 @@ class AggregateView:
         for col_out in self.sums:
             agg.append(F.sum(col_out).alias(col_out))
             nonzero = nonzero | (F.col(col_out) != 0)
+        for col_out in self.mins:
+            agg.append(F.min(col_out).alias(col_out))
+        for col_out in self.maxs:
+            agg.append(F.max(col_out).alias(col_out))
         return contribs.groupBy(*self.group_cols).agg(*agg).filter(nonzero)
 
     def sync(self) -> dict:
@@ -166,6 +216,18 @@ class AggregateView:
             .join(changed.select(*keys), on=keys, how="left_semi")
         )
         new_live = changed.filter(~F.col("_deleted"))
+        if self.mins or self.maxs:
+            # min/max cannot retract incrementally (the retracted value
+            # might be the current extreme; its runner-up is not in view
+            # state). Monotonic fast path: a window of pure NEW-key
+            # inserts combines min/max like any other increment; any
+            # delete or update-of-a-live-key forces the full resync.
+            monotonic = (
+                changed.filter(F.col("_deleted")).limit(1).count() == 0
+                and old_live.limit(1).count() == 0
+            )
+            if not monotonic:
+                return self._resync(to_v)
         inc = self._increments(
             self._contrib(old_live, -1).unionByName(self._contrib(new_live, +1))
         )

@@ -381,15 +381,29 @@ class LakeTable:
         out = out.select(*cols, "_cseq", "_coal")
         if resolve and snap["properties"].get("resolution") == "additive":
             # additive tables (incremental aggregate views): every physical
-            # row is an increment; resolution = SUM per key, not max-LSN.
-            # One combinable aggregate — map-side partial sums collapse
-            # deltas before the shuffle, the same scale shape as W1 dedup.
-            # Sums widen (int→bigint) under Spark's agg typing, so each is
-            # cast back to the column's declared type (ANSI: a genuine
-            # overflow raises instead of wrapping).
+            # row is an increment; resolution = a combinable aggregate per
+            # key, not max-LSN. Default SUM; property ``additive.agg.<col>``
+            # may pick ``min``/``max`` instead (the monotonic aggregates —
+            # an insert-only stream maintains min/max by combining, which
+            # is what lets AggregateView keep them incrementally on
+            # append-only windows). One combinable aggregate either way —
+            # map-side partials collapse deltas before the shuffle, the
+            # same scale shape as W1 dedup. Sums widen (int→bigint) under
+            # Spark's agg typing, so each is cast back to the column's
+            # declared type (ANSI: a genuine overflow raises instead of
+            # wrapping); min/max never widen but the cast is harmless.
             key_cols = snap["key_cols"]
+            agg_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+            props = snap["properties"]
+
+            def _agg_for(c):
+                fn = props.get(f"additive.agg.{c}", "sum")
+                if fn not in agg_fns:
+                    raise ValueError(f"unknown additive.agg.{c} = {fn!r}")
+                return agg_fns[fn]
+
             aggs = [
-                F.sum(c).cast(phys_cur[c].dataType).alias(c)
+                _agg_for(c)(c).cast(phys_cur[c].dataType).alias(c)
                 for c in cols
                 if c not in key_cols and c not in INTERNAL_COLS
             ]

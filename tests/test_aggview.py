@@ -154,7 +154,8 @@ def test_aggview_sync_is_idempotent(spark, tmp_root):
     source = _mk_source(spark, os.path.join(tmp_root, "src2"))
     source.merge(_src(spark, [(1, "I", "a", "p", "py", 4)]), batch_id=0)
     view = AggregateView.create(
-        spark, source, os.path.join(tmp_root, "view2"), ["lang"], {"total_size": "size"}, 2
+        spark, source, os.path.join(tmp_root, "view2"), ["lang"],
+        {"total_size": "size"}, num_buckets=2,
     )
     view.sync()
     before = _view_state(view)
@@ -173,7 +174,7 @@ def test_aggview_net_zero_window_advances_marker(spark, tmp_root):
     source = _mk_source(spark, os.path.join(tmp_root, "src3"))
     source.merge(_src(spark, [(1, "I", "a", "p", "py", 4)]), batch_id=0)
     view = AggregateView.create(
-        spark, source, os.path.join(tmp_root, "view3"), ["lang"], {"total_size": "size"}, 2
+        spark, source, os.path.join(tmp_root, "view3"), ["lang"], {"total_size": "size"}, num_buckets=2,
     )
     view.sync()
     # same group, same size: retraction exactly cancels insertion
@@ -191,7 +192,7 @@ def test_aggview_folded_window_falls_back_to_resync(spark, tmp_root):
         batch_id=0,
     )
     view = AggregateView.create(
-        spark, source, os.path.join(tmp_root, "view4"), ["lang"], {"total_size": "size"}, 2
+        spark, source, os.path.join(tmp_root, "view4"), ["lang"], {"total_size": "size"}, num_buckets=2,
     )
     view.sync()
     source.merge(_src(spark, [(20, "I", "r", "pnew", "rs", 100)]), batch_id=1)
@@ -212,7 +213,7 @@ def test_aggview_randomized_windows_vs_truth(spark, tmp_root):
     rng = random.Random(42)
     source = _mk_source(spark, os.path.join(tmp_root, "src5"))
     view = AggregateView.create(
-        spark, source, os.path.join(tmp_root, "view5"), ["lang"], {"total_size": "size"}, 2
+        spark, source, os.path.join(tmp_root, "view5"), ["lang"], {"total_size": "size"}, num_buckets=2,
     )
     langs = ["py", "go", "rs", "c"]
     lsn = 0
@@ -231,3 +232,137 @@ def test_aggview_randomized_windows_vs_truth(spark, tmp_root):
         source.merge(_src(spark, list(batch.values())), batch_id=w)
         view.sync()
         assert _view_state(view) == _truth(source), f"window {w}"
+
+
+# ----------------------------------------------------- min/max (monotonic)
+
+
+def _truth_mm(source):
+    got = {}
+    for r in source.read().collect():
+        c, mn, mx = got.get(r["lang"], (0, None, None))
+        sz = r["size"]
+        mn = sz if mn is None or (sz is not None and sz < mn) else mn
+        mx = sz if mx is None or (sz is not None and sz > mx) else mx
+        got[r["lang"]] = (c + 1, mn, mx)
+    return got
+
+
+def _view_mm(view):
+    return {
+        r["lang"]: (r["cnt"], r["min_size"], r["max_size"])
+        for r in view.read().collect()
+    }
+
+
+@pytest.fixture()
+def mm_rig(spark, tmp_root):
+    source = _mk_source(spark, os.path.join(tmp_root, "mm_src"))
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "mm_view"),
+        group_cols=["lang"], mins={"min_size": "size"}, maxs={"max_size": "size"},
+        num_buckets=2,
+    )
+    return source, view
+
+
+def test_minmax_insert_only_windows_stay_incremental(spark, mm_rig):
+    """Append-only traffic (the CDC common case) must maintain min/max by
+    combining — never a resync."""
+    source, view = mm_rig
+    source.merge(_src(spark, [
+        (1, "I", "a", "f1", "go", 10), (2, "I", "a", "f2", "py", 30),
+    ]), batch_id=0)
+    assert view.sync()["mode"] == "bootstrap"
+    source.merge(_src(spark, [
+        (3, "I", "b", "f3", "go", 5), (4, "I", "b", "f4", "py", 99),
+    ]), batch_id=1)
+    rep = view.sync()
+    assert rep["mode"] == "incremental"
+    assert _view_mm(view) == _truth_mm(source)
+    assert _view_mm(view)["go"] == (2, 5, 10)
+
+
+def test_minmax_retraction_falls_back_to_resync(spark, mm_rig):
+    """Deleting the row that HOLDS the minimum must surface the runner-up
+    — only a recompute can know it, so the sync must resync."""
+    source, view = mm_rig
+    source.merge(_src(spark, [
+        (1, "I", "a", "f1", "go", 10), (2, "I", "b", "f3", "go", 5),
+    ]), batch_id=0)
+    view.sync()
+    assert _view_mm(view)["go"] == (2, 5, 10)
+    source.merge(_src(spark, [(3, "D", "b", "f3", None, None)]), batch_id=1)
+    rep = view.sync()
+    assert rep["mode"] == "resync"
+    assert _view_mm(view) == _truth_mm(source)
+    assert _view_mm(view)["go"] == (1, 10, 10)
+
+
+def test_minmax_update_of_live_key_falls_back_to_resync(spark, mm_rig):
+    source, view = mm_rig
+    source.merge(_src(spark, [(1, "I", "a", "f1", "go", 10)]), batch_id=0)
+    view.sync()
+    source.merge(_src(spark, [(2, "U", "a", "f1", "go", 50)]), batch_id=1)
+    rep = view.sync()
+    assert rep["mode"] == "resync"
+    assert _view_mm(view)["go"] == (1, 50, 50)
+
+
+def test_minmax_randomized_windows_match_truth(spark, tmp_root):
+    """Arbitrary insert/update/delete traffic across many windows: the
+    maintained view equals the recomputed truth after EVERY sync,
+    whichever path each window took."""
+    import random
+
+    rng = random.Random(17)
+    source = _mk_source(spark, os.path.join(tmp_root, "mmr_src"))
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "mmr_view"),
+        group_cols=["lang"], sums={"total_size": "size"},
+        mins={"min_size": "size"}, maxs={"max_size": "size"}, num_buckets=2,
+    )
+    langs = ["go", "py", "rs"]
+    live, lsn = {}, 0
+    modes = []
+    for batch in range(4):
+        rows = []
+        for _ in range(rng.randint(2, 6)):
+            lsn += 1
+            key = ("r", f"f{rng.randint(1, 12)}")
+            if key in live and rng.random() < 0.3:
+                rows.append((lsn, "D", key[0], key[1], None, None))
+                live.pop(key)
+            else:
+                lang, size = rng.choice(langs), rng.randint(1, 100)
+                rows.append((lsn, "I" if key not in live else "U", key[0], key[1], lang, size))
+                live[key] = (lang, size)
+        # one row per key per batch (merge contract)
+        dedup = {}
+        for r in rows:
+            dedup[(r[2], r[3])] = r
+        source.merge(_src(spark, list(dedup.values())), batch_id=batch)
+        modes.append(view.sync()["mode"])
+        got = {
+            r["lang"]: (r["cnt"], int(r["total_size"]), r["min_size"], r["max_size"])
+            for r in view.read().collect()
+        }
+        truth = {}
+        for lang, size in live.values():
+            c, s, mn, mx = truth.get(lang, (0, 0, None, None))
+            truth[lang] = (
+                c + 1, s + size,
+                size if mn is None or size < mn else mn,
+                size if mx is None or size > mx else mx,
+            )
+        assert got == truth, f"batch {batch} ({modes})"
+    assert "resync" in modes  # the traffic above must exercise the fallback
+
+
+def test_minmax_output_column_collision_rejected(spark, mm_rig):
+    source, _ = mm_rig
+    with pytest.raises(ValueError, match="collision"):
+        AggregateView(
+            source.spark, source, None, ["lang"],
+            sums={"x": "size"}, mins={"x": "size"},
+        )
