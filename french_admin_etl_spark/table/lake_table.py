@@ -1183,7 +1183,12 @@ class LakeTable:
         logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
         data_cols = [c for c in logical if c not in keys]
         for c in data_cols:
-            if not isinstance(phys[c].dataType, T.NumericType):
+            # SUM-resolved columns must be numeric; MIN/MAX-resolved
+            # columns (additive.agg.<c>) only need to be orderable —
+            # strings/timestamps are legitimate min/max domains
+            if snap["properties"].get(f"additive.agg.{c}", "sum") == "sum" and not isinstance(
+                phys[c].dataType, T.NumericType
+            ):
                 raise ValueError(f"additive column {c!r} must be numeric, is {phys[c].dataType}")
 
         delta = deltas.select(

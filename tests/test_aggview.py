@@ -366,3 +366,23 @@ def test_minmax_output_column_collision_rejected(spark, mm_rig):
             source.spark, source, None, ["lang"],
             sums={"x": "size"}, mins={"x": "size"},
         )
+
+
+def test_minmax_over_strings(spark, tmp_root):
+    """min/max domains are orderable, not numeric — a lexicographic
+    min/max over a string column must work end-to-end."""
+    source = _mk_source(spark, os.path.join(tmp_root, "mms_src"))
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "mms_view"),
+        group_cols=["lang"], mins={"first_path": "path"}, maxs={"last_path": "path"},
+        num_buckets=2,
+    )
+    source.merge(_src(spark, [
+        (1, "I", "a", "m", "go", 1), (2, "I", "a", "b", "go", 1),
+    ]), batch_id=0)
+    view.sync()
+    source.merge(_src(spark, [(3, "I", "a", "z", "go", 1)]), batch_id=1)
+    rep = view.sync()
+    assert rep["mode"] == "incremental"
+    got = view.read().collect()[0]
+    assert (got["first_path"], got["last_path"]) == ("b", "z")

@@ -309,6 +309,44 @@ def main() -> None:
                   CHECKS[-1][2], CHECKS[-1][3])
     sections.append(("Count-min sketch cells (depth-fanout + one agg)", p))
 
+    # 18. secondary index: the equality predicate is PUSHED into the
+    #     narrow index scan (row-group pruning after optimize()), and the
+    #     back-join to the source is a real join — never a cartesian,
+    #     never Python
+    from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+
+    with tempfile.TemporaryDirectory(prefix="audit_secidx_") as td:
+        from pyspark.sql import types as _T
+
+        st = LakeTable.create(
+            spark, os.path.join(td, "s"),
+            _T.StructType([_T.StructField("id", _T.LongType()),
+                           _T.StructField("lang", _T.StringType()),
+                           _T.StructField("content", _T.StringType())]),
+            ["id"], num_buckets=2, write_mode="mor",
+        )
+        st.merge(
+            spark.createDataFrame(
+                [(1, "I", 1, "go", "x"), (2, "I", 2, "py", "y")],
+                "lsn long, op string, id long, lang string, content string",
+            ),
+            batch_id=0,
+        )
+        sidx = SecondaryIndex.create(spark, st, os.path.join(td, "i"), ["lang"])
+        from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+
+        sidx.sync(CheckpointStore(os.path.join(td, "ck")))
+        sidx.optimize()
+        p = plan_of(sidx.search(lang="go"))
+        check("secondary-index search: pushed equality on the narrow scan", p,
+              ["PushedFilters: [", "EqualNullSafe(lang,go)"],
+              ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"])
+        sections.append(("Secondary-index search (pushed predicate, narrow scan)", p))
+        p = plan_of(sidx.rows(lang="go"))
+        check("secondary-index rows(): semi back-join, no cartesian, no Python", p,
+              ["Join"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"])
+        sections.append(("Secondary-index rows() back-join", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
