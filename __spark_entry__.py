@@ -1472,7 +1472,12 @@ def g5_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     w1 = ev(docs.filter(F.col("doc_id") % 3 != 2), "I", 0)
-    w2 = ev(docs.filter(F.col("doc_id") % 3 == 2), "I", N).unionByName(
+    # merge contract: ONE row per key per batch — docs that are both late
+    # (%3==2) and moved (%5==0) ride the update leg only (NOT MATCHED +
+    # op='U' inserts them, same final state)
+    w2 = ev(
+        docs.filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 5 != 0)), "I", N
+    ).unionByName(
         ev(
             docs.filter(F.col("doc_id") % 5 == 0)
             .withColumn("lang", F.lit("xx"))

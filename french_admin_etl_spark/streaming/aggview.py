@@ -78,12 +78,15 @@ class AggregateView:
         self.mins = dict(mins or {})
         self.maxs = dict(maxs or {})
         overlap = (
-            {"cnt"} | set(self.sums) | set(self.mins) | set(self.maxs)
+            set(self.group_cols) | {"cnt"} | set(self.sums) | set(self.mins) | set(self.maxs)
         )
-        if len(overlap) != 1 + len(self.sums) + len(self.mins) + len(self.maxs):
+        if len(overlap) != (
+            len(self.group_cols) + 1 + len(self.sums) + len(self.mins) + len(self.maxs)
+        ):
             raise ValueError(
-                "output column collision across cnt/sums/mins/maxs: "
-                f"sums={sorted(self.sums)} mins={sorted(self.mins)} maxs={sorted(self.maxs)}"
+                "output column collision across group_cols/cnt/sums/mins/maxs: "
+                f"groups={sorted(self.group_cols)} sums={sorted(self.sums)} "
+                f"mins={sorted(self.mins)} maxs={sorted(self.maxs)}"
             )
         self.writer_id = writer_id
         self._synced_key = f"aggview.synced.{writer_id}"

@@ -142,6 +142,19 @@ def _footer_stats(md, cols: list[str]) -> dict | None:
     return out or None
 
 
+def _bloom_config(properties: dict) -> tuple[int, int]:
+    """Parsed, validated (bloom.bits, bloom.hashes) — (0, k) when blooms
+    are off. One parser serves create-time rejection and write-time use."""
+    bbits = int(properties.get("bloom.bits", 0) or 0)
+    bk = int(properties.get("bloom.hashes", 3) or 3)
+    if bbits and (bbits % 8 or bbits < 64 or bk < 1):
+        raise ValueError(
+            f"bloom.bits must be a multiple of 8 and >= 64 (got {bbits}), "
+            f"bloom.hashes >= 1 (got {bk})"
+        )
+    return bbits, bk
+
+
 def _bloom_positions_expr(keys: list[str], bits: int, hashes: int):
     """Array of ``hashes`` bit positions for a row's key tuple — the
     bloom-filter address set. Each hash is the table's own xxhash64 over
@@ -202,6 +215,7 @@ class LakeTable:
         """
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"unknown write_mode {write_mode}")
+        _bloom_config(properties or {})  # reject a bad bloom config up front
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -519,8 +533,7 @@ class LakeTable:
         # buckets (and, when the table keeps blooms, the probe's bloom
         # positions) computed driver-side from the same hash expressions
         # the writer used — one k-row job serves both
-        bbits = int(snap["properties"].get("bloom.bits", 0) or 0)
-        bk = int(snap["properties"].get("bloom.hashes", 3) or 3)
+        bbits, bk = _bloom_config(snap["properties"])
         probe_cols = [_bucket_expr(keys, nb).alias("_b")]
         if bbits:
             probe_cols.append(_bloom_positions_expr(keys, bbits, bk).alias("_ps"))
@@ -708,47 +721,56 @@ class LakeTable:
         widen of key columns are refused in ``evolve``), so write-time
         positions stay valid for the life of the file."""
         snap = self.snapshot()
+        # validate bloom config BEFORE any staging I/O (a bad property must
+        # not leak a staging dir per write attempt); create() also rejects
+        # it up front, but properties can arrive later via extra_properties
+        bbits, bk = _bloom_config(snap["properties"])
         stat_cols = list(dict.fromkeys(snap["key_cols"] + (sort_cols or [])))
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         shaped = df.repartition(F.col("_bucket"))
         if sort_cols:
             shaped = shaped.sortWithinPartitions(*sort_cols)
-        (
-            shaped.write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(staging)
-        )
+        try:
+            (
+                shaped.write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(staging)
+            )
+            return self._collect_staged(staging, snap, schema_version, stat_cols, bbits, bk)
+        finally:
+            # always reclaim the staging dir — a failure mid-collection may
+            # orphan already-renamed data files (age-thresholded
+            # vacuum_orphans reclaims those), but never staging litter
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _collect_staged(
+        self, staging: str, snap: dict, schema_version: int,
+        stat_cols: list[str], bbits: int, bk: int,
+    ) -> list[dict]:
+        bucket_dirs = [
+            e for e in sorted(os.listdir(staging)) if e.startswith("_bucket=")
+        ]
         blooms: dict[int, str] = {}
-        bbits = int(snap["properties"].get("bloom.bits", 0) or 0)
-        bk = int(snap["properties"].get("bloom.hashes", 3) or 3)
-        if bbits:
-            if bbits % 8 or bbits < 64 or bk < 1:
-                raise ValueError(
-                    f"bloom.bits must be a multiple of 8 and >= 64 (got {bbits}), "
-                    f"bloom.hashes >= 1 (got {bk})"
+        if bbits and bucket_dirs:  # empty writes stage only _SUCCESS
+            pos_rows = (
+                self.spark.read.parquet(staging)
+                .select(
+                    F.col("_bucket").cast("int").alias("_b"),
+                    F.explode(
+                        _bloom_positions_expr(snap["key_cols"], bbits, bk)
+                    ).alias("_p"),
                 )
-            staged = self.spark.read.parquet(staging)
-            if "_bucket" in staged.columns:  # absent when the write was empty
-                pos_rows = (
-                    staged.select(
-                        F.col("_bucket").cast("int").alias("_b"),
-                        F.explode(
-                            _bloom_positions_expr(snap["key_cols"], bbits, bk)
-                        ).alias("_p"),
-                    )
-                    .groupBy("_b")
-                    .agg(F.collect_set("_p").alias("_ps"))
-                    .collect()
-                )
-                for r in pos_rows:
-                    ba = bytearray(bbits // 8)
-                    for p in r["_ps"]:
-                        ba[p // 8] |= 1 << (p % 8)
-                    blooms[r["_b"]] = ba.hex()
+                .groupBy("_b")
+                .agg(F.collect_set("_p").alias("_ps"))
+                .collect()
+            )
+            for r in pos_rows:
+                ba = bytearray(bbits // 8)
+                for p in r["_ps"]:
+                    ba[p // 8] |= 1 << (p % 8)
+                blooms[r["_b"]] = ba.hex()
         groups = []
-        for entry in sorted(os.listdir(staging)):
-            if not entry.startswith("_bucket="):
-                continue
+        for entry in bucket_dirs:
             bucket = int(entry.split("=", 1)[1])
             files = []
             stats = []
@@ -774,7 +796,6 @@ class LakeTable:
                 if bucket in blooms:
                     g["bloom"] = {"bits": bbits, "k": bk, "hex": blooms[bucket]}
                 groups.append(g)
-        shutil.rmtree(staging, ignore_errors=True)
         return groups
 
     def overwrite(self, df: DataFrame, extra_properties: dict | None = None) -> int:

@@ -187,13 +187,43 @@ def test_bloom_config_mismatch_keeps_group(spark, bloom_table):
     assert len(df.inputFiles()) == 2  # both groups scanned — no false skip
 
 
-def test_bloom_bad_config_raises(spark, tmp_root):
-    t = LakeTable.create(
-        spark, tmp_root + "/bloom_bad", SCHEMA, ["repo", "path"],
-        num_buckets=1, properties={"bloom.bits": 100},  # not a multiple of 8
-    )
+def test_bloom_bad_config_rejected_at_create(spark, tmp_root):
     with pytest.raises(ValueError, match="bloom.bits"):
-        t.merge(_src(spark, SEED[:1]), batch_id=0)
+        LakeTable.create(
+            spark, tmp_root + "/bloom_bad", SCHEMA, ["repo", "path"],
+            num_buckets=1, properties={"bloom.bits": 100},  # not a multiple of 8
+        )
+
+
+def test_bloom_bad_config_via_properties_fails_before_staging(spark, tmp_root):
+    """A bad bloom config smuggled in later (extra_properties rides a
+    commit) must fail the NEXT write BEFORE staging I/O — no staging-dir
+    litter per retry (review finding)."""
+    import os
+
+    t = LakeTable.create(
+        spark, tmp_root + "/bloom_late_bad", SCHEMA, ["repo", "path"],
+        num_buckets=1, write_mode="mor",
+    )
+    t.merge(_src(spark, SEED[:1]), batch_id=0, extra_properties={"bloom.bits": 100})
+    v = t.current_version()
+    with pytest.raises(ValueError, match="bloom.bits"):
+        t.merge(_src(spark, SEED[1:2]), batch_id=1)
+    assert t.current_version() == v
+    staging = os.path.join(tmp_root, "bloom_late_bad", "_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_bloom_empty_write_is_noop_not_crash(spark, bloom_table):
+    """Empty slices are the COMMON case for per-table DAG windows; with
+    blooms on they must still no-op (review repro: the bloom read-back
+    crashed on a staging dir holding only _SUCCESS)."""
+    v = bloom_table.current_version()
+    stats = bloom_table.delete_where("lang = 'zig'", lsn=100)  # matches nothing
+    assert stats.rows_deleted == 0 and bloom_table.current_version() == v
+    empty = _src(spark, []).limit(0)
+    st2 = bloom_table.merge(empty, batch_id=77)
+    assert st2.rows_upserted == 0 and bloom_table.current_version() == v
 
 
 # ---------------------------------------------------------- key widen guard

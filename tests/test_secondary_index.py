@@ -149,3 +149,31 @@ def test_delete_where_flows_into_index(spark, rig):
     idx.sync(ckpt)
     assert idx.search(lang="go").collect() == []
     assert set(_index_state(idx).values()) == {"py", "rs"}
+
+
+def test_rows_scans_only_hit_buckets(spark, rig):
+    """rows() must read only the source buckets that can hold a hit —
+    pinned via the planned scan's inputFiles (review finding: the first
+    cut resolved the whole source per query)."""
+    import re
+
+    from french_admin_etl_spark.table.lake_table import _bucket_expr
+
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    snap = source.snapshot()
+    hit_buckets = {
+        r["_b"]
+        for r in idx.search(lang="rs")
+        .select(_bucket_expr(snap["key_cols"], snap["num_buckets"]).alias("_b"))
+        .distinct()
+        .collect()
+    }
+    df = idx.rows(lang="rs")
+    got = {(r["repo"], r["path"]): r["content"] for r in df.collect()}
+    assert got == {("b", "f4"): "r1"}
+    src_files = [f for f in df.inputFiles() if "/src/" in f]
+    assert src_files, "source side should scan parquet files"
+    scanned_buckets = {int(re.search(r"-b(\d+)-", f).group(1)) for f in src_files}
+    assert scanned_buckets <= hit_buckets
+    assert len(scanned_buckets) < snap["num_buckets"]  # genuinely pruned
