@@ -1273,11 +1273,12 @@ class LakeTable:
 
     def delete_where(
         self,
-        condition,
+        condition=None,
         lsn: int | None = None,
         batch_id: int | None = None,
         writer_id: str | None = None,
         extra_properties: dict | None = None,
+        keys_df: DataFrame | None = None,
     ) -> MergeStats:
         """Predicate delete — tombstone every LIVE row matching
         ``condition`` (a Column or SQL string), the GDPR /
@@ -1300,19 +1301,34 @@ class LakeTable:
         exactly-once semantics under retry, pass a ``batch_id`` (the
         fence, not the predicate, is what makes the retry a no-op).
 
+        ``keys_df`` (instead of ``condition``) deletes a pre-computed key
+        set — e.g. a :class:`~french_admin_etl_spark.operators.
+        secondary_index.SecondaryIndex` search result — skipping the full
+        predicate scan entirely: ``t.delete_where(keys_df=idx.search(
+        lang='go'), batch_id=...)`` touches only the index plus the
+        tombstone write.
+
         Reference parity: the reference's yearly COG reload deletes rows
         absent from the new file (``import_communes.go`` full-refresh
         semantics); this is the targeted-predicate generalization."""
         snap = self.snapshot()
         sv = snap["schema_version"]
         keys = snap["key_cols"]
-        if isinstance(condition, str):
-            condition = F.expr(condition)
+        if (condition is None) == (keys_df is None):
+            raise ValueError("delete_where needs exactly one of condition / keys_df")
         if lsn is None:
             row = self.read_raw().agg(F.max("_lsn").alias("m")).collect()[0]
             lsn = int(row["m"] or 0) + 1
         fields = {f["name"]: f["type"] for f in snap["schemas"][str(sv)]["fields"]}
-        doomed = self.read().filter(condition).select(*keys)
+        if keys_df is not None:
+            missing = [k for k in keys if k not in keys_df.columns]
+            if missing:
+                raise ValueError(f"keys_df lacks key column(s) {missing!r}")
+            doomed = keys_df.select(*keys).distinct()
+        else:
+            if isinstance(condition, str):
+                condition = F.expr(condition)
+            doomed = self.read().filter(condition).select(*keys)
         payload = [
             F.lit(None).cast(_parse_type_json(t)).alias(c)
             for c, t in fields.items()

@@ -177,3 +177,25 @@ def test_rows_scans_only_hit_buckets(spark, rig):
     scanned_buckets = {int(re.search(r"-b(\d+)-", f).group(1)) for f in src_files}
     assert scanned_buckets <= hit_buckets
     assert len(scanned_buckets) < snap["num_buckets"]  # genuinely pruned
+
+
+def test_index_accelerated_delete(spark, rig):
+    """delete_where(keys_df=idx.search(...)) erases by index hit set —
+    no full predicate scan of the source; same final state as the
+    predicate form; fenced like any delete batch."""
+    source, idx, ckpt = rig
+    idx.sync(ckpt)
+    stats = source.delete_where(keys_df=idx.search(lang="go"), batch_id=1)
+    assert stats.rows_deleted == 2
+    assert {r["path"] for r in source.read().collect()} == {"f2", "f4"}
+    # replay fences
+    again = source.delete_where(keys_df=idx.search(lang="go"), batch_id=1)
+    assert again.fenced
+    # exactly one of condition/keys_df
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        source.delete_where("lang = 'py'", keys_df=idx.search(lang="py"))
+    with _pytest.raises(ValueError, match="exactly one"):
+        source.delete_where()
+    with _pytest.raises(ValueError, match="lacks key"):
+        source.delete_where(keys_df=idx.search(lang="py").select("repo"))
