@@ -592,6 +592,58 @@ class LakeTable:
             .select(*logical)
         )
 
+    def scan_range(self, col: str, lo=None, hi=None, version: int | None = None) -> DataFrame:
+        """Range scan over a (typically sort-clustered) column: live rows
+        with ``lo <= col <= hi`` (either bound may be None).
+
+        On a fully-compacted table — the state ``optimize_sort([col])``
+        leaves — files whose recorded manifest [min, max] for ``col`` is
+        disjoint from the requested range are pruned DRIVER-SIDE before
+        planning, and parquet row-group stats prune within the survivors:
+        the classic sorted-layout range-scan shape (Delta OPTIMIZE +
+        data-skipping).
+
+        With outstanding MOR deltas, file pruning on a NON-KEY column is
+        UNSOUND — dropping the file holding a key's newest (out-of-range)
+        version would let a stale in-range version win resolution and
+        resurface a dead value — so the scan silently degrades to
+        filter-after-resolution (always correct, no skipping). Run
+        ``optimize_sort`` / ``compact`` to restore the fast path; the
+        scheduler does in production. Tombstone files carry no stats for
+        all-null columns and therefore always survive pruning."""
+        snap = self.snapshot(version)
+        logical = [
+            f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
+        ]
+        if col not in logical:
+            raise ValueError(f"no column {col!r}")
+        dirty = any(g.get("delta") for g in snap["file_groups"])
+
+        def pruner(stats) -> bool:
+            if not stats or col not in stats:
+                return True
+            mn, mx = stats[col]
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            except TypeError:
+                return True  # cross-type stats: no evidence, keep
+            return True
+
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return (
+            self.read_raw(version=version, file_pruner=None if dirty else pruner)
+            .filter(~F.col("_deleted"))
+            .filter(pred)
+            .select(*logical)
+        )
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """CDF-style incremental read: the change rows committed AFTER
         ``from_version`` up to ``to_version`` (default: current) — what a
@@ -731,11 +783,15 @@ class LakeTable:
         if sort_cols:
             shaped = shaped.sortWithinPartitions(*sort_cols)
         try:
-            (
-                shaped.write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(staging)
-            )
+            writer = shaped.write.mode("overwrite").partitionBy("_bucket")
+            max_records = int(snap["properties"].get("write.max-records-per-file", 0) or 0)
+            if max_records:
+                # bounded file sizes (Delta/Iceberg maxRecordsPerFile
+                # analog): at 100 TB a bucket must be many files, both for
+                # scan parallelism and so sorted layouts yield NARROW
+                # per-file stats ranges that scan_range can prune on
+                writer = writer.option("maxRecordsPerFile", max_records)
+            writer.parquet(staging)
             return self._collect_staged(staging, snap, schema_version, stat_cols, bbits, bk)
         finally:
             # always reclaim the staging dir — a failure mid-collection may

@@ -255,3 +255,78 @@ def test_bucket_hash_is_type_sensitive(spark):
         .collect()[0]
     )
     assert row["i"] != row["l"]
+
+
+# ------------------------------------------------------------- scan_range
+
+
+def _naive_range(t, col, lo, hi):
+    df = t.read()
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return {tuple(sorted(r.asDict().items())) for r in df.collect()}
+
+
+@pytest.fixture()
+def range_table(spark, tmp_root):
+    t = LakeTable.create(
+        spark, tmp_root + "/rng",
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        ["id"], num_buckets=2, write_mode="mor",
+        # bounded file sizes: several files per bucket, so the sorted
+        # layout yields narrow per-file ranges scan_range can skip
+        properties={"write.max-records-per-file": 8},
+    )
+    rows = [(i, "I", i, i * 10, f"v{i}") for i in range(1, 41)]
+    t.merge(
+        spark.createDataFrame(rows, "lsn long, op string, id long, n long, v string"),
+        batch_id=0,
+    )
+    return t
+
+
+def test_scan_range_matches_naive_and_prunes_after_optimize(spark, range_table):
+    t = range_table
+    t.optimize_sort(["n"])
+    got = {
+        tuple(sorted(r.asDict().items())) for r in t.scan_range("n", 100, 150).collect()
+    }
+    assert got == _naive_range(t, "n", 100, 150) and len(got) == 6
+    all_files = {f for g in t.snapshot()["file_groups"] for f in g["files"]}
+    scanned = {f.split("/rng/")[-1] for f in t.scan_range("n", 100, 150).inputFiles()}
+    assert scanned < all_files  # strictly fewer files than a full scan
+
+
+def test_scan_range_with_deltas_is_correct_but_unpruned(spark, range_table):
+    """The MOR-unsoundness guard: key 5's newest version moves OUT of the
+    queried range while its stale version sits IN range in the sorted
+    base — scan_range must not resurrect the stale row."""
+    t = range_table
+    t.optimize_sort(["n"])
+    t.merge(
+        spark.createDataFrame(
+            [(100, "U", 5, 9999, "moved")], "lsn long, op string, id long, n long, v string"
+        ),
+        batch_id=1,
+    )
+    got = {r["id"] for r in t.scan_range("n", 0, 100).collect()}
+    assert 5 not in got  # id 5's live n is 9999, out of range
+    assert got == {r["id"] for r in t.read().filter(F.col("n") <= 100).collect()}
+    # after compaction the fast path returns and stays correct
+    t.compact(include_clean=True, sort_cols=["n"])
+    got2 = {r["id"] for r in t.scan_range("n", 0, 100).collect()}
+    assert got2 == got
+
+
+def test_scan_range_open_bounds_and_bad_col(spark, range_table):
+    t = range_table
+    assert {r["id"] for r in t.scan_range("n", lo=380).collect()} == {38, 39, 40}
+    assert {r["id"] for r in t.scan_range("n", hi=20).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="no column"):
+        t.scan_range("nope", 0, 1)
