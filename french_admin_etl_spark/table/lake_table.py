@@ -1171,6 +1171,21 @@ class LakeTable:
                 fence = snap["properties"].get(fence_key)
                 if fence is not None and batch_id <= fence:
                     return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
+            if snap["num_buckets"] != nb:
+                # a concurrent rebucket() changed the partition layout
+                # between stage and commit: the staged files route rows by
+                # the OLD hash, so appending them under the new snapshot
+                # would put keys in buckets reads never look in. Restage
+                # under the new count (O(batch) — the delta plan is still
+                # in hand); the first stage's files become orphans that
+                # vacuum_orphans reclaims.
+                nb = snap["num_buckets"]
+                delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
+                groups = self._stage_write(delta, sv)
+                for g in groups:
+                    g["delta"] = True
+                    if coalesce:
+                        g["coalesce"] = True
             # commit seq = the version this attempt will commit as; the read
             # path uses it to break equal-LSN ties by commit order
             for g in groups:
@@ -1293,6 +1308,15 @@ class LakeTable:
                 fence = snap["properties"].get(fence_key)
                 if fence is not None and batch_id <= fence:
                     return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
+            if snap["num_buckets"] != nb:
+                # concurrent rebucket: restage under the new layout (same
+                # rationale as the _merge_mor guard)
+                nb = snap["num_buckets"]
+                delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
+                groups = self._stage_write(delta, sv)
+                rows = sum(g["rows"] for g in groups)
+                for g in groups:
+                    g["delta"] = True
             for g in groups:
                 g["seq"] = snap["version"] + 1
             new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
@@ -1468,6 +1492,65 @@ class LakeTable:
         compact so the resolve/stamp/commit protocol exists once."""
         cols = sort_cols or self.snapshot()["key_cols"]
         return self.compact(include_clean=True, sort_cols=cols)
+
+    def rebucket(self, new_num_buckets: int, sort_cols: list[str] | None = None) -> int:
+        """Partition evolution: rewrite the table into ``new_num_buckets``
+        hash buckets in one atomic commit (Iceberg partition-spec evolution
+        for the ``bucket(N, key)`` transform, done eagerly).
+
+        The bucket count is a day-1 guess that a growing table outlives: at
+        10^10 events a table created with 16 buckets has multi-TB buckets
+        (no scan parallelism beyond 16 tasks, giant compactions), while a
+        table created with 4096 buckets at small scale drowns in tiny
+        files. ``rebucket`` is the day-2 escape hatch — one resolve-and-
+        rewrite pass (same cost shape as ``optimize_sort``: O(table), run
+        from a scheduler) that re-routes every key through
+        ``pmod(xxhash64(keys), new_n)``.
+
+        Correctness notes:
+
+        - **Per-snapshot layout**: ``num_buckets`` lives in the snapshot,
+          and every read/write path takes it from the snapshot it runs
+          against — time-travel reads of pre-rebucket versions keep the
+          old routing; post-commit merges route by the new one.
+        - **Tombstones survive** (they ride ``read_raw``'s resolution like
+          compaction) so late out-of-order events stay shadowed — in their
+          NEW bucket, which is where a post-rebucket merge routes them.
+        - **Concurrent MOR writers** are safe: a writer that staged its
+          delta under the old count detects the layout change on rebase
+          and restages (see ``_merge_mor``); the orphaned first-stage
+          files are reclaimed by ``vacuum_orphans``. A concurrent COW
+          writer fails its commit with ``CommitConflict`` as any COW race
+          does. ``rebucket`` itself never retries — racing it against
+          another full-rewrite maintenance pass is a scheduler bug and
+          surfaces as ``CommitConflict``.
+        - **changes() windows are folded** by the rewrite (groups are
+          seq-stamped like a compaction), so incremental consumers fall
+          back to a full resync instead of mis-reading deltas.
+        """
+        snap = self.snapshot()
+        if new_num_buckets <= 0:
+            raise ValueError(f"num_buckets must be positive, got {new_num_buckets}")
+        keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        if new_num_buckets == nb:
+            return snap["version"]
+        resolved = self.read_raw().withColumn(
+            "_bucket", _bucket_expr(keys, new_num_buckets)
+        )
+        groups = self._stage_write(resolved, sv, sort_cols=sort_cols)
+        for g in groups:
+            g["seq"] = snap["version"] + 1
+            if sort_cols:
+                g["sorted_by"] = sort_cols
+        new = dict(snap)
+        new.update(
+            version=snap["version"] + 1,
+            num_buckets=new_num_buckets,
+            file_groups=sorted(groups, key=lambda g: g["bucket"]),
+            parent=snap["version"],
+        )
+        self._commit(new)
+        return new["version"]
 
     # ------------------------------------------------------------- evolution
 
