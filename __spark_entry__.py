@@ -1026,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_ann_index_rows": g3_ann_index_rows,
         "g4_agg_view": g4_agg_view,
         "g5_secondary_index": g5_secondary_index,
+        "g6_join_view": g6_join_view,
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
@@ -1520,6 +1521,110 @@ def g5_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def g6_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view driven end-to-end THROUGH the
+    engine (streaming/joinview.py): customers (fact, fk = nationkey) and
+    nations (dimension) arrive as CDC wave 1 into two MOR lake tables; a
+    JoinView bootstraps the enrichment; wave 2 then exercises BOTH
+    maintenance paths in one window — left deltas (customers %7==0 move
+    to nation (nk+1)%25, %11==3 are deleted) and dimension fan-out
+    (nations %5==0 renamed with an _X suffix, nation 3 deleted so its
+    customers null out). The result is the view's final live rows; the
+    oracle restates the same join DECLARATIVELY over the post-wave truth,
+    so the hash-match proves maintained-join == recompute-from-scratch."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.streaming.joinview import JoinView
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    N = 10_000_000
+
+    root = tempfile.mkdtemp(prefix="g6_joinview_")
+    try:
+        left = LakeTable.create(
+            spark, os.path.join(root, "cust"),
+            schema=T.StructType([
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("nk", T.LongType()),
+            ]),
+            key_cols=["c_custkey"], num_buckets=8, write_mode="mor",
+        )
+        dim = LakeTable.create(
+            spark, os.path.join(root, "nat"),
+            schema=T.StructType([
+                T.StructField("n_nationkey", T.LongType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.LongType()),
+            ]),
+            key_cols=["n_nationkey"], num_buckets=2, write_mode="mor",
+        )
+        left.merge(
+            cust.select("c_custkey", "c_name", "nk",
+                        F.col("c_custkey").alias("lsn"), F.lit("I").alias("op")),
+            batch_id=0,
+        )
+        dim.merge(
+            nat.select("n_nationkey", "n_name", "n_regionkey",
+                       F.col("n_nationkey").alias("lsn"), F.lit("I").alias("op")),
+            batch_id=0,
+        )
+        jv = JoinView.create(
+            spark, left, dim, os.path.join(root, "view"),
+            on=[("nk", "n_nationkey")],
+            select={"nat_name": "n_name", "nat_region": "n_regionkey"},
+        )
+        jv.sync()  # bootstrap
+
+        # wave 2, left: movers (%7==0, not deleted) + deletes (%11==3)
+        movers = cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 11 != 3))
+        left.merge(
+            movers.select(
+                "c_custkey", "c_name", ((F.col("nk") + 1) % 25).alias("nk"),
+                (F.lit(N) + F.col("c_custkey")).alias("lsn"), F.lit("U").alias("op"),
+            ).unionByName(
+                cust.filter(F.col("c_custkey") % 11 == 3).select(
+                    "c_custkey", F.lit(None).cast("string").alias("c_name"),
+                    F.lit(None).cast("long").alias("nk"),
+                    (F.lit(N) + F.col("c_custkey")).alias("lsn"), F.lit("D").alias("op"),
+                )
+            ),
+            batch_id=1,
+        )
+        # wave 2, dimension: renames (%5==0, except 3) + delete nation 3
+        dim.merge(
+            nat.filter((F.col("n_nationkey") % 5 == 0) & (F.col("n_nationkey") != 3)).select(
+                "n_nationkey", F.concat("n_name", F.lit("_X")).alias("n_name"),
+                "n_regionkey",
+                (F.lit(N) + F.col("n_nationkey")).alias("lsn"), F.lit("U").alias("op"),
+            ).unionByName(
+                nat.filter(F.col("n_nationkey") == 3).select(
+                    "n_nationkey", F.lit(None).cast("string").alias("n_name"),
+                    F.lit(None).cast("long").alias("n_regionkey"),
+                    (F.lit(N) + F.col("n_nationkey")).alias("lsn"), F.lit("D").alias("op"),
+                )
+            ),
+            batch_id=1,
+        )
+        jv.sync()  # incremental: both paths in one window
+        out = jv.read()
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ann_index_sql(bits: int = 8) -> str:
     return f"""
         WITH final AS (
@@ -1782,6 +1887,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars
             FROM live
             WHERE lang IN ('fr', 'de')
+        """,
+        "g6_join_view": """
+            WITH cust AS (
+              SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+                     CASE WHEN c_custkey % 7 = 0
+                          THEN CAST((c_nationkey + 1) % 25 AS BIGINT)
+                          ELSE CAST(c_nationkey AS BIGINT) END AS nk
+              FROM customer
+              WHERE c_custkey % 11 <> 3
+            ),
+            nat AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                     CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+                          ELSE n_name END AS n_name,
+                     CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation
+              WHERE n_nationkey <> 3
+            )
+            SELECT c.c_custkey, c.c_name, c.nk,
+                   n.n_name AS nat_name, n.n_regionkey AS nat_region
+            FROM cust c LEFT JOIN nat n ON c.nk = n.n_nationkey
         """,
         "t8_dataset_split": """
             SELECT doc_id, lang,
