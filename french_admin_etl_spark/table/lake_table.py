@@ -744,7 +744,11 @@ class LakeTable:
     # ----------------------------------------------------------------- write
 
     def _stage_write(
-        self, df: DataFrame, schema_version: int, sort_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        schema_version: int,
+        sort_cols: list[str] | None = None,
+        stat_cols: list[str] | None = None,
     ) -> list[dict]:
         """Write df (must carry _bucket) as one file group per bucket; return
         file_group dicts with rows counted from parquet footers (no extra job).
@@ -777,11 +781,33 @@ class LakeTable:
         # not leak a staging dir per write attempt); create() also rejects
         # it up front, but properties can arrive later via extra_properties
         bbits, bk = _bloom_config(snap["properties"])
-        stat_cols = list(dict.fromkeys(snap["key_cols"] + (sort_cols or [])))
+        if stat_cols is None:
+            stat_cols = list(
+                dict.fromkeys(
+                    snap["key_cols"]
+                    + [c for c in (sort_cols or []) if not c.startswith("__")]
+                )
+            )
         staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
         shaped = df.repartition(F.col("_bucket"))
         if sort_cols:
-            shaped = shaped.sortWithinPartitions(*sort_cols)
+            # "_bucket" MUST lead the sort: partitionBy writes require
+            # ordering by the partition columns, and if the plan's sort
+            # doesn't already satisfy that, V1Writes inserts its own sort
+            # by _bucket ABOVE this one — at which point EliminateSorts
+            # removes this one as "overwritten" and the files come out in
+            # ARRIVAL order, silently voiding the layout contract (found
+            # by the z-order test: stats were arrival-ordered, and
+            # arrival order happened to equal the sort order in every
+            # earlier layout test).
+            shaped = shaped.sortWithinPartitions("_bucket", *sort_cols)
+            # "__"-prefixed sort columns are ordering-only scaffolding
+            # (e.g. the interleaved z-value): drop them after the sort so
+            # they never reach the files. The projection cannot be pushed
+            # below the sort (the sort reads them), so order is preserved.
+            scaffold = [c for c in sort_cols if c.startswith("__")]
+            if scaffold:
+                shaped = shaped.drop(*scaffold)
         try:
             writer = shaped.write.mode("overwrite").partitionBy("_bucket")
             max_records = int(snap["properties"].get("write.max-records-per-file", 0) or 0)
@@ -1492,6 +1518,105 @@ class LakeTable:
         compact so the resolve/stamp/commit protocol exists once."""
         cols = sort_cols or self.snapshot()["key_cols"]
         return self.compact(include_clean=True, sort_cols=cols)
+
+    def optimize_zorder(self, cols: list[str], bits: int = 8) -> int:
+        """Rewrite every bucket ordered along a Z-ORDER (Morton) curve
+        over ``cols`` — the multi-dimensional file layout (Delta OPTIMIZE
+        ZORDER BY). A lexicographic sort gives narrow per-file stats only
+        for its LEADING column (every file spans the full range of the
+        second); bit-interleaving equi-depth ranks of ALL the columns
+        clusters the curve so each file covers a narrow range of EVERY
+        participating column — ``scan_range`` then prunes files for
+        predicates on any of them.
+
+        Mechanics (all JVM-side, whole-stage-codegen expressions):
+
+        1. one pass computes ``2^bits``-quantile boundaries per column
+           (equi-depth: skew-proof where equi-width collapses);
+        2. each row's per-column rank = count of boundaries ≤ value
+           (a literal-array filter, no join) — nulls rank 0, so they
+           cluster at the curve's origin;
+        3. the z-value interleaves the rank bits (column j's bit i at
+           position ``i·ncols + j``) and drives the within-bucket sort;
+           it is ordering-only scaffolding and never reaches the files.
+
+        Columns must be numeric/date/timestamp (rank needs a total order
+        with quantiles; for strings, sort lexicographically via
+        ``optimize_sort`` or z-order a numeric derivative). Resolves
+        outstanding MOR deltas like ``optimize_sort``; O(table) rewrite,
+        run from a scheduler. File groups record ``zorder: cols``."""
+        snap = self.snapshot()
+        keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        if not 2 <= len(cols) <= 4:
+            raise ValueError("z-order needs 2-4 columns (1 column: use optimize_sort)")
+        if not 1 <= bits <= 15:
+            raise ValueError(f"bits must be in [1, 15], got {bits}")
+        phys = self._schema_at(snap, sv)
+        names = {f.name for f in phys.fields}
+        for c in cols:
+            if c not in names:
+                raise ValueError(f"no column {c!r}")
+            dt = phys[c].dataType
+            if not isinstance(dt, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)):
+                raise ValueError(
+                    f"z-order column {c!r} must be numeric/date/timestamp, is {dt}"
+                )
+        resolved = self.read_raw().withColumn("_bucket", _bucket_expr(keys, nb))
+
+        def as_num(c: str):
+            dt = phys[c].dataType
+            if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                return F.col(c).cast("timestamp").cast("long").cast("double")
+            return F.col(c).cast("double")
+
+        # equi-depth boundaries: one approx pass over the live rows
+        q = [i / (1 << bits) for i in range(1, 1 << bits)]
+        live = resolved.filter(~F.col("_deleted")).select(
+            *[as_num(c).alias(c) for c in cols]
+        )
+        all_bounds = live.approxQuantile(list(cols), q, 0.001)
+
+        zparts = []
+        for j, (c, bounds) in enumerate(zip(cols, all_bounds)):
+            uniq = sorted(set(bounds))[: (1 << bits) - 1]
+            if uniq:
+                arr = F.array(*[F.lit(float(b)) for b in uniq])
+                v = as_num(c)
+                # NB: the lambda must take exactly ONE parameter — a
+                # two-arg lambda makes F.filter pass the array INDEX as
+                # the second arg, silently shadowing any default
+                rank = F.coalesce(
+                    F.size(F.filter(arr, lambda b: b <= v)), F.lit(0)
+                )
+            else:  # empty/constant column: every row at the origin
+                rank = F.lit(0)
+            for i in range(bits):
+                zparts.append(
+                    F.shiftleft(
+                        F.shiftright(rank, i).bitwiseAND(F.lit(1)).cast("long"),
+                        i * len(cols) + j,
+                    )
+                )
+        z = zparts[0]
+        for p in zparts[1:]:
+            z = z + p
+        groups = self._stage_write(
+            resolved.withColumn("__z", z),
+            sv,
+            sort_cols=["__z"],
+            stat_cols=list(dict.fromkeys(keys + list(cols))),
+        )
+        for g in groups:
+            g["seq"] = snap["version"] + 1
+            g["zorder"] = list(cols)
+        new = dict(snap)
+        new.update(
+            version=snap["version"] + 1,
+            file_groups=sorted(groups, key=lambda g: g["bucket"]),
+            parent=snap["version"],
+        )
+        self._commit(new)
+        return new["version"]
 
     def rebucket(self, new_num_buckets: int, sort_cols: list[str] | None = None) -> int:
         """Partition evolution: rewrite the table into ``new_num_buckets``
