@@ -296,6 +296,14 @@ class LakeTable:
     def property(self, key: str, default=None):
         return self.snapshot().get("properties", {}).get(key, default)
 
+    def branch(self, name: str):
+        """A write-audit-publish branch handle (see ``table.branch.Branch``):
+        stage merges invisibly, audit the would-be state, publish
+        atomically or drop without a trace."""
+        from french_admin_etl_spark.table.branch import Branch
+
+        return Branch(self, name)
+
     # ------------------------------------------------------------------ read
 
     def _schema_at(self, snap: dict, version: int) -> T.StructType:
@@ -329,6 +337,7 @@ class LakeTable:
         resolve: bool = True,
         file_pruner=None,
         group_pruner=None,
+        snapshot_dict: dict | None = None,
     ) -> DataFrame:
         """All physical rows (incl. tombstones + internal cols), optionally
         pruned to a bucket subset (the MERGE fast path).
@@ -353,8 +362,12 @@ class LakeTable:
         ``group_pruner(group_dict) -> bool`` is the same contract one
         level up: drop a whole file GROUP (e.g. by its key bloom filter)
         when it cannot contain any requested key. Groups without the
-        pruner's evidence must survive."""
-        snap = self.snapshot(version)
+        pruner's evidence must survive.
+
+        ``snapshot_dict`` substitutes a synthetic snapshot (a branch's
+        parent + staged groups) for the stored chain — the WAP audit
+        read path."""
+        snap = snapshot_dict if snapshot_dict is not None else self.snapshot(version)
         cur_v = snap["schema_version"]
         groups = snap["file_groups"]
         if buckets is not None:
@@ -368,7 +381,10 @@ class LakeTable:
         # by the compaction threshold so the union stays small
         by_key: dict[tuple[int, int, bool], list[str]] = {}
         for g in groups:
-            k = (g["schema_version"], g.get("seq", 0), bool(g.get("coalesce")))
+            # "sub" — intra-commit sub-order: a published WAP branch lands
+            # all its staged commits under ONE snapshot (one seq), with
+            # sub preserving their relative order for equal-LSN ties
+            k = (g["schema_version"], g.get("seq", 0), g.get("sub", 0), bool(g.get("coalesce")))
             files = g["files"]
             if file_pruner is not None:
                 st = g.get("stats") or [None] * len(files)
@@ -376,13 +392,14 @@ class LakeTable:
             if files:
                 by_key.setdefault(k, []).extend(files)
         parts = []
-        for (sv, seq, coal), files in sorted(by_key.items()):
+        for (sv, seq, sub, coal), files in sorted(by_key.items()):
             df = self.spark.read.schema(self._schema_at(snap, sv)).parquet(
                 *[os.path.join(self.root, f) for f in files]
             )
             parts.append(
                 self._upgrade(df, snap, sv, cur_v)
                 .withColumn("_cseq", F.lit(seq).cast("long"))
+                .withColumn("_sub", F.lit(sub).cast("long"))
                 .withColumn("_coal", F.lit(coal))
             )
         if not parts:
@@ -392,7 +409,7 @@ class LakeTable:
             out = out.unionByName(p, allowMissingColumns=True)
         # column order normalized to current schema
         cols = [f.name for f in phys_cur.fields]
-        out = out.select(*cols, "_cseq", "_coal")
+        out = out.select(*cols, "_cseq", "_sub", "_coal")
         if resolve and snap["properties"].get("resolution") == "additive":
             # additive tables (incremental aggregate views): every physical
             # row is an increment; resolution = a combinable aggregate per
@@ -431,7 +448,7 @@ class LakeTable:
                 .select(*cols)
             )
         elif resolve and any(g.get("delta") for g in groups):
-            ord_key = F.struct(F.col("_lsn"), F.col("_cseq"))
+            ord_key = F.struct(F.col("_lsn"), F.col("_cseq"), F.col("_sub"))
             if any(g.get("coalesce") for g in groups):
                 # S7 partial-column resolution: each column independently
                 # takes the value of the greatest (_lsn, commit seq) row
@@ -476,7 +493,7 @@ class LakeTable:
                     .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
                 )
         else:
-            out = out.drop("_cseq", "_coal")
+            out = out.drop("_cseq", "_sub", "_coal")
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -1102,33 +1119,13 @@ class LakeTable:
             len(touched),
         )
 
-    def _merge_mor(
-        self,
-        source: DataFrame,
-        snap: dict,
-        seq_col: str,
-        op_col: str,
-        batch_id: int | None,
-        extra_properties: dict | None,
-        fence_key: str = "last_batch_id",
-        coalesce: bool = False,
-    ) -> MergeStats:
-        """Merge-on-read apply: append the (pre-deduped) source as delta
-        file groups — NO read of the target, NO join; write cost is
-        O(batch) regardless of table size. Deletes become tombstone rows;
-        the read path resolves max-LSN per key. Counts report source ops
-        applied (upserts/deletes in the batch), since the net effect
-        against current state is unknowable without reading it.
-
-        ``coalesce=True`` (S7 partial-column merge on the MOR scale path):
-        the delta file groups are FLAGGED, and the read path switches to
-        per-column last-non-null resolution — for each column the winning
-        value comes from the greatest ``(_lsn, commit seq)`` row that
-        actually SET it (nulls in a coalesce delta mean "not updated",
-        never "clear"), with non-coalesce rows and tombstones acting as
-        barriers. Intra-batch partial updates must be pre-folded with
-        ``operators.dedup.dedup_coalesce`` (one row per key, each column
-        already last-non-null within the batch)."""
+    def _build_mor_delta(
+        self, source: DataFrame, snap: dict, seq_col: str, op_col: str, coalesce: bool
+    ):
+        """Shape a (pre-deduped) CDC source into MOR delta rows: payload
+        columns nulled on deletes, ``_lsn``/``_deleted``/``_bucket``
+        stamped, plus an Observation counting source ops. Shared by the
+        main-chain MOR merge and branch (write-audit-publish) staging."""
         keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
         logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
         data_cols = [c for c in logical if c not in keys]
@@ -1165,7 +1162,37 @@ class LakeTable:
                 F.lit(True).alias("_deleted"),
             )
             delta = delta.unionByName(barriers)
-        delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
+        return delta.withColumn("_bucket", _bucket_expr(keys, nb)), obs
+
+    def _merge_mor(
+        self,
+        source: DataFrame,
+        snap: dict,
+        seq_col: str,
+        op_col: str,
+        batch_id: int | None,
+        extra_properties: dict | None,
+        fence_key: str = "last_batch_id",
+        coalesce: bool = False,
+    ) -> MergeStats:
+        """Merge-on-read apply: append the (pre-deduped) source as delta
+        file groups — NO read of the target, NO join; write cost is
+        O(batch) regardless of table size. Deletes become tombstone rows;
+        the read path resolves max-LSN per key. Counts report source ops
+        applied (upserts/deletes in the batch), since the net effect
+        against current state is unknowable without reading it.
+
+        ``coalesce=True`` (S7 partial-column merge on the MOR scale path):
+        the delta file groups are FLAGGED, and the read path switches to
+        per-column last-non-null resolution — for each column the winning
+        value comes from the greatest ``(_lsn, commit seq)`` row that
+        actually SET it (nulls in a coalesce delta mean "not updated",
+        never "clear"), with non-coalesce rows and tombstones acting as
+        barriers. Intra-batch partial updates must be pre-folded with
+        ``operators.dedup.dedup_coalesce`` (one row per key, each column
+        already last-non-null within the batch)."""
+        keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
+        delta, obs = self._build_mor_delta(source, snap, seq_col, op_col, coalesce)
         groups = self._stage_write(delta, sv)
         if not groups:
             # Empty epoch slice (the COMMON case for the per-table windows
@@ -1844,6 +1871,12 @@ class LakeTable:
         for snap in self.history():
             for g in snap["file_groups"]:
                 live.update(g["files"])
+        # open WAP branches reference staged files no snapshot knows yet
+        for fname in os.listdir(self._meta_dir):
+            if fname.startswith("branch-") and fname.endswith(".json"):
+                with open(os.path.join(self._meta_dir, fname)) as fh:
+                    for g in json.load(fh).get("file_groups", []):
+                        live.update(g["files"])
         removed = 0
         cutoff = _time.time() - min_age_sec
         for fname in os.listdir(self._data_dir):
