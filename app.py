@@ -232,6 +232,14 @@ def cmd_maintain(args) -> None:
         )
     if args.prune_fence_prefix:
         out["fences_pruned"] = table.prune_fences(args.prune_fence_prefix)
+    if args.rebucket is not None:
+        out["rebucketed_to_version"] = table.rebucket(args.rebucket)
+    if args.zorder:
+        out["zorder_version"] = table.optimize_zorder(args.zorder.split(","))
+    if args.sort:
+        out["sort_version"] = table.optimize_sort(args.sort.split(","))
+    if args.restore is not None:
+        out["restored_to_version"] = table.restore(args.restore)
     if args.delete_where:
         stats = table.delete_where(
             args.delete_where, batch_id=args.delete_batch_id
@@ -353,6 +361,16 @@ def main() -> None:
                          "(GDPR erasure, e.g. \"repo = 'acme/secrets'\")")
     mp.add_argument("--delete-batch-id", type=int, default=None,
                     help="fence id for --delete-where (makes retries no-ops)")
+    mp.add_argument("--rebucket", type=int, default=None, metavar="N",
+                    help="partition evolution: rewrite into N hash buckets")
+    mp.add_argument("--zorder", default=None, metavar="COL,COL[,COL]",
+                    help="rewrite with a Z-order (Morton) layout over these "
+                         "columns (multi-dimensional file pruning)")
+    mp.add_argument("--sort", default=None, metavar="COL[,COL]",
+                    help="rewrite with a lexicographic sorted layout")
+    mp.add_argument("--restore", type=int, default=None, metavar="VERSION",
+                    help="roll the table back to this version (new commit; "
+                         "history retained)")
     mp.add_argument("--cores", type=int, default=None)
     mp.set_defaults(fn=cmd_maintain)
 

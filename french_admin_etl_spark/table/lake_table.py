@@ -1704,6 +1704,83 @@ class LakeTable:
         self._commit(new)
         return new["version"]
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` (Delta RESTORE / Iceberg
+        rollback): commit a NEW snapshot whose entire content — file
+        groups, schema lineage, properties (including writer fences and
+        view sync markers), and bucket layout — is the target's. History
+        is preserved (the bad versions stay time-travelable until
+        ``expire_snapshots``), and the data files of the rolled-back
+        window stay referenced by those snapshots, so vacuum spares them
+        until expiry.
+
+        Restoring the PROPERTIES is what keeps the CDC contract whole:
+        the batch fences revert with the state, so replaying the source
+        log from the restored point re-applies the undone batches instead
+        of fencing them into a silent gap; downstream consumers (views,
+        cascades) see their synced markers revert and re-converge the
+        same way. Concurrent MOR writers are safe even across a bucket
+        layout revert (the rebase-loop ``num_buckets`` guard restages)."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        if version == cur["version"]:
+            return version
+        new = dict(target)
+        new.update(version=cur["version"] + 1, parent=cur["version"])
+        self._commit(new)
+        return new["version"]
+
+    def snapshots_df(self) -> DataFrame:
+        """Metadata table (DESCRIBE HISTORY analog): one row per retained
+        snapshot — driver-side metadata only, no data I/O."""
+        rows = [
+            (
+                s["version"],
+                s.get("parent"),
+                s["schema_version"],
+                s["num_buckets"],
+                len(s["file_groups"]),
+                sum(len(g["files"]) for g in s["file_groups"]),
+                sum(g.get("rows", 0) for g in s["file_groups"]),
+                sum(1 for g in s["file_groups"] if g.get("delta")),
+                json.dumps(s["properties"], sort_keys=True),
+            )
+            for s in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, parent long, schema_version int, num_buckets int, "
+            "file_groups int, files int, rows long, delta_groups int, properties string",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg ``files`` analog): one row per live
+        data file of the snapshot, with its group context and manifest
+        stats — the input to maintenance decisions (small-file ratios,
+        delta backlogs, clustering health) without touching data."""
+        snap = self.snapshot(version)
+        rows = []
+        for g in snap["file_groups"]:
+            st = g.get("stats") or [None] * len(g["files"])
+            for f, s in zip(g["files"], st):
+                rows.append(
+                    (
+                        g["bucket"],
+                        f,
+                        g["schema_version"],
+                        g.get("seq", 0),
+                        bool(g.get("delta")),
+                        bool(g.get("coalesce")),
+                        json.dumps(g.get("sorted_by") or g.get("zorder")),
+                        json.dumps(s, sort_keys=True) if s else None,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, file string, schema_version int, seq long, "
+            "delta boolean, coalesce boolean, layout string, stats string",
+        )
+
     # ------------------------------------------------------------- evolution
 
     def evolve(self, ops: list[SchemaOp]) -> int:

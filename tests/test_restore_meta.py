@@ -1,0 +1,131 @@
+"""RESTORE rollback + metadata tables (snapshots_df / files_df) + the
+maintain CLI surfaces for rebucket / zorder / restore."""
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ST = T.StructType(
+    [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, lsn long, op string")
+
+
+def _state(t):
+    return {r["k"]: r["v"] for r in t.read().collect()}
+
+
+def test_restore_reverts_state_fences_and_layout(spark, tmp_root):
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "r"), ST, ["k"], num_buckets=2, write_mode="mor"
+    )
+    t.merge(_src(spark, [("a", 1, 1, "I"), ("b", 2, 2, "I")]), batch_id=0)
+    good_v = t.current_version()
+    good = _state(t)
+    # the bad window: an update wave + a layout change
+    bad_batch = _src(spark, [("a", 666, 10, "U"), ("c", 3, 11, "I")])
+    t.merge(bad_batch, batch_id=1)
+    t.rebucket(8)
+    assert _state(t) != good
+
+    v = t.restore(good_v)
+    assert v == t.current_version()
+    assert _state(t) == good
+    assert t.snapshot()["num_buckets"] == 2  # layout reverted too
+    # fences reverted WITH the state: replaying the undone batch APPLIES
+    # (no silent fence-out gap) and reconverges
+    s = t.merge(bad_batch, batch_id=1)
+    assert not s.fenced
+    assert _state(t) == {"a": 666, "b": 2, "c": 3}
+    # the bad window stays time-travelable until expiry, so its files are
+    # still referenced — vacuum must not eat them
+    assert t.vacuum_orphans(min_age_sec=0) == 0
+    assert _state(t) == {"a": 666, "b": 2, "c": 3}
+    # restoring to the current version is a no-op
+    cur = t.current_version()
+    assert t.restore(cur) == cur
+
+
+def test_metadata_tables(spark, tmp_root):
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "m"), ST, ["k"], num_buckets=2, write_mode="mor"
+    )
+    t.merge(_src(spark, [(f"k{i}", i, i + 1, "I") for i in range(20)]), batch_id=0)
+    t.merge(_src(spark, [("k1", 100, 100, "U")]), batch_id=1)
+
+    snaps = {r["version"]: r for r in t.snapshots_df().collect()}
+    assert set(snaps) == {s["version"] for s in t.history()}
+    cur = snaps[t.current_version()]
+    assert cur["delta_groups"] >= 1 and cur["rows"] == 21
+    assert json.loads(cur["properties"])["last_batch_id"] == 1
+
+    files = t.files_df().collect()
+    snap = t.snapshot()
+    assert len(files) == sum(len(g["files"]) for g in snap["file_groups"])
+    assert {r["bucket"] for r in files} == {g["bucket"] for g in snap["file_groups"]}
+    # layout + stats surface after a sorted rewrite
+    t.optimize_sort(["v"])
+    files2 = t.files_df().collect()
+    assert all(json.loads(r["layout"]) == ["v"] for r in files2)
+    assert all(r["stats"] and "v" in json.loads(r["stats"]) for r in files2)
+    assert not any(r["delta"] for r in files2)
+    # an empty table yields empty metadata frames, not an inference error
+    t2 = LakeTable.create(
+        spark, os.path.join(tmp_root, "m2"), ST, ["k"], num_buckets=2
+    )
+    assert t2.files_df().count() == 0 and t2.snapshots_df().count() == 1
+
+
+def test_maintain_cli_rebucket_zorder_restore(spark, tmp_root, monkeypatch, capsys):
+    sys.path.insert(0, REPO)
+    import app
+
+    root = os.path.join(tmp_root, "cli")
+    t = LakeTable.create(
+        spark, root,
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]),
+        ["k"], num_buckets=2, write_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"k{i}", i, 40 - i, i + 1, "I") for i in range(40)],
+            "k string, x long, y long, lsn long, op string",
+        ),
+        batch_id=0,
+    )
+    before = {r["k"] for r in t.read().collect()}
+    v0 = t.current_version()
+
+    argv = ["app.py", "maintain", "--table-root", root,
+            "--rebucket", "8", "--zorder", "x,y", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rebucketed_to_version"] and report["zorder_version"]
+    assert t.snapshot()["num_buckets"] == 8
+    assert all(g.get("zorder") == ["x", "y"] for g in t.snapshot()["file_groups"])
+    assert {r["k"] for r in t.read().collect()} == before
+
+    argv = ["app.py", "maintain", "--table-root", root, "--restore", str(v0),
+            "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["restored_to_version"] == t.current_version()
+    assert t.snapshot()["num_buckets"] == 2
+    assert {r["k"] for r in t.read().collect()} == before
