@@ -136,6 +136,31 @@ class Branch:
             len(groups),
         )
 
+    # ------------------------------------------------- duck-typed sink seam
+
+    def snapshot(self, version: int | None = None) -> dict:
+        """The branch's would-be snapshot: pinned parent + staged groups,
+        with the branch's fence properties overlaid. This makes a Branch a
+        drop-in SINK for :class:`~french_admin_etl_spark.streaming.apply.
+        CDCApplyJob` (which only calls ``snapshot()``/``merge()``/
+        ``evolve()``) — the driver-level WAP flow: run the real apply
+        job against the branch, audit, publish."""
+        if version is not None:
+            raise ValueError("branches have no version history; time-travel the table")
+        state = self._state()
+        snap = self._synthetic_snapshot(state)
+        props = dict(snap["properties"])
+        props.update(state["properties"])
+        snap["properties"] = props
+        return snap
+
+    def evolve(self, ops) -> int:
+        raise ValueError(
+            "schema evolution cannot be staged on a branch — publish (or "
+            "drop), evolve on main, then re-branch; a mid-branch evolution "
+            "would fork the schema lineage the publish rebase relies on"
+        )
+
     # ----------------------------------------------------------------- read
 
     def _synthetic_snapshot(self, state: dict) -> dict:

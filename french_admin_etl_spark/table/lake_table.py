@@ -739,19 +739,25 @@ class LakeTable:
                 *[os.path.join(self.root, f) for f in g["files"]]
             )
             parts.append(
-                self._upgrade(df, snap, g["schema_version"], cur_v).withColumn(
-                    "_cseq", F.lit(g["seq"]).cast("long")
-                )
+                self._upgrade(df, snap, g["schema_version"], cur_v)
+                .withColumn("_cseq", F.lit(g["seq"]).cast("long"))
+                # _sub: intra-commit sub-order (published WAP branches) —
+                # same equal-LSN tie-break the read path applies
+                .withColumn("_sub", F.lit(g.get("sub", 0)).cast("long"))
             )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        cols = logical + ["_lsn", "_deleted", "_cseq"]
+        cols = logical + ["_lsn", "_deleted", "_cseq", "_sub"]
         out = out.select(*cols)
         payload = F.struct(*[F.col(c) for c in cols])
         return (
             out.groupBy(*snap["key_cols"])
-            .agg(F.max_by(payload, F.struct(F.col("_lsn"), F.col("_cseq"))).alias("_r"))
+            .agg(
+                F.max_by(
+                    payload, F.struct(F.col("_lsn"), F.col("_cseq"), F.col("_sub"))
+                ).alias("_r")
+            )
             .select(
                 *[F.col(f"_r.{c}").alias(c) for c in logical + ["_lsn", "_deleted"]],
                 F.col("_r._cseq").alias("_commit_version"),

@@ -89,8 +89,13 @@ def test_intra_branch_commit_order_breaks_equal_lsn_ties(spark, table):
     br.merge(_src(spark, [("a", 100, 50, "U")]), batch_id=0)
     br.merge(_src(spark, [("a", 200, 50, "U")]), batch_id=1)
     assert {r["k"]: r["v"] for r in br.read().collect()}["a"] == 200
+    v0 = table.current_version()
     br.publish()
     assert _state(table)["a"] == 200
+    # the CDF read applies the same tie-break: downstream consumers see
+    # the later staged commit's value, not a nondeterministic pick
+    ch = {r["k"]: r["v"] for r in table.changes(v0).collect()}
+    assert ch["a"] == 200
 
 
 def test_branch_fences_and_fence_handoff(spark, table):
@@ -151,6 +156,71 @@ def test_branch_validation(spark, tmp_root):
     br = t.branch("empty")
     br.merge(_src(spark, []), batch_id=0)  # empty slice stages nothing
     assert not br.exists() or not br._load()["file_groups"]
+
+
+def test_wap_flagship_driver_end_to_end(spark, tmp_root):
+    """The driver-level WAP flow: the REAL CDCApplyJob runs against a
+    Branch sink (duck-typed snapshot/merge), staging whole micro-batch
+    windows invisibly; an audit gates the publish; replay after publish
+    fences everywhere. This is how an operator gates a suspect upstream
+    window out of a serving table without pausing the pipeline."""
+    from french_admin_etl_spark import datagen
+    from french_admin_etl_spark.sources.event_log import EVENT_SCHEMA, EventLog
+    from french_admin_etl_spark.streaming.apply import KEYS, REPOS_SCHEMA, CDCApplyJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+
+    ev = datagen.gen_change_events(
+        n_events=3000, n_keys=250, seed=11, duplicate_rate=0.03,
+        delete_rate=0.06, shuffle_window=60,
+    )
+    log_dir = os.path.join(tmp_root, "log")
+    spark.createDataFrame(ev, schema=EVENT_SCHEMA).write.mode("overwrite").parquet(log_dir)
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "repos"), REPOS_SCHEMA, KEYS,
+        num_buckets=4, write_mode="mor",
+    )
+    log = EventLog(spark, log_dir)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "ckpt.json"))
+
+    # window 1 lands on MAIN directly
+    CDCApplyJob(spark, t).run_incremental(log, ckpt, batch_lsns=1000, max_batches=1)
+    after_w1 = {(r["repo"], r["path"]): r["content_sha"] for r in t.read().collect()}
+
+    # remaining windows stage on the audit branch through the SAME
+    # checkpoint — main readers keep seeing window 1's state
+    br = t.branch("audit")
+    res = CDCApplyJob(spark, br).run_incremental(log, ckpt, batch_lsns=1000)
+    assert len(res) >= 2
+    assert {(r["repo"], r["path"]): r["content_sha"] for r in t.read().collect()} == after_w1
+
+    def audit(df):
+        assert df.filter(F.col("content_sha").isNull()).count() == 0
+
+    br.publish(audit=audit)
+    exp = {
+        (r.repo, r.path): r.content_sha
+        for r in datagen.expected_final_state(ev).itertuples(index=False)
+    }
+    got = {(r["repo"], r["path"]): r["content_sha"] for r in t.read().collect()}
+    assert got == exp
+
+    # replay the whole log with a fresh checkpoint: every batch fences
+    # (window 1's fence from main, the rest handed over by the publish)
+    res2 = CDCApplyJob(spark, t).run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "ckpt2.json")), batch_lsns=1000
+    )
+    assert all(r.merge.fenced for r in res2 if r.merge is not None)
+    assert {(r["repo"], r["path"]): r["content_sha"] for r in t.read().collect()} == exp
+
+
+def test_branch_refuses_schema_evolution(spark, table):
+    from french_admin_etl_spark.table.lake_table import SchemaOp
+
+    br = table.branch("audit")
+    br.merge(_src(spark, [("d", 4, 10, "I")]), batch_id=0)
+    with pytest.raises(ValueError, match="schema evolution"):
+        br.evolve([SchemaOp("add_column", name="extra", type="string")])
+    br.drop()
 
 
 def test_branch_coalesce_mode(spark, table):
