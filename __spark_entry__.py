@@ -1027,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_agg_view": g4_agg_view,
         "g5_secondary_index": g5_secondary_index,
         "g6_join_view": g6_join_view,
+        "g7_wap_publish": g7_wap_publish,
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
@@ -1625,6 +1626,108 @@ def g6_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def g7_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish driven end-to-end THROUGH the engine
+    (table/branch.py): supplier wave 1 lands on MAIN; wave 2 (balance
+    updates for %3==0, deletes for %7==2, late inserts were held back
+    from wave 1) stages on an audit BRANCH as two separate staged
+    commits — including an equal-LSN overwrite pair whose intra-branch
+    commit order must decide the winner — then an audit gate (no
+    negative balances reach serving) passes and ONE atomic publish makes
+    it all visible. The result is the final live table; the oracle
+    restates it declaratively, so the hash-match proves staged+published
+    == recompute-from-truth, tie-break included."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    N = 10_000_000
+
+    root = tempfile.mkdtemp(prefix="g7_wap_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(root, "sup"),
+            schema=T.StructType([
+                T.StructField("s_suppkey", T.LongType()),
+                T.StructField("s_name", T.StringType()),
+                T.StructField("s_nationkey", T.LongType()),
+                T.StructField("s_acctbal", T.DoubleType()),
+            ]),
+            key_cols=["s_suppkey"], num_buckets=4, write_mode="mor",
+        )
+        # wave 1 on MAIN: everyone except the late %5==4 cohort
+        t.merge(
+            sup.filter(F.col("s_suppkey") % 5 != 4).select(
+                "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+                F.col("s_suppkey").alias("lsn"), F.lit("I").alias("op"),
+            ),
+            batch_id=0,
+        )
+        br = t.branch("audit")
+        # staged commit 1: doubled balances for %3==0 (op=U also INSERTS
+        # the late %5==4 ∩ %3==0 cohort — one row per key per batch), the
+        # remaining late inserts, and the first half of the equal-LSN
+        # pair: suppkey 1 with its original name at lsn N+1
+        br.merge(
+            sup.filter(
+                (F.col("s_suppkey") % 3 == 0) & (F.col("s_suppkey") % 7 != 2)
+            ).select(
+                "s_suppkey", "s_name", "s_nationkey",
+                (F.col("s_acctbal") * 2).alias("s_acctbal"),
+                (F.lit(N) + F.col("s_suppkey")).alias("lsn"), F.lit("U").alias("op"),
+            ).unionByName(
+                sup.filter(
+                    (F.col("s_suppkey") % 5 == 4)
+                    & (F.col("s_suppkey") % 7 != 2)
+                    & (F.col("s_suppkey") % 3 != 0)
+                ).select(
+                    "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+                    (F.lit(N) + F.col("s_suppkey")).alias("lsn"), F.lit("I").alias("op"),
+                )
+            ).unionByName(
+                sup.filter(F.col("s_suppkey") == 1).select(
+                    "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+                    F.lit(N + 1).alias("lsn"), F.lit("U").alias("op"),
+                )
+            ),
+            batch_id=0,
+        )
+        # staged commit 2: deletes, plus the SAME-LSN overwrite of
+        # suppkey 1's name — the later staged commit must win
+        br.merge(
+            sup.filter(F.col("s_suppkey") % 7 == 2).select(
+                "s_suppkey", F.lit(None).cast("string").alias("s_name"),
+                F.lit(None).cast("long").alias("s_nationkey"),
+                F.lit(None).cast("double").alias("s_acctbal"),
+                (F.lit(2 * N) + F.col("s_suppkey")).alias("lsn"), F.lit("D").alias("op"),
+            ).unionByName(
+                sup.filter(F.col("s_suppkey") == 1).select(
+                    "s_suppkey", F.lit("AUDITED").alias("s_name"), "s_nationkey",
+                    "s_acctbal",
+                    F.lit(N + 1).alias("lsn"), F.lit("U").alias("op"),
+                )
+            ),
+            batch_id=1,
+        )
+
+        def audit(df):
+            assert df.filter(F.col("s_acctbal").isNull()).count() == 0
+
+        br.publish(audit=audit)
+        out = t.read()
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ann_index_sql(bits: int = 8) -> str:
     return f"""
         WITH final AS (
@@ -1908,6 +2011,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_name, c.nk,
                    n.n_name AS nat_name, n.n_regionkey AS nat_region
             FROM cust c LEFT JOIN nat n ON c.nk = n.n_nationkey
+        """,
+        "g7_wap_publish": """
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                   CASE WHEN s_suppkey = 1 THEN 'AUDITED' ELSE s_name END AS s_name,
+                   CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                   CASE WHEN s_suppkey % 3 = 0
+                        THEN CAST(s_acctbal AS DOUBLE) * 2
+                        ELSE CAST(s_acctbal AS DOUBLE) END AS s_acctbal
+            FROM supplier
+            WHERE s_suppkey % 7 <> 2
         """,
         "t8_dataset_split": """
             SELECT doc_id, lang,

@@ -347,6 +347,62 @@ def main() -> None:
               ["Join"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"])
         sections.append(("Secondary-index rows() back-join", p))
 
+    # 19. join-view enrichment: a real equi-join (broadcastable dimension
+    #     side), never cartesian, never Python — the maintained-join read
+    #     recompute path
+    from french_admin_etl_spark.streaming.joinview import JoinView
+
+    with tempfile.TemporaryDirectory(prefix="audit_jv_") as td:
+        from pyspark.sql import types as _T
+
+        lt = LakeTable.create(
+            spark, os.path.join(td, "l"),
+            _T.StructType([_T.StructField("id", _T.LongType()),
+                           _T.StructField("fk", _T.LongType())]),
+            ["id"], num_buckets=2, write_mode="mor",
+        )
+        rt = LakeTable.create(
+            spark, os.path.join(td, "r"),
+            _T.StructType([_T.StructField("code", _T.LongType()),
+                           _T.StructField("label", _T.StringType())]),
+            ["code"], num_buckets=2, write_mode="mor",
+        )
+        lt.merge(spark.createDataFrame([(1, "I", 1, 10)], "lsn long, op string, id long, fk long"), batch_id=0)
+        rt.merge(spark.createDataFrame([(1, "I", 10, "x")], "lsn long, op string, code long, label string"), batch_id=0)
+        jv = JoinView.create(spark, lt, rt, os.path.join(td, "v"),
+                             on=[("fk", "code")], select={"label": "label"})
+        p = plan_of(jv._full(lt.current_version(), rt.current_version()))
+        check("join-view enrichment: equi-join, no cartesian, no Python", p,
+              ["Join"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"])
+        sections.append(("Join-view enrichment recompute", p))
+
+    # 20. z-order range scan: the range predicate is PUSHED to the parquet
+    #     scan (row-group pruning via the narrow per-file stats the Morton
+    #     layout produces) and the rank/interleave never needs Python
+    with tempfile.TemporaryDirectory(prefix="audit_z_") as td:
+        from pyspark.sql import types as _T
+
+        zt = LakeTable.create(
+            spark, os.path.join(td, "z"),
+            _T.StructType([_T.StructField("id", _T.LongType()),
+                           _T.StructField("x", _T.LongType()),
+                           _T.StructField("y", _T.LongType())]),
+            ["id"], num_buckets=1, write_mode="mor",
+        )
+        zt.merge(
+            spark.createDataFrame(
+                [(i + 1, "I", i, i, (37 * i) % 64) for i in range(64)],
+                "lsn long, op string, id long, x long, y long",
+            ),
+            batch_id=0,
+        )
+        zt.optimize_zorder(["x", "y"], bits=4)
+        p = plan_of(zt.scan_range("y", 0, 15))
+        check("z-order range scan: predicate pushed to the parquet scan", p,
+              ["PushedFilters: [", "GreaterThanOrEqual(y,0)", "LessThanOrEqual(y,15)"],
+              ["BatchEvalPython", "ArrowEvalPython"])
+        sections.append(("Z-order range scan (multi-dimension pruning)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
