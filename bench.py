@@ -318,6 +318,96 @@ def bench_neardup_index(spark, sf_dir: str, sf: float, workdir: str) -> dict:
     }
 
 
+def bench_joinview(spark, sf_dir: str, sf: float, workdir: str) -> dict:
+    """Maintained-join throughput (streaming/joinview.py): orders (fact)
+    enriched with customer attributes; bootstrap, then incremental waves
+    touching ~3% of orders + ~3% of customers (the dimension fan-out
+    path). Metric = changed left rows maintained per second across the
+    incremental syncs — the O(changed keys) claim, measured."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from french_admin_etl_spark.streaming.joinview import JoinView
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    left = LakeTable.create(
+        spark, os.path.join(workdir, "orders"),
+        T.StructType([
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]),
+        ["o_orderkey"], num_buckets=16, write_mode="mor",
+    )
+    dim = LakeTable.create(
+        spark, os.path.join(workdir, "cust"),
+        T.StructType([
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]),
+        ["c_custkey"], num_buckets=8, write_mode="mor",
+    )
+    left.merge(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                      F.col("o_orderkey").alias("lsn"), F.lit("I").alias("op")),
+        batch_id=0,
+    )
+    dim.merge(
+        cust.select("c_custkey", "c_name", "c_acctbal",
+                    F.col("c_custkey").alias("lsn"), F.lit("I").alias("op")),
+        batch_id=0,
+    )
+    jv = JoinView.create(
+        spark, left, dim, os.path.join(workdir, "view"),
+        on=[("o_custkey", "c_custkey")],
+        select={"cust_name": "c_name", "cust_acctbal": "c_acctbal"},
+    )
+    n_orders = left.read().count()
+    t0 = time.monotonic()
+    jv.sync()
+    boot_wall = time.monotonic() - t0
+    N = 10_000_000
+    changed = 0
+    inc_wall = 0.0
+    for wave in range(2):
+        lw = orders.filter(F.col("o_orderkey") % 31 == wave).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+            (F.lit((wave + 1) * N) + F.col("o_orderkey")).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        rw = cust.filter(F.col("c_custkey") % 37 == wave).select(
+            "c_custkey", F.concat("c_name", F.lit("!")).alias("c_name"),
+            "c_acctbal",
+            (F.lit((wave + 1) * N) + F.col("c_custkey")).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        left.merge(lw, batch_id=wave + 1)
+        dim.merge(rw, batch_id=wave + 1)
+        t0 = time.monotonic()
+        r = jv.sync()
+        inc_wall += time.monotonic() - t0
+        changed += r.get("upserts", 0)
+    return {
+        "jv_rows": n_orders,
+        "jv_bootstrap_wall_sec": round(boot_wall, 3),
+        "jv_incremental_rows": changed,
+        "jv_incremental_wall_sec": round(inc_wall, 3),
+        "jv_incremental_rows_per_sec": round(changed / inc_wall, 1) if inc_wall else 0.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -362,6 +452,11 @@ def main() -> None:
         nd_dir = os.path.join(workdir, "ndidx")
         os.makedirs(nd_dir, exist_ok=True)
         nd_res = bench_neardup_index(spark, sf_dir, sf, nd_dir)
+        # maintained-join sync — outside the comparable window, its own
+        # metric family
+        jv_dir = os.path.join(workdir, "jv")
+        os.makedirs(jv_dir, exist_ok=True)
+        jv_res = bench_joinview(spark, sf_dir, sf, jv_dir)
         # headline value = steady-state total (sum of per-query BEST passes
         # + best CDC run) — comparable round-over-round; the raw wall of
         # the whole 2-pass run is recorded alongside
@@ -381,6 +476,7 @@ def main() -> None:
             "cdc_coalesce_wall_sec": cdc_coal["cdc_wall_sec"],
             **dag_res,
             **nd_res,
+            **jv_res,
             "mem_probe_gbps_before": probe_before,
             "mem_probe_gbps_after": probe_after,
             "probe_healthy_min_gbps": 2.0,

@@ -1,0 +1,163 @@
+"""Seeded-random equivalence properties for the round-3 machinery.
+
+- WAP branches: staging a random suffix of the batch sequence on a
+  branch and publishing must equal merging every batch directly — the
+  branch is a pure visibility device, never a semantics change.
+- JoinView: after every random wave of left/right CDC ops, the
+  maintained view equals the declarative left join recomputed from
+  scratch.
+
+Deterministic random (seeded) so failures replay exactly.
+"""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from french_admin_etl_spark.streaming.joinview import JoinView
+from french_admin_etl_spark.table.lake_table import LakeTable
+
+ST = T.StructType(
+    [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+)
+
+
+def _gen_batches(seed, n_batches=6, keys=16, per_batch=10):
+    """Random CDC batches, one event per key per batch (the merge
+    contract), globally increasing LSNs with occasional ties."""
+    rng = random.Random(seed)
+    lsn = 0
+    batches = []
+    for _ in range(n_batches):
+        ks = rng.sample([f"k{i}" for i in range(keys)], per_batch)
+        rows = []
+        for k in ks:
+            if rng.random() < 0.25:
+                lsn += rng.choice([0, 1])  # ties across batches happen
+            else:
+                lsn += rng.randint(1, 3)
+            op = "D" if rng.random() < 0.15 else rng.choice(["I", "U"])
+            v = None if op == "D" else rng.randint(0, 999)
+            rows.append((k, v, lsn, op))
+        batches.append(rows)
+    return batches
+
+
+def _merge_all(spark, t, batches, start=0, branch=None):
+    sink = branch if branch is not None else t
+    for i, rows in enumerate(batches):
+        sink.merge(
+            spark.createDataFrame(rows, "k string, v int, lsn long, op string"),
+            batch_id=start + i,
+        )
+
+
+def _state(t):
+    return {r["k"]: r["v"] for r in t.read().collect()}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_branch_publish_equals_direct_merges(spark, tmp_root, seed):
+    batches = _gen_batches(seed)
+    direct = LakeTable.create(
+        spark, os.path.join(tmp_root, f"d{seed}"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    _merge_all(spark, direct, batches)
+
+    staged = LakeTable.create(
+        spark, os.path.join(tmp_root, f"s{seed}"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    cut = 2
+    _merge_all(spark, staged, batches[:cut])
+    br = staged.branch("audit")
+    _merge_all(spark, staged, batches[cut:], start=cut, branch=br)
+    br.publish()
+    assert _state(staged) == _state(direct)
+    # and compaction preserves the published resolution
+    staged.compact(include_clean=True)
+    assert _state(staged) == _state(direct)
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_joinview_random_waves_match_declarative_truth(spark, tmp_root, seed):
+    rng = random.Random(seed)
+    left = LakeTable.create(
+        spark, os.path.join(tmp_root, f"l{seed}"),
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("fk", T.StringType()),
+            T.StructField("val", T.IntegerType()),
+        ]),
+        ["id"], num_buckets=2, write_mode="mor",
+    )
+    right = LakeTable.create(
+        spark, os.path.join(tmp_root, f"r{seed}"),
+        T.StructType([
+            T.StructField("code", T.StringType()),
+            T.StructField("label", T.StringType()),
+        ]),
+        ["code"], num_buckets=2, write_mode="mor",
+    )
+    dims = [f"d{i}" for i in range(6)]
+    right.merge(
+        spark.createDataFrame(
+            [(d, f"L-{d}", i + 1, "I") for i, d in enumerate(dims[:4])],
+            "code string, label string, lsn long, op string",
+        ),
+        batch_id=0,
+    )
+    left.merge(
+        spark.createDataFrame(
+            [(f"x{i}", rng.choice(dims), i, 10 + i, "I") for i in range(20)],
+            "id string, fk string, val int, lsn long, op string",
+        ),
+        batch_id=0,
+    )
+    jv = JoinView.create(
+        spark, left, right, os.path.join(tmp_root, f"v{seed}"),
+        on=[("fk", "code")], select={"label": "label"},
+    )
+    jv.sync()
+
+    def truth():
+        r = right.read().select(F.col("code").alias("_c"), "label")
+        return {
+            tuple(sorted(row.asDict().items()))
+            for row in left.read()
+            .join(r, on=F.col("fk") == F.col("_c"), how="left")
+            .drop("_c")
+            .collect()
+        }
+
+    lsn = 1000
+    for wave in range(3):
+        lrows, rrows = [], []
+        for i in rng.sample(range(20), 6):
+            lsn += 1
+            if rng.random() < 0.2:
+                lrows.append((f"x{i}", None, None, lsn, "D"))
+            else:
+                lrows.append((f"x{i}", rng.choice(dims), rng.randint(0, 99), lsn, "U"))
+        for d in rng.sample(dims, 2):
+            lsn += 1
+            if rng.random() < 0.25:
+                rrows.append((d, None, lsn, "D"))
+            else:
+                rrows.append((d, f"L-{d}-w{wave}", lsn, "U"))
+        left.merge(
+            spark.createDataFrame(lrows, "id string, fk string, val int, lsn long, op string"),
+            batch_id=wave + 1,
+        )
+        right.merge(
+            spark.createDataFrame(rrows, "code string, label string, lsn long, op string"),
+            batch_id=wave + 1,
+        )
+        r = jv.sync()
+        assert r["mode"] in ("incremental", "empty"), r
+        got = {tuple(sorted(row.asDict().items())) for row in jv.read().collect()}
+        assert got == truth(), f"wave {wave} diverged"
