@@ -251,6 +251,47 @@ def cmd_maintain(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_branch(args) -> None:
+    """Operator surface for write-audit-publish: report a branch's staged
+    state, gate-and-publish it, or drop it. The audit gate is a SQL
+    predicate over the staged (would-be) state — one matching row aborts
+    the publish with the branch intact for inspection."""
+    from french_admin_etl_spark.session import get_spark
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    spark = get_spark(app_name="cdc_branch", cores=args.cores)
+    table = LakeTable(spark, args.table_root)
+    br = table.branch(args.name)
+    out = {"table_root": args.table_root, "branch": args.name, "exists": br.exists()}
+    if args.drop:
+        br.drop()
+        out["dropped"] = True
+    elif args.publish:
+        audit = None
+        if args.audit_fail_where:
+            pred = args.audit_fail_where
+
+            def audit(df):
+                n = df.filter(pred).count()
+                if n:
+                    raise SystemExit(
+                        json.dumps({**out, "published": False,
+                                    "audit_failed_rows": n, "predicate": pred})
+                    )
+
+        out["published_version"] = br.publish(audit=audit)
+        out["published"] = True
+    elif br.exists():
+        state = br._load()
+        out.update(
+            parent_version=state["parent_version"],
+            staged_commits=state["commits"],
+            staged_rows=sum(g.get("rows", 0) for g in state["file_groups"]),
+            staged_live_rows=br.read().count(),
+        )
+    print(json.dumps(out))
+
+
 def cmd_demo(args) -> None:
     from french_admin_etl_spark import datagen
     from french_admin_etl_spark.session import get_spark
@@ -373,6 +414,19 @@ def main() -> None:
                          "history retained)")
     mp.add_argument("--cores", type=int, default=None)
     mp.set_defaults(fn=cmd_maintain)
+
+    bp = sub.add_parser(
+        "branch", help="write-audit-publish: inspect / publish / drop a staged branch"
+    )
+    bp.add_argument("--table-root", required=True)
+    bp.add_argument("--name", required=True)
+    bp.add_argument("--publish", action="store_true")
+    bp.add_argument("--drop", action="store_true")
+    bp.add_argument("--audit-fail-where", default=None, metavar="SQL_PREDICATE",
+                    help="abort the publish if ANY staged-state row matches "
+                         "(e.g. \"content_sha IS NULL\") — the audit gate")
+    bp.add_argument("--cores", type=int, default=None)
+    bp.set_defaults(fn=cmd_branch)
 
     dp = sub.add_parser("demo", help="synthetic end-to-end with oracle check")
     dp.add_argument("--workdir", required=True)

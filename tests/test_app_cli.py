@@ -100,3 +100,64 @@ def test_maintain_delete_where_subcommand(spark, tmp_root, monkeypatch, capsys):
     report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report2["delete_where"]["fenced"] is True
     assert {r["path"] for r in t.read().collect()} == {"f2"}
+
+
+def test_branch_subcommand_audit_gate(spark, tmp_root, monkeypatch, capsys):
+    """`branch --publish --audit-fail-where` is the operator WAP surface:
+    a failing audit aborts with the branch intact; a clean audit
+    publishes atomically."""
+    import pytest
+    from pyspark.sql import types as T
+
+    sys.path.insert(0, REPO)
+    import app
+
+    root = os.path.join(tmp_root, "wap")
+    t = LakeTable.create(
+        spark, root,
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+        ]),
+        ["k"], num_buckets=2, write_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame([(1, "I", "a", 1)], "lsn long, op string, k string, v int"),
+        batch_id=0,
+    )
+    br = t.branch("audit")
+    br.merge(
+        spark.createDataFrame(
+            [(2, "U", "a", -5), (3, "I", "b", 7)], "lsn long, op string, k string, v int"
+        ),
+        batch_id=0,
+    )
+
+    # inspect
+    monkeypatch.setattr(sys, "argv", ["app.py", "branch", "--table-root", root,
+                                      "--name", "audit", "--cores", "4"])
+    app.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["exists"] and rep["staged_commits"] == 1 and rep["staged_live_rows"] == 2
+
+    # failing audit: publish aborts, branch + main intact
+    argv = ["app.py", "branch", "--table-root", root, "--name", "audit",
+            "--publish", "--audit-fail-where", "v < 0", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(SystemExit) as exc:
+        app.main()
+    fail = json.loads(str(exc.value))
+    assert fail["audit_failed_rows"] == 1 and fail["published"] is False
+    assert t.branch("audit").exists()
+    assert {r["k"] for r in t.read().collect()} == {"a"}
+
+    # fix the offending row on the branch, then the same gate passes
+    br.merge(
+        spark.createDataFrame([(4, "U", "a", 5)], "lsn long, op string, k string, v int"),
+        batch_id=1,
+    )
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["published"] and rep["published_version"] == t.current_version()
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 5, "b": 7}
