@@ -111,6 +111,7 @@ class Branch:
             if fence is not None and batch_id <= fence:
                 return MergeStats(batch_id, state["parent_version"], 0, 0, 0, fenced=True)
         parent = self.table.snapshot(state["parent_version"])
+        source = self.table._align_source_types(source, parent)
         delta, obs = self.table._build_mor_delta(
             source, parent, seq_col, op_col, coalesce=(mode == "coalesce")
         )

@@ -698,14 +698,20 @@ class LakeTable:
         cur_v = snap["schema_version"]
         in_window = [
             g for g in snap["file_groups"]
-            if g.get("delta") and from_version < g.get("seq", 0) <= to_v
+            if g.get("delta") and not g.get("restored")
+            and from_version < g.get("seq", 0) <= to_v
         ]
         # detect a compacted-away window: a base group whose seq (the
         # compaction commit) falls inside the window means changes from
-        # before it were folded into unattributable base rows
+        # before it were folded into unattributable base rows. A
+        # restore() commit is the same situation from the other side —
+        # its groups (marked "restored", delta or not) restate a PRIOR
+        # state, and reading them as change rows would mask the
+        # rolled-back deletions — so it refuses identically.
         folded = [
             g for g in snap["file_groups"]
-            if not g.get("delta") and from_version < g.get("seq", 0) <= to_v
+            if (not g.get("delta") or g.get("restored"))
+            and from_version < g.get("seq", 0) <= to_v
         ]
         if folded:
             raise ValueError(
@@ -1002,26 +1008,7 @@ class LakeTable:
         logical = [f["name"] for f in snap["schemas"][str(sv)]["fields"]]
         data_cols = [c for c in logical if c not in keys]
 
-        # Align source column types to the table's CURRENT schema. A
-        # caller may legitimately carry wider types — e.g. a multi-table
-        # envelope window parsed with a widened schema whose widen event
-        # applies in a LATER epoch of the same window — and staging those
-        # as-is writes parquet the snapshot schema cannot read back
-        # (INT64 files in an int file group; found by the DAG mid-window
-        # widen test). Cast is ANSI: a genuinely out-of-range value
-        # arriving before its widen raises instead of corrupting.
-        want = {f["name"]: f["type"] for f in snap["schemas"][str(sv)]["fields"]}
-        have = {f.name: f.dataType for f in source.schema.fields}
-        casts, realign = [], False
-        for c in source.columns:
-            target_t = _parse_type_json(want[c]) if c in want else None
-            if target_t is not None and have[c] != target_t:
-                casts.append(F.col(c).cast(target_t).alias(c))
-                realign = True
-            else:
-                casts.append(F.col(c))
-        if realign:
-            source = source.select(*casts)
+        source = self._align_source_types(source, snap)
 
         if snap.get("write_mode", "cow") == "mor":
             return self._merge_mor(
@@ -1124,6 +1111,56 @@ class LakeTable:
             int(got["deletes"] or 0),
             len(touched),
         )
+
+    def _restage_on_layout_change(
+        self, snap: dict, nb: int, delta: DataFrame, keys: list[str], sv: int,
+        coalesce: bool = False,
+    ):
+        """Rebase-loop guard shared by the MOR delta append and the
+        additive append: if a concurrent ``rebucket()`` changed the
+        partition layout between stage and commit, the staged files
+        route rows by the OLD hash — appending them under the new
+        snapshot would put keys in buckets reads never look in. Restage
+        under the new count (O(batch); the delta plan is still in hand).
+        The first stage's files become orphans for ``vacuum_orphans``.
+        Returns ``(nb, delta, groups)`` with ``groups=None`` when the
+        layout is unchanged — ONE implementation so future hardening of
+        the guard cannot drift between the two retry loops."""
+        if snap["num_buckets"] == nb:
+            return nb, delta, None
+        nb = snap["num_buckets"]
+        delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
+        groups = self._stage_write(delta, sv)
+        for g in groups:
+            g["delta"] = True
+            if coalesce:
+                g["coalesce"] = True
+        return nb, delta, groups
+
+    def _align_source_types(self, source: DataFrame, snap: dict) -> DataFrame:
+        """Align source column types to the snapshot's schema. A caller
+        may legitimately carry wider types — e.g. a multi-table envelope
+        window parsed with a widened schema whose widen event applies in
+        a LATER epoch of the same window — and staging those as-is writes
+        parquet the snapshot schema cannot read back (INT64 files in an
+        int file group; found by the DAG mid-window widen test). Keys
+        matter even more: ``_bucket_expr``'s xxhash64 is TYPE-sensitive,
+        so an unaligned wider key would route rows to a bucket reads
+        never look in. Cast is ANSI: a genuinely out-of-range value
+        raises instead of corrupting. Shared by the main-chain merge and
+        branch staging (review finding: the branch path skipped it)."""
+        sv = snap["schema_version"]
+        want = {f["name"]: f["type"] for f in snap["schemas"][str(sv)]["fields"]}
+        have = {f.name: f.dataType for f in source.schema.fields}
+        casts, realign = [], False
+        for c in source.columns:
+            target_t = _parse_type_json(want[c]) if c in want else None
+            if target_t is not None and have[c] != target_t:
+                casts.append(F.col(c).cast(target_t).alias(c))
+                realign = True
+            else:
+                casts.append(F.col(c))
+        return source.select(*casts) if realign else source
 
     def _build_mor_delta(
         self, source: DataFrame, snap: dict, seq_col: str, op_col: str, coalesce: bool
@@ -1230,21 +1267,11 @@ class LakeTable:
                 fence = snap["properties"].get(fence_key)
                 if fence is not None and batch_id <= fence:
                     return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
-            if snap["num_buckets"] != nb:
-                # a concurrent rebucket() changed the partition layout
-                # between stage and commit: the staged files route rows by
-                # the OLD hash, so appending them under the new snapshot
-                # would put keys in buckets reads never look in. Restage
-                # under the new count (O(batch) — the delta plan is still
-                # in hand); the first stage's files become orphans that
-                # vacuum_orphans reclaims.
-                nb = snap["num_buckets"]
-                delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
-                groups = self._stage_write(delta, sv)
-                for g in groups:
-                    g["delta"] = True
-                    if coalesce:
-                        g["coalesce"] = True
+            nb, delta, regrouped = self._restage_on_layout_change(
+                snap, nb, delta, keys, sv, coalesce
+            )
+            if regrouped is not None:
+                groups = regrouped
             # commit seq = the version this attempt will commit as; the read
             # path uses it to break equal-LSN ties by commit order
             for g in groups:
@@ -1367,15 +1394,10 @@ class LakeTable:
                 fence = snap["properties"].get(fence_key)
                 if fence is not None and batch_id <= fence:
                     return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
-            if snap["num_buckets"] != nb:
-                # concurrent rebucket: restage under the new layout (same
-                # rationale as the _merge_mor guard)
-                nb = snap["num_buckets"]
-                delta = delta.withColumn("_bucket", _bucket_expr(keys, nb))
-                groups = self._stage_write(delta, sv)
+            nb, delta, regrouped = self._restage_on_layout_change(snap, nb, delta, keys, sv)
+            if regrouped is not None:
+                groups = regrouped
                 rows = sum(g["rows"] for g in groups)
-                for g in groups:
-                    g["delta"] = True
             for g in groups:
                 g["seq"] = snap["version"] + 1
             new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
@@ -1594,7 +1616,13 @@ class LakeTable:
                 raise ValueError(
                     f"z-order column {c!r} must be numeric/date/timestamp, is {dt}"
                 )
-        resolved = self.read_raw().withColumn("_bucket", _bucket_expr(keys, nb))
+        # materialize the resolved state ONCE: both the quantile pass and
+        # the staged write consume it, and without this each would run the
+        # full base+delta resolution scan from scratch (review finding —
+        # 2x the I/O on the O(table) maintenance rewrite this already is)
+        resolved = (
+            self.read_raw().withColumn("_bucket", _bucket_expr(keys, nb)).localCheckpoint()
+        )
 
         def as_num(c: str):
             dt = phys[c].dataType
@@ -1732,7 +1760,27 @@ class LakeTable:
         if version == cur["version"]:
             return version
         new = dict(target)
-        new.update(version=cur["version"] + 1, parent=cur["version"])
+        # Restamp every group's seq into the restore commit so changes()
+        # windows spanning the rollback REFUSE (non-delta groups with an
+        # in-window seq = the folded-window signal) and incremental
+        # consumers resync instead of silently reading an empty window
+        # while holding rolled-back rows (review finding). Relative
+        # resolution order among the target's groups is preserved
+        # EXACTLY by folding each old (seq, sub) pair into the sub
+        # tie-break the read path already honors.
+        groups = []
+        for g in new["file_groups"]:
+            g = dict(g)
+            g["sub"] = g.get("seq", 0) * 4096 + g.get("sub", 0)
+            g["seq"] = cur["version"] + 1
+            # delta groups restamped into the window would otherwise READ
+            # as ordinary change rows (masking the rolled-back deletions);
+            # the marker makes changes() refuse them like folded windows
+            g["restored"] = True
+            groups.append(g)
+        new.update(
+            version=cur["version"] + 1, parent=cur["version"], file_groups=groups
+        )
         self._commit(new)
         return new["version"]
 
@@ -1777,7 +1825,11 @@ class LakeTable:
                         g.get("seq", 0),
                         bool(g.get("delta")),
                         bool(g.get("coalesce")),
-                        json.dumps(g.get("sorted_by") or g.get("zorder")),
+                        (
+                            json.dumps(g.get("sorted_by") or g.get("zorder"))
+                            if (g.get("sorted_by") or g.get("zorder"))
+                            else None  # SQL NULL, not the string "null"
+                        ),
                         json.dumps(s, sort_keys=True) if s else None,
                     )
                 )
@@ -1957,9 +2009,14 @@ class LakeTable:
         # open WAP branches reference staged files no snapshot knows yet
         for fname in os.listdir(self._meta_dir):
             if fname.startswith("branch-") and fname.endswith(".json"):
-                with open(os.path.join(self._meta_dir, fname)) as fh:
-                    for g in json.load(fh).get("file_groups", []):
-                        live.update(g["files"])
+                try:
+                    with open(os.path.join(self._meta_dir, fname)) as fh:
+                        for g in json.load(fh).get("file_groups", []):
+                            live.update(g["files"])
+                except FileNotFoundError:
+                    # published/dropped between listdir and open: its files
+                    # are either in a snapshot now or legitimate orphans
+                    continue
         removed = 0
         cutoff = _time.time() - min_age_sec
         for fname in os.listdir(self._data_dir):

@@ -234,3 +234,35 @@ def test_branch_coalesce_mode(spark, table):
     assert {r["k"]: r["v"] for r in br.read().collect()}["a"] == 1  # kept
     br.publish()
     assert _state(table)["a"] == 1
+
+
+def test_branch_merge_aligns_source_types_like_main(spark, tmp_root):
+    """Review finding: a branch source carrying a WIDER key type must be
+    cast to the table schema before bucketing (xxhash64 is
+    type-sensitive) — otherwise staged rows land in buckets reads never
+    visit. Same contract as LakeTable.merge."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "al"),
+        T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]),
+        ["k"], num_buckets=8, write_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame([(i, i, i + 1, "I") for i in range(20)],
+                              "k int, v int, lsn long, op string"),
+        batch_id=0,
+    )
+    br = t.branch("audit")
+    # bigint key + bigint value: both must align to the int table schema
+    br.merge(
+        spark.createDataFrame([(3, 333, 100, "U"), (77, 7, 101, "I")],
+                              "k long, v long, lsn long, op string"),
+        batch_id=0,
+    )
+    assert {r["k"]: r["v"] for r in br.read().collect()}[3] == 333
+    br.publish()
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 333 and got[77] == 7  # no per-key fork across buckets
+    assert {r["k"]: r["v"] for r in t.lookup([(3,)]).collect()} == {3: 333}

@@ -129,3 +129,69 @@ def test_maintain_cli_rebucket_zorder_restore(spark, tmp_root, monkeypatch, caps
     assert report["restored_to_version"] == t.current_version()
     assert t.snapshot()["num_buckets"] == 2
     assert {r["k"] for r in t.read().collect()} == before
+
+
+def test_restore_refuses_cdf_and_forces_view_resync(spark, tmp_root):
+    """The review scenario: a rollback window must NOT read as an empty
+    (or upsert-only) change window — changes() refuses, and a maintained
+    view resyncs to the restored truth instead of silently keeping
+    rolled-back rows."""
+    from french_admin_etl_spark.streaming.joinview import JoinView
+
+    left = LakeTable.create(
+        spark, os.path.join(tmp_root, "jl"),
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("fk", T.StringType()),
+        ]),
+        ["id"], num_buckets=2, write_mode="mor",
+    )
+    dim = LakeTable.create(
+        spark, os.path.join(tmp_root, "jd"),
+        T.StructType([
+            T.StructField("code", T.StringType()),
+            T.StructField("label", T.StringType()),
+        ]),
+        ["code"], num_buckets=2, write_mode="mor",
+    )
+    dim.merge(
+        spark.createDataFrame([("d1", "x", 1, "I")], "code string, label string, lsn long, op string"),
+        batch_id=0,
+    )
+    left.merge(
+        spark.createDataFrame([("a", "d1", 1, "I")], "id string, fk string, lsn long, op string"),
+        batch_id=0,
+    )
+    good_v = left.current_version()
+    jv = JoinView.create(
+        spark, left, dim, os.path.join(tmp_root, "jv"), on=[("fk", "code")],
+        select={"label": "label"},
+    )
+    jv.sync()
+    # the bad window: key b inserted, then rolled back
+    left.merge(
+        spark.createDataFrame([("b", "d1", 2, "I")], "id string, fk string, lsn long, op string"),
+        batch_id=1,
+    )
+    jv.sync()
+    assert {r["id"] for r in jv.read().collect()} == {"a", "b"}
+    v_before_restore = left.current_version()
+    left.restore(good_v)
+    # CDF across the rollback refuses (both delta and base restored
+    # groups are marked)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compacted away"):
+        left.changes(v_before_restore).collect()
+    r = jv.sync()
+    assert r["mode"] == "resync"
+    assert {r2["id"] for r2 in jv.read().collect()} == {"a"}  # b is gone
+    # resolution order survived the restamp: a's row still enriches
+    assert {r2["id"]: r2["label"] for r2 in jv.read().collect()} == {"a": "x"}
+    # incremental service resumes after the restore resync
+    left.merge(
+        spark.createDataFrame([("c", "d1", 9, "I")], "id string, fk string, lsn long, op string"),
+        batch_id=9,
+    )
+    assert jv.sync()["mode"] == "incremental"
+    assert {r2["id"] for r2 in jv.read().collect()} == {"a", "c"}
