@@ -170,3 +170,26 @@ def test_rebucket_folds_changes_windows(spark, tmp_root):
     v1 = t.snapshot()["version"]
     t.merge(_src(spark, [("d", 4, 4, "I")]), batch_id=2)
     assert {r["k"] for r in t.changes(v1).collect()} == {"d"}
+
+
+def test_rebucket_folds_outstanding_coalesce_deltas(spark, tmp_root):
+    """Rebucket over unresolved PARTIAL-column deltas: the rewrite rides
+    read_raw's per-column resolution, so last-non-null semantics survive
+    into the new layout as full rows."""
+    t = _mk(spark, os.path.join(tmp_root, "rb_coal"), nb=2)
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, 1, "I"), ("b", 2, 2, "I")], "k string, v int, lsn long, op string"
+        ),
+        batch_id=0,
+    )
+    # partial update: v=None means "not updated" in coalesce mode
+    t.merge(
+        spark.createDataFrame([("a", None, 10, "U")], "k string, v int, lsn long, op string"),
+        batch_id=1, mode="coalesce",
+    )
+    assert any(g.get("coalesce") for g in t.snapshot()["file_groups"])
+    t.rebucket(8)
+    snap = t.snapshot()
+    assert not any(g.get("coalesce") or g.get("delta") for g in snap["file_groups"])
+    assert _state(t) == {"a": 1, "b": 2}  # the null never clobbered v

@@ -136,3 +136,31 @@ def test_zorder_validation(spark, tmp_root):
     # empty table: a no-op rewrite commits cleanly
     v = t.optimize_zorder(["a", "b"])
     assert t.snapshot()["version"] == v and t.read().count() == 0
+
+
+def test_zorder_on_timestamp_column(spark, tmp_root):
+    """Date/timestamp columns rank through their epoch cast — state
+    preserved and the layout recorded."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "zt"),
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]),
+        ["id"], num_buckets=1, write_mode="mor",
+    )
+    t.merge(
+        spark.range(100).selectExpr(
+            "id",
+            "timestamp_seconds(1700000000 + id * 3600) AS ts",
+            "(id * 37) % 100 AS n",
+            "id + 1 AS lsn",
+            "'I' AS op",
+        ),
+        batch_id=0,
+    )
+    before = {r["id"]: (r["ts"], r["n"]) for r in t.read().collect()}
+    t.optimize_zorder(["ts", "n"])
+    assert all(g.get("zorder") == ["ts", "n"] for g in t.snapshot()["file_groups"])
+    assert {r["id"]: (r["ts"], r["n"]) for r in t.read().collect()} == before
