@@ -251,6 +251,46 @@ def cmd_maintain(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_view(args) -> None:
+    """Maintain an incrementally-updated JOIN view from a scheduler:
+    ``--on left_fk=right_key`` pairs and ``--select view_col=right_col``
+    pairs define the enrichment; the view table is created on first run
+    and advanced to both sources' current versions on every run (the
+    sync decides bootstrap / incremental / resync itself)."""
+    from french_admin_etl_spark.session import get_spark
+    from french_admin_etl_spark.streaming.joinview import JoinView
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    def pairs(specs):
+        out = []
+        for s in specs:
+            a, _, b = s.partition("=")
+            if not a or not b:
+                raise SystemExit(f"bad pair {s!r}: expected name=name")
+            out.append((a, b))
+        return out
+
+    spark = get_spark(app_name="cdc_view", cores=args.cores)
+    left = LakeTable(spark, args.left_root)
+    right = LakeTable(spark, args.right_root)
+    on = pairs(args.on)
+    select = dict(pairs(args.select))
+    if LakeTable.exists(args.view_root):
+        jv = JoinView(
+            spark, left, right, LakeTable(spark, args.view_root),
+            on=on, select=select, writer_id=args.writer_id,
+        )
+    else:
+        jv = JoinView.create(
+            spark, left, right, args.view_root, on=on, select=select,
+            writer_id=args.writer_id,
+        )
+    report = jv.sync()
+    print(json.dumps({"view_root": args.view_root, **{
+        k: (list(v) if isinstance(v, tuple) else v) for k, v in report.items()
+    }}))
+
+
 def cmd_branch(args) -> None:
     """Operator surface for write-audit-publish: report a branch's staged
     state, gate-and-publish it, or drop it. The audit gate is a SQL
@@ -414,6 +454,18 @@ def main() -> None:
                          "history retained)")
     mp.add_argument("--cores", type=int, default=None)
     mp.set_defaults(fn=cmd_maintain)
+
+    vp = sub.add_parser(
+        "view", help="maintain an incrementally-updated join view (scheduler-run)"
+    )
+    vp.add_argument("--left-root", required=True)
+    vp.add_argument("--right-root", required=True)
+    vp.add_argument("--view-root", required=True)
+    vp.add_argument("--on", nargs="+", required=True, metavar="LEFT_FK=RIGHT_KEY")
+    vp.add_argument("--select", nargs="+", required=True, metavar="VIEW_COL=RIGHT_COL")
+    vp.add_argument("--writer-id", default="joinview")
+    vp.add_argument("--cores", type=int, default=None)
+    vp.set_defaults(fn=cmd_view)
 
     bp = sub.add_parser(
         "branch", help="write-audit-publish: inspect / publish / drop a staged branch"

@@ -161,3 +161,65 @@ def test_branch_subcommand_audit_gate(spark, tmp_root, monkeypatch, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["published"] and rep["published_version"] == t.current_version()
     assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 5, "b": 7}
+
+
+def test_view_subcommand_bootstrap_then_incremental(spark, tmp_root, monkeypatch, capsys):
+    """`view` is the scheduler surface for maintained joins: first run
+    creates + bootstraps the view table, later runs advance it
+    incrementally; re-running with no source progress is a no-op."""
+    from pyspark.sql import types as T
+
+    sys.path.insert(0, REPO)
+    import app
+
+    lroot = os.path.join(tmp_root, "vl")
+    rroot = os.path.join(tmp_root, "vr")
+    vroot = os.path.join(tmp_root, "vv")
+    left = LakeTable.create(
+        spark, lroot,
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("fk", T.StringType()),
+        ]),
+        ["id"], num_buckets=2, write_mode="mor",
+    )
+    right = LakeTable.create(
+        spark, rroot,
+        T.StructType([
+            T.StructField("code", T.StringType()),
+            T.StructField("label", T.StringType()),
+        ]),
+        ["code"], num_buckets=2, write_mode="mor",
+    )
+    right.merge(
+        spark.createDataFrame([("d1", "x", 1, "I")], "code string, label string, lsn long, op string"),
+        batch_id=0,
+    )
+    left.merge(
+        spark.createDataFrame([("a", "d1", 1, "I")], "id string, fk string, lsn long, op string"),
+        batch_id=0,
+    )
+    argv = ["app.py", "view", "--left-root", lroot, "--right-root", rroot,
+            "--view-root", vroot, "--on", "fk=code", "--select", "label=label",
+            "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "bootstrap"
+    view = LakeTable(spark, vroot)
+    assert {r["id"]: r["label"] for r in view.read().collect()} == {"a": "x"}
+
+    right.merge(
+        spark.createDataFrame([("d1", "x2", 5, "U")], "code string, label string, lsn long, op string"),
+        batch_id=1,
+    )
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "incremental"
+    assert {r["id"]: r["label"] for r in view.read().collect()} == {"a": "x2"}
+
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "noop"
