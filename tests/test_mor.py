@@ -622,3 +622,84 @@ def test_mor_changes_across_schema_evolution(spark, tmp_root):
     assert ch["a"]["stars"] is None  # old-schema row upgraded on read
     assert ch["b"]["stars"] == 7
     assert ch["a"]["content"] == "v1" and ch["b"]["content"] == "w1"
+
+
+def test_mor_writers_race_rebucket_and_compaction(spark, tmp_root):
+    """Chaos leg for partition evolution: two live writers apply disjoint
+    logs while a maintenance thread cycles rebucket(8→2→4) + compaction +
+    age-guarded vacuum against them. Every writer commit that loses the
+    layout race must RESTAGE under the new bucket count (the
+    _restage_on_layout_change guard under real concurrency, not a commit
+    hook); final state must still equal the pandas oracle."""
+    import itertools
+    import threading
+
+    import pandas as pd
+
+    from french_admin_etl_spark.table.lake_table import CommitConflict
+
+    logs, evs = {}, {}
+    for w, seed in (("w_a", 61), ("w_b", 62)):
+        ev = datagen.gen_change_events(
+            n_events=1000, n_keys=120, seed=seed, key_ns=w, delete_rate=0.06
+        )
+        log_dir = os.path.join(tmp_root, f"rlog_{w}")
+        spark.createDataFrame(ev, schema=EVENT_SCHEMA).write.mode("overwrite").parquet(
+            log_dir
+        )
+        evs[w], logs[w] = ev, EventLog(spark, log_dir)
+
+    root = os.path.join(tmp_root, "chaos")
+    LakeTable.create(
+        spark, root, schema=REPOS_SCHEMA, key_cols=KEYS, num_buckets=4,
+        write_mode="mor", properties={"compact.max-delta-files": 64},
+    )
+    errors = []
+    done = threading.Event()
+
+    def run_writer(w):
+        try:
+            table = LakeTable(spark, root)
+            job = CDCApplyJob(spark, table, writer_id=w)
+            job.run_incremental(
+                logs[w], CheckpointStore(os.path.join(tmp_root, f"{w}.rck")),
+                batch_lsns=300,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append((w, e))
+
+    def run_maintenance():
+        table = LakeTable(spark, root)
+        sizes = itertools.cycle([8, 2, 4])
+        while not done.is_set():
+            try:
+                table.compact()
+            except CommitConflict:
+                pass
+            try:
+                table.rebucket(next(sizes))
+            except CommitConflict:
+                pass  # lost the race to a writer — next cycle
+            table.vacuum_orphans()  # age-guarded: safe with live writers
+            done.wait(0.2)
+
+    threads = [threading.Thread(target=run_writer, args=(w,)) for w in logs]
+    maint = threading.Thread(target=run_maintenance)
+    maint.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    done.set()
+    maint.join()
+    assert not errors, errors
+
+    table = LakeTable(spark, root)
+    exp = _expected(pd.concat([evs["w_a"], evs["w_b"]], ignore_index=True))
+    assert _state(table) == exp
+    assert table.snapshot()["num_buckets"] in (2, 4, 8)
+    # every key's rows live in ONE bucket of the final layout: a full
+    # compaction must not change state (would fail if any restage was
+    # skipped and a key forked across layouts)
+    table.compact(include_clean=True)
+    assert _state(table) == exp
