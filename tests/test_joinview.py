@@ -331,3 +331,58 @@ def test_create_validation(spark, tmp_root):
             spark, com, dep, os.path.join(tmp_root, "v"), on=[("dep_code", "code")],
             select={"x": "nope"},
         )
+
+
+def test_composition_aggview_over_joinview(spark, tmp_root):
+    """Maintained-view COMPOSITION: an AggregateView rolls up the OUTPUT
+    of a JoinView (population per region label), and a single upstream
+    change — a commune moving departments — flows through BOTH hops
+    incrementally: join recompute O(changed keys), then rollup retract +
+    insert O(changed groups). The enriched-rollup pipeline every
+    dimension model needs, maintained end-to-end."""
+    from french_admin_etl_spark.streaming.aggview import AggregateView
+
+    com, dep = _mk_tables(spark, tmp_root)
+    dep.merge(
+        _dep_src(spark, [("d1", "Ain", "NORD", 1, "I"), ("d2", "Aisne", "SUD", 2, "I")]),
+        batch_id=0,
+    )
+    com.merge(
+        _com_src(
+            spark,
+            [
+                ("c1", "A", "d1", 100, 1, "I"),
+                ("c2", "B", "d1", 200, 2, "I"),
+                ("c3", "C", "d2", 50, 3, "I"),
+            ],
+        ),
+        batch_id=0,
+    )
+    jv = JoinView.create(
+        spark, com, dep, os.path.join(tmp_root, "enriched"),
+        on=[("dep_code", "code")], select={"region": "region_code"},
+    )
+    jv.sync()
+    av = AggregateView.create(
+        spark, jv.view, os.path.join(tmp_root, "rollup"),
+        group_cols=["region"], sums={"pop_sum": "pop"},
+    )
+    av.sync()
+
+    def rollup():
+        return {r["region"]: (r["cnt"], r["pop_sum"]) for r in av.read().collect()}
+
+    assert rollup() == {"NORD": (2, 300), "SUD": (1, 50)}
+
+    # ONE upstream event: c2 moves d1→d2 (NORD loses 200, SUD gains 200)
+    com.merge(_com_src(spark, [("c2", "B", "d2", 200, 10, "U")]), batch_id=1)
+    assert jv.sync()["mode"] == "incremental"
+    r = av.sync()
+    assert r["mode"] == "incremental"  # the rollup hop stayed incremental too
+    assert rollup() == {"NORD": (1, 100), "SUD": (2, 250)}
+
+    # a delete retracts through both hops
+    com.merge(_com_src(spark, [("c3", None, None, None, 11, "D")]), batch_id=2)
+    jv.sync()
+    av.sync()
+    assert rollup() == {"NORD": (1, 100), "SUD": (1, 200)}
