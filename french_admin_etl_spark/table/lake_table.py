@@ -1784,6 +1784,56 @@ class LakeTable:
         self._commit(new)
         return new["version"]
 
+    def clone(self, dest_root: str, deep: bool = False) -> "LakeTable":
+        """CLONE the table's current state into a NEW table at
+        ``dest_root`` (Delta SHALLOW/DEEP CLONE).
+
+        - **shallow** (default): metadata-only — the clone's snapshot
+          references the source's data files by ABSOLUTE path (zero
+          copy, O(metadata)); new writes/compactions/rebuckets on the
+          clone land under its own root, so it localizes as it diverges.
+          The dev/test idiom: a full-size table materialized in
+          milliseconds, writable without touching production. CAVEAT
+          (same as Delta's): the SOURCE's ``vacuum_orphans`` /
+          ``expire_snapshots`` does not know about clones — a shallow
+          clone outliving the source files it references breaks; deep
+          clone (or re-clone) before source maintenance reclaims them.
+          The clone's own vacuum only touches its own data dir — safe.
+        - **deep**: every referenced file is copied under the clone's
+          root; fully independent (O(table) copy).
+
+        Properties (including batch fences and view sync markers) carry
+        over, so replaying the source's log against the clone fences
+        exactly as it would on the source — behavioral parity for
+        testing. The clone starts a fresh version chain at v1."""
+        snap = self.snapshot()
+        if os.path.exists(os.path.join(dest_root, "_meta")):
+            raise ValueError(f"destination {dest_root!r} already has a table")
+        t = LakeTable(self.spark, dest_root)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        groups = []
+        for g in snap["file_groups"]:
+            g = dict(g)
+            if deep:
+                files = []
+                for f in g["files"]:
+                    src = f if os.path.isabs(f) else os.path.join(self.root, f)
+                    rel = f"data/{os.path.basename(f)}"
+                    shutil.copyfile(src, os.path.join(dest_root, rel))
+                    files.append(rel)
+                g["files"] = files
+            else:
+                g["files"] = [
+                    f if os.path.isabs(f) else os.path.join(self.root, f)
+                    for f in g["files"]
+                ]
+            groups.append(g)
+        new = dict(snap)
+        new.update(version=1, parent=None, file_groups=groups)
+        t._commit(new)
+        return t
+
     def snapshots_df(self) -> DataFrame:
         """Metadata table (DESCRIBE HISTORY analog): one row per retained
         snapshot — driver-side metadata only, no data I/O."""

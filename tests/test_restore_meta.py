@@ -195,3 +195,52 @@ def test_restore_refuses_cdf_and_forces_view_resync(spark, tmp_root):
     )
     assert jv.sync()["mode"] == "incremental"
     assert {r2["id"] for r2 in jv.read().collect()} == {"a", "c"}
+
+
+def test_shallow_clone_zero_copy_divergence(spark, tmp_root):
+    """Shallow clone: instant full-size copy by reference; writes on
+    either side never touch the other; fences carry over (behavioral
+    parity for replay tests); the clone's own vacuum is safe."""
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "src"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    src.merge(_src(spark, [("a", 1, 1, "I"), ("b", 2, 2, "I")]), batch_id=0)
+    clone = src.clone(os.path.join(tmp_root, "dev"))
+    assert _state(clone) == {"a": 1, "b": 2}
+    assert clone.current_version() == 1
+    # no data files were copied
+    assert os.listdir(os.path.join(tmp_root, "dev", "data")) == []
+
+    # divergence: each side only sees its own writes
+    clone.merge(_src(spark, [("a", 100, 10, "U"), ("c", 3, 11, "I")]), batch_id=1)
+    src.merge(_src(spark, [("b", 200, 10, "U")]), batch_id=1)
+    assert _state(clone) == {"a": 100, "b": 2, "c": 3}
+    assert _state(src) == {"a": 1, "b": 200}
+    # fences carried: replaying the source's batch 0 against the clone
+    # fences out, exactly as on the source
+    assert clone.merge(_src(spark, [("a", 999, 99, "U")]), batch_id=0).fenced
+    # the clone's vacuum only governs its own data dir — the referenced
+    # source files survive, and a clone compaction localizes the state
+    assert clone.vacuum_orphans(min_age_sec=0) == 0
+    clone.compact(include_clean=True)
+    assert _state(clone) == {"a": 100, "b": 2, "c": 3}
+    assert not any(
+        os.path.isabs(f) for g in clone.snapshot()["file_groups"] for f in g["files"]
+    )
+    assert _state(src) == {"a": 1, "b": 200}  # source untouched throughout
+
+
+def test_deep_clone_survives_source_removal(spark, tmp_root):
+    import shutil as _shutil
+
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "src2"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    src.merge(_src(spark, [("a", 1, 1, "I")]), batch_id=0)
+    clone = src.clone(os.path.join(tmp_root, "deep"), deep=True)
+    _shutil.rmtree(os.path.join(tmp_root, "src2"))  # source gone entirely
+    assert _state(clone) == {"a": 1}
+    with pytest.raises(ValueError, match="already has a table"):
+        clone.clone(os.path.join(tmp_root, "deep"))
