@@ -1028,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_secondary_index": g5_secondary_index,
         "g6_join_view": g6_join_view,
         "g7_wap_publish": g7_wap_publish,
+        "g8_zorder_scan": g8_zorder_scan,
         "t8_dataset_split": t8_dataset_split,
         "t9_stratified_sample": t9_stratified_sample,
         "t10_token_shards": t10_token_shards,
@@ -1728,6 +1729,67 @@ def g7_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def g8_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout machinery driven end-to-end THROUGH the engine: parts load
+    into a MOR lake table (bounded file sizes), a wave of updates leaves
+    MOR deltas, ``optimize_zorder(p_size, p_retail)`` rewrites the table
+    along the Morton curve (folding the deltas), and two ``scan_range``
+    reads — one per z-order dimension, each pruning files by the
+    manifest stats the layout produced — are unioned as the result. The
+    oracle restates both range scans declaratively over the post-update
+    truth, so the hash-match proves pruned scans == full-scan semantics
+    after the rewrite."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_size").cast("long").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retail"),
+    )
+    N = 10_000_000
+    root = tempfile.mkdtemp(prefix="g8_zorder_")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(root, "part"),
+            schema=T.StructType([
+                T.StructField("p_partkey", T.LongType()),
+                T.StructField("p_size", T.LongType()),
+                T.StructField("p_retail", T.DoubleType()),
+            ]),
+            key_cols=["p_partkey"], num_buckets=4, write_mode="mor",
+            properties={"write.max-records-per-file": 2000},
+        )
+        t.merge(
+            part.select("p_partkey", "p_size", "p_retail",
+                        F.col("p_partkey").alias("lsn"), F.lit("I").alias("op")),
+            batch_id=0,
+        )
+        # update wave: %9==4 parts grow by 10 sizes (MOR deltas the
+        # rewrite must fold)
+        t.merge(
+            part.filter(F.col("p_partkey") % 9 == 4).select(
+                "p_partkey", (F.col("p_size") + 10).alias("p_size"), "p_retail",
+                (F.lit(N) + F.col("p_partkey")).alias("lsn"), F.lit("U").alias("op"),
+            ),
+            batch_id=1,
+        )
+        t.optimize_zorder(["p_size", "p_retail"])
+        out = (
+            t.scan_range("p_size", 1, 10)
+            .withColumn("leg", F.lit("size"))
+            .unionByName(
+                t.scan_range("p_retail", 901.0, 1100.0).withColumn("leg", F.lit("retail"))
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ann_index_sql(bits: int = 8) -> str:
     return f"""
         WITH final AS (
@@ -2021,6 +2083,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(s_acctbal AS DOUBLE) END AS s_acctbal
             FROM supplier
             WHERE s_suppkey % 7 <> 2
+        """,
+        "g8_zorder_scan": """
+            WITH final AS (
+              SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                     CASE WHEN p_partkey % 9 = 4
+                          THEN CAST(p_size + 10 AS BIGINT)
+                          ELSE CAST(p_size AS BIGINT) END AS p_size,
+                     CAST(p_retailprice AS DOUBLE) AS p_retail
+              FROM part
+            )
+            SELECT p_partkey, p_size, p_retail, 'size' AS leg
+            FROM final WHERE p_size BETWEEN 1 AND 10
+            UNION ALL
+            SELECT p_partkey, p_size, p_retail, 'retail' AS leg
+            FROM final WHERE p_retail BETWEEN 901.0 AND 1100.0
         """,
         "t8_dataset_split": """
             SELECT doc_id, lang,

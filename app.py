@@ -240,6 +240,10 @@ def cmd_maintain(args) -> None:
         out["sort_version"] = table.optimize_sort(args.sort.split(","))
     if args.restore is not None:
         out["restored_to_version"] = table.restore(args.restore)
+    if args.clone_to:
+        table.clone(args.clone_to, deep=args.clone_deep)
+        out["cloned_to"] = args.clone_to
+        out["clone_deep"] = bool(args.clone_deep)
     if args.delete_where:
         stats = table.delete_where(
             args.delete_where, batch_id=args.delete_batch_id
@@ -452,6 +456,10 @@ def main() -> None:
     mp.add_argument("--restore", type=int, default=None, metavar="VERSION",
                     help="roll the table back to this version (new commit; "
                          "history retained)")
+    mp.add_argument("--clone-to", default=None, metavar="PATH",
+                    help="clone the current state to a new table (shallow "
+                         "by-reference unless --clone-deep)")
+    mp.add_argument("--clone-deep", action="store_true")
     mp.add_argument("--cores", type=int, default=None)
     mp.set_defaults(fn=cmd_maintain)
 

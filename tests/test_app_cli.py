@@ -223,3 +223,28 @@ def test_view_subcommand_bootstrap_then_incremental(spark, tmp_root, monkeypatch
     app.main()
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["mode"] == "noop"
+
+
+def test_maintain_clone_flag(spark, tmp_root, monkeypatch, capsys):
+    from pyspark.sql import types as T
+
+    sys.path.insert(0, REPO)
+    import app
+
+    root = os.path.join(tmp_root, "cl_src")
+    t = LakeTable.create(
+        spark, root,
+        T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]),
+        ["k"], num_buckets=2, write_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame([(1, "I", "a", 1)], "lsn long, op string, k string, v int"),
+        batch_id=0,
+    )
+    dest = os.path.join(tmp_root, "cl_dev")
+    monkeypatch.setattr(sys, "argv", ["app.py", "maintain", "--table-root", root,
+                                      "--clone-to", dest, "--cores", "4"])
+    app.main()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["cloned_to"] == dest and rep["clone_deep"] is False
+    assert {r["k"] for r in LakeTable(spark, dest).read().collect()} == {"a"}
