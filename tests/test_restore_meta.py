@@ -244,3 +244,40 @@ def test_deep_clone_survives_source_removal(spark, tmp_root):
     assert _state(clone) == {"a": 1}
     with pytest.raises(ValueError, match="already has a table"):
         clone.clone(os.path.join(tmp_root, "deep"))
+
+
+def test_restore_races_concurrent_mor_writer(spark, tmp_root):
+    """A writer's commit loses the version race to a restore() that both
+    rolls back state AND reverts the bucket layout: the rebase loop must
+    restage under the restored layout and land the batch ON TOP of the
+    restored state (the operator rolled back, the stream keeps going)."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "rr"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    t.merge(_src(spark, [("a", 1, 1, "I"), ("b", 2, 2, "I")]), batch_id=0)
+    good_v = t.current_version()
+    t.merge(_src(spark, [("c", 3, 3, "I")]), batch_id=1)
+    t.rebucket(8)
+
+    real_commit = t._commit
+    raced = {}
+
+    def racing_commit(snap):
+        if "done" not in raced and snap.get("num_buckets") == 8:
+            raced["done"] = True
+            LakeTable(t.spark, t.root).restore(good_v)  # back to nb=2
+        real_commit(snap)
+
+    t._commit = racing_commit
+    try:
+        stats = t.merge(_src(spark, [("d", 4, 10, "I")]), batch_id=2)
+    finally:
+        t._commit = real_commit
+    assert raced.get("done") and not stats.fenced
+    snap = t.snapshot()
+    assert snap["num_buckets"] == 2  # the restored layout won
+    # restored state (c rolled back) + the racing batch's row
+    assert _state(t) == {"a": 1, "b": 2, "d": 4}
+    # and the row is findable through the layout-pruned point-read path
+    assert {r["k"]: r["v"] for r in t.lookup([("d",)]).collect()} == {"d": 4}
