@@ -713,11 +713,18 @@ class LakeTable:
             if (not g.get("delta") or g.get("restored"))
             and from_version < g.get("seq", 0) <= to_v
         ]
-        if folded:
+        # a restore to an EMPTY snapshot leaves no groups to mark, so the
+        # recorded restore versions back the group markers up
+        restored_in_window = [
+            v
+            for v in json.loads(snap["properties"].get("restore.versions", "[]"))
+            if from_version < v <= to_v
+        ]
+        if folded or restored_in_window:
             raise ValueError(
                 f"changes in ({from_version}, {to_v}] were compacted away "
-                "(run changes() before compaction catches up, or lower "
-                "compact.max-delta-files less aggressively)"
+                "or restored over (run changes() before compaction catches "
+                "up, or resync after a restore)"
             )
         if any(g.get("coalesce") for g in in_window):
             # a coalesce delta's nulls mean "not updated" — replaying them
@@ -918,16 +925,7 @@ class LakeTable:
         # align source types to the table schema (same ANSI cast rule as
         # merge): staging e.g. a DOUBLE aggregate into a bigint column
         # writes parquet the snapshot schema cannot read back
-        want = {f["name"]: f["type"] for f in snap["schemas"][str(sv)]["fields"]}
-        have = {f.name: f.dataType for f in df.schema.fields}
-        casts = []
-        for c in df.columns:
-            target_t = _parse_type_json(want[c]) if c in want else None
-            if target_t is not None and have[c] != target_t:
-                casts.append(F.col(c).cast(target_t).alias(c))
-            else:
-                casts.append(F.col(c))
-        df = df.select(*casts)
+        df = self._align_source_types(df, snap)
         phys = (
             df.withColumn("_lsn", F.lit(0).cast("long"))
             .withColumn("_deleted", F.lit(False))
@@ -1766,20 +1764,42 @@ class LakeTable:
         # consumers resync instead of silently reading an empty window
         # while holding rolled-back rows (review finding). Relative
         # resolution order among the target's groups is preserved
-        # EXACTLY by folding each old (seq, sub) pair into the sub
-        # tie-break the read path already honors.
-        groups = []
-        for g in new["file_groups"]:
-            g = dict(g)
-            g["sub"] = g.get("seq", 0) * 4096 + g.get("sub", 0)
-            g["seq"] = cur["version"] + 1
+        # EXACTLY — and boundedly, surviving repeated restores and
+        # arbitrarily large branch subs — by renumbering subs DENSELY in
+        # (seq, sub) rank order (a multiplicative fold like seq*K+sub
+        # inverts order once any sub >= K, and compounds toward int64
+        # overflow across restores; second review pass).
+        groups = [dict(g) for g in new["file_groups"]]
+        order = sorted(
+            range(len(groups)),
+            key=lambda i: (groups[i].get("seq", 0), groups[i].get("sub", 0)),
+        )
+        for rank, i in enumerate(order):
+            groups[i]["sub"] = rank
+            groups[i]["seq"] = cur["version"] + 1
             # delta groups restamped into the window would otherwise READ
             # as ordinary change rows (masking the rolled-back deletions);
             # the marker makes changes() refuse them like folded windows
-            g["restored"] = True
-            groups.append(g)
+            groups[i]["restored"] = True
+        # A restore to an EMPTY snapshot has no groups to carry the
+        # refusal signal, so the restore versions also ride a PROPERTY
+        # (propagated by every later commit's props copy); changes()
+        # refuses any window containing one.
+        props = dict(new["properties"])
+        restores = sorted(
+            set(json.loads(props.get("restore.versions", "[]")))
+            # the target's props predate LATER restores; the current
+            # snapshot's list has them all — union so a restore-of-a-
+            # pre-restore-state cannot erase an earlier marker
+            | set(json.loads(cur["properties"].get("restore.versions", "[]")))
+            | {cur["version"] + 1}
+        )
+        props["restore.versions"] = json.dumps(restores)
         new.update(
-            version=cur["version"] + 1, parent=cur["version"], file_groups=groups
+            version=cur["version"] + 1,
+            parent=cur["version"],
+            file_groups=groups,
+            properties=props,
         )
         self._commit(new)
         return new["version"]
@@ -1807,7 +1827,10 @@ class LakeTable:
         exactly as it would on the source — behavioral parity for
         testing. The clone starts a fresh version chain at v1."""
         snap = self.snapshot()
-        if os.path.exists(os.path.join(dest_root, "_meta")):
+        if LakeTable.exists(dest_root):
+            # a COMMITTED snapshot, not a leftover dir from a crashed
+            # clone attempt (mkdir/copies land before the commit; a
+            # retry over those must succeed — second review pass)
             raise ValueError(f"destination {dest_root!r} already has a table")
         t = LakeTable(self.spark, dest_root)
         os.makedirs(t._meta_dir, exist_ok=True)
@@ -1829,8 +1852,24 @@ class LakeTable:
                     for f in g["files"]
                 ]
             groups.append(g)
+        # Restamp (seq, sub) into the clone's OWN chain (baseline v1,
+        # dense rank order — same protocol as restore): carrying source
+        # seqs verbatim would poison the clone's version arithmetic —
+        # changes() windows would re-emit (or refuse on) source-era
+        # groups, and an equal-LSN correction merged on the clone
+        # (commit seq 2) would LOSE the later-commit-wins tie-break to a
+        # stale source group stamped seq 7 (second review pass).
+        order = sorted(
+            range(len(groups)),
+            key=lambda i: (groups[i].get("seq", 0), groups[i].get("sub", 0)),
+        )
+        for rank, i in enumerate(order):
+            groups[i]["sub"] = rank
+            groups[i]["seq"] = 1
         new = dict(snap)
-        new.update(version=1, parent=None, file_groups=groups)
+        props = dict(snap["properties"])
+        props.pop("restore.versions", None)  # source history, not the clone's
+        new.update(version=1, parent=None, file_groups=groups, properties=props)
         t._commit(new)
         return t
 

@@ -281,3 +281,76 @@ def test_restore_races_concurrent_mor_writer(spark, tmp_root):
     assert _state(t) == {"a": 1, "b": 2, "d": 4}
     # and the row is findable through the layout-pruned point-read path
     assert {r["k"]: r["v"] for r in t.lookup([("d",)]).collect()} == {"d": 4}
+
+
+def test_restore_to_empty_snapshot_still_refuses_cdf(spark, tmp_root):
+    """Second review pass: restoring to a snapshot with ZERO file groups
+    leaves no group to carry the 'restored' marker — the recorded
+    restore version must refuse the window anyway."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "re"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    empty_v = t.current_version()
+    t.merge(_src(spark, [("a", 1, 1, "I"), ("b", 2, 2, "I")]), batch_id=0)
+    consumer_synced = t.current_version()
+    t.restore(empty_v)
+    t.merge(_src(spark, [("c", 3, 3, "I")]), batch_id=1)
+    with pytest.raises(ValueError, match="restored over"):
+        t.changes(consumer_synced).collect()
+    assert _state(t) == {"c": 3}
+
+
+def test_double_restore_preserves_intra_branch_tie_order(spark, tmp_root):
+    """Second review pass: the old multiplicative sub-fold inverted group
+    order once subs crossed the base; the dense renumbering must keep an
+    equal-LSN tie resolving to the LATER staged commit through repeated
+    restores."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "dr"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    t.merge(_src(spark, [("a", 0, 1, "I")]), batch_id=0)
+    br = t.branch("audit")
+    br.merge(_src(spark, [("a", 100, 50, "U")]), batch_id=0)
+    br.merge(_src(spark, [("a", 200, 50, "U")]), batch_id=1)
+    br.publish()
+    assert _state(t)["a"] == 200
+    good_v = t.current_version()
+    t.merge(_src(spark, [("z", 9, 90, "I")]), batch_id=2)
+    t.restore(good_v)
+    assert _state(t) == {"a": 200}  # tie order survived restore #1
+    v2 = t.current_version()
+    t.merge(_src(spark, [("z", 9, 91, "I")]), batch_id=3)
+    t.restore(v2)
+    assert _state(t) == {"a": 200}  # and restore #2 (folded subs re-fold)
+
+
+def test_clone_restamps_into_own_version_chain(spark, tmp_root):
+    """Second review pass: source seq stamps carried verbatim would let a
+    stale source group outrank the clone's own later commits in the
+    equal-LSN tie-break, and leak source-era groups into the clone's
+    changes() windows."""
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "cs"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    # several commits so source delta seqs run well past 2
+    for i in range(5):
+        src.merge(_src(spark, [("a", i, 10 + i, "U"), (f"k{i}", i, 20 + i, "I")]), batch_id=i)
+    clone = src.clone(os.path.join(tmp_root, "cd"))
+    assert all(g["seq"] == 1 for g in clone.snapshot()["file_groups"])
+    # equal-LSN correction on the clone: later commit (seq=2) must WIN
+    # against the source-era row at the same lsn
+    clone.merge(_src(spark, [("a", 999, 14, "U")]), batch_id=100)
+    assert _state(clone)["a"] == 999
+    # the clone's first changes() window carries ONLY the clone's merge
+    ch = {r["k"] for r in clone.changes(1).collect()}
+    assert ch == {"a"}
+    # crashed-clone retry: leftover dirs without a committed snapshot
+    # must not block a re-clone
+    stale = os.path.join(tmp_root, "half")
+    os.makedirs(os.path.join(stale, "_meta"))
+    os.makedirs(os.path.join(stale, "data"))
+    clone2 = src.clone(stale)
+    assert {r["k"] for r in clone2.read().collect()} == {r["k"] for r in src.read().collect()}
