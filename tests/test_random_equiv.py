@@ -161,3 +161,55 @@ def test_joinview_random_waves_match_declarative_truth(spark, tmp_root, seed):
         assert r["mode"] in ("incremental", "empty"), r
         got = {tuple(sorted(row.asDict().items())) for row in jv.read().collect()}
         assert got == truth(), f"wave {wave} diverged"
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_restore_reproduces_every_historical_state(spark, tmp_root, seed):
+    """Time-travel + RESTORE sweep: over a random history with
+    interleaved maintenance (compact, rebucket), restoring to each
+    recorded version must reproduce exactly the state the oracle had at
+    that point — then the stream resumes on top (fences reverted with
+    the state, so re-merging the undone batches reconverges)."""
+    batches = _gen_batches(seed, n_batches=5, keys=12, per_batch=8)
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, f"tt{seed}"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    oracle: dict = {}
+    checkpoints = []  # (version, expected state dict)
+    rng = random.Random(seed)
+    for i, rows in enumerate(batches):
+        t.merge(
+            spark.createDataFrame(rows, "k string, v int, lsn long, op string"),
+            batch_id=i,
+        )
+        # oracle replay: max-lsn wins per key within/across batches (the
+        # generator emits one event per key per batch, ascending lsns)
+        for k, v, lsn, op in rows:
+            prev = oracle.get(k)
+            if prev is None or lsn >= prev[0]:
+                oracle[k] = (lsn, None if op == "D" else v, op == "D")
+        if i == 2:
+            t.compact(include_clean=True)
+        if i == 3:
+            t.rebucket(4)
+        checkpoints.append(
+            (t.current_version(), {k: v for k, (_, v, dead) in oracle.items() if not dead})
+        )
+    final_exp = checkpoints[-1][1]
+    assert _state(t) == final_exp
+    # restore to a RANDOM mid-history version, check, then re-apply the
+    # undone batches and reconverge to the final state
+    v_mid, exp_mid = checkpoints[rng.randrange(1, len(checkpoints) - 1)]
+    idx = next(i for i, (v, _) in enumerate(checkpoints) if v == v_mid)
+    t.restore(v_mid)
+    assert _state(t) == exp_mid
+    for j in range(idx + 1, len(batches)):
+        t.merge(
+            spark.createDataFrame(batches[j], "k string, v int, lsn long, op string"),
+            batch_id=j,
+        )
+    assert _state(t) == final_exp
+    # and every checkpoint is still time-travel-readable post-restore
+    for v, exp in checkpoints:
+        assert {r["k"]: r["v"] for r in t.read(version=v).collect()} == exp
