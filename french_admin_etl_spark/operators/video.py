@@ -21,7 +21,7 @@ by the caller (S9). Frames are yielded lazily so sampling every Nth
 frame of a long clip never materializes the rest.
 
 Reference: the reference engine has no media path at all (it ingests
-INSEE CSV/JSON, ``internal/usecases/*.go``); this extends the engine's
+INSEE CSV/GeoJSON only, ``cmd/main.go`` + ``internal/processor``); this extends the engine's
 binary-column story for multimodal training data.
 """
 

@@ -30,9 +30,10 @@ Groups whose count reaches zero stay as cnt=0 rows until compaction;
 ``read()`` filters them (count-based liveness, as Materialize does).
 
 Reference parity: the reference recomputes its per-run aggregates from
-scratch each import (``internal/usecases/import_communes.go`` counters,
-the COG stats queries); this maintains them continuously at 10^10-event
-scale — part of the engine surface beyond the reference, not a port.
+scratch each import (``internal/processor/csv_processor.go:75-95``'s
+processed/failed batch counters, re-accumulated on every run); this
+maintains them continuously at 10^10-event scale — part of the engine
+surface beyond the reference, not a port.
 """
 
 from __future__ import annotations
@@ -90,6 +91,20 @@ class AggregateView:
             )
         self.writer_id = writer_id
         self._synced_key = f"aggview.synced.{writer_id}"
+        # per-sum accumulation type, read from the VIEW's declared schema
+        # (create() types integer-source sums as bigint): integer sums
+        # accumulate as long end-to-end — a double accumulator silently
+        # loses exactness past 2^53 before merge_add casts back to long
+        vfields: dict = {}
+        if view is not None and self.sums:
+            vsnap = view.snapshot()
+            vfields = {
+                f["name"]: f["type"]
+                for f in vsnap["schemas"][str(vsnap["schema_version"])]["fields"]
+            }
+        self._sum_cast = {
+            out: ("long" if vfields.get(out) == "long" else "double") for out in self.sums
+        }
 
     # ------------------------------------------------------------- create
 
@@ -153,8 +168,12 @@ class AggregateView:
         out = [F.col(g) for g in self.group_cols]
         out.append(F.lit(sign).cast("long").alias("cnt"))
         for col_out, col_src in self.sums.items():
+            # accumulate in the view column's own family: long for integer
+            # sources (exact), double only for fractional ones
+            ct = self._sum_cast[col_out]
+            zero = F.lit(0).cast(ct)
             out.append(
-                (F.lit(sign) * F.coalesce(F.col(col_src).cast("double"), F.lit(0.0))).alias(
+                (F.lit(sign).cast(ct) * F.coalesce(F.col(col_src).cast(ct), zero)).alias(
                     col_out
                 )
             )
@@ -213,9 +232,16 @@ class AggregateView:
             # no data change in the window (metadata-only commits): advance
             # the sync marker with a property-only commit
             return self._mark_synced(from_v, to_v, "empty")
+        try:
+            # the BEFORE image time-travels to from_v; expire_snapshots
+            # (routine maintenance) may have dropped that snapshot — a
+            # lagging view must fall back to resync, not wedge on
+            # FileNotFoundError forever (ADVICE round-3 medium finding)
+            before = self.source.read_raw(buckets=touched, version=from_v)
+        except FileNotFoundError:
+            return self._resync(to_v)
         old_live = (
-            self.source.read_raw(buckets=touched, version=from_v)
-            .filter(~F.col("_deleted"))
+            before.filter(~F.col("_deleted"))
             .join(changed.select(*keys), on=keys, how="left_semi")
         )
         new_live = changed.filter(~F.col("_deleted"))

@@ -7,9 +7,9 @@ out of order would violate it. The engine generalizes this to a job-level
 operator: a :class:`DagApplyJob` owns one :class:`CDCApplyJob` per table
 plus the FK edges between them, and applies each LSN window of a shared
 multi-table envelope log (:mod:`..sources.envelope_log`) to every table in
-**topological order** — parents always land before the children that
-reference them, so referential integrity holds at every window boundary,
-not just at end-of-stream.
+**topological order** — parents always COMMIT before the children that
+reference them, so crash states and window boundaries never show a child
+ahead of its parent.
 
 Exactly-once: each table's merges are fenced under its own writer
 namespace ``<writer_id>.<table>``. A crash after table k of a window has
@@ -18,6 +18,17 @@ window — tables 1..k fence to no-ops, tables k+1.. apply, and the stream
 converges with no double-apply and no gap. One checkpoint therefore
 covers the whole DAG.
 
+Per-window cost: for the common window shape (no SCHEMA events, MOR
+tables) the driver takes the FAST PATH — ONE combined scan collects every
+table's op counts and schema markers, each present table's dedup + delta
+stage write (the distributed jobs) run CONCURRENTLY in driver threads,
+and only the commits (driver-side metadata writes) run sequentially in
+FK order. Stage order is free because staged files are invisible until
+their commit; commit order is what the integrity contract needs. Windows
+that carry SCHEMA events (or COW tables) fall back to the sequential
+per-epoch ``apply_batch`` path, which splits each table's window at its
+evolution points.
+
 FK gates (both broadcast-shaped — the parent/probe side of every join is
 the small side, so at 100 TB these are map-side filters, never shuffles):
 
@@ -25,25 +36,46 @@ the small side, so at 100 TB these are map-side filters, never shuffles):
   window touched are anti-joined against the parent table AFTER the
   window applied (post-merge state — immune to superseded/stale/replayed
   events); parent deletes are cross-checked against surviving children.
-  O(window + one keyed child probe, + one child scan only when a parent
-  was deleted).
+  All edges' checks union into ONE Spark job per window.
 - **deep** (:meth:`DagApplyJob.deep_fk_check`): the e2e gate — every
   child ROW against its parent table, the assertable form of the
   declarative constraint. O(child tables); run on demand, not per window.
+
+The per-window gate DETECTS, it does not PREVENT: it runs after the
+window's merges have committed, so a violating window's rows are already
+visible to readers when it fires. With ``on_violation='halt'`` (default)
+the gate raises and the checkpoint does NOT advance — a poison window
+re-raises on every rerun until an operator repairs the data (upstream
+fix + replay, or a manual merge) or re-runs with
+``on_violation='record'``, which logs the violation into the
+``WindowResult`` and advances past the window so the stream keeps
+flowing while ``deep_fk_check`` remains the audit. Pipelines that must
+never EXPOSE a violating state should stage through WAP branches
+(``table/branch.py``) and publish only after their audit passes.
 """
 
 from __future__ import annotations
 
+import threading
+import time
 from dataclasses import dataclass, field
 from graphlib import CycleError, TopologicalSorter
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql import types as T
 
+from french_admin_etl_spark.operators.dedup import dedup_coalesce, dedup_max_seq
 from french_admin_etl_spark.operators.dim_join import fk_orphans
+from french_admin_etl_spark.operators.validate import validate_split
 from french_admin_etl_spark.sources.envelope_log import MultiTableLog
-from french_admin_etl_spark.streaming.apply import BatchResult, CDCApplyJob
+from french_admin_etl_spark.streaming.apply import (
+    BatchResult,
+    CDCApplyJob,
+    valid_predicate,
+    validation_rules,
+)
 from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+from french_admin_etl_spark.table.lake_table import MergeStats
 
 
 @dataclass
@@ -62,6 +94,7 @@ class WindowResult:
     lo: int
     hi: int
     tables: dict[str, BatchResult] = field(default_factory=dict)
+    violations: list[str] = field(default_factory=list)
 
 
 class FKViolation(AssertionError):
@@ -75,11 +108,26 @@ class DagApplyJob:
         edges: list[FKEdge],
         writer_id: str = "dag",
         fk_check: bool = True,
+        on_violation: str = "halt",
+        max_stage_threads: int = 8,
     ):
+        """``on_violation``: 'halt' (default) raises :class:`FKViolation`
+        and leaves the checkpoint behind the window (poison windows
+        re-raise on every rerun — loud, operator-visible); 'record' logs
+        the violation into ``WindowResult.violations`` and advances, so a
+        poison window cannot wedge the stream (the gate only ever DETECTS
+        post-commit state — see the module docstring)."""
+        if on_violation not in ("halt", "record"):
+            raise ValueError("on_violation must be 'halt' or 'record'")
         self.jobs = jobs
         self.edges = edges
         self.writer_id = writer_id
         self.fk_check = fk_check
+        self.on_violation = on_violation
+        self.max_stage_threads = max_stage_threads
+        # ops/debug escape hatch (and the A/B lever the bench uses): False
+        # forces every window down the sequential per-epoch path
+        self.enable_fast_path = True
         for e in edges:
             for t in (e.child, e.parent):
                 if t not in jobs:
@@ -164,70 +212,217 @@ class DagApplyJob:
         if not we_cached:
             window = window.persist()
         try:
-            # one scan: per-(table, op) counts — presence, delete presence,
-            # and gate applicability all come from this single job
-            ops: dict[tuple[str, str], int] = {
-                (r["table"], r["op"]): r["n"]
-                for r in window.groupBy("table", "op").agg(F.count("*").alias("n")).collect()
-            }
+            # ONE combined scan: per-(table, op) counts AND every table's
+            # SCHEMA marker rows ride the same aggregation (collect_list
+            # skips the nulls the when() leaves on data rows) — presence,
+            # delete presence, gate applicability, per-table event counts,
+            # and the evolution markers, all from a single job. A shared
+            # binlog may carry events for tables this DAG doesn't own —
+            # they are skipped below like un-owned data events.
+            scan = (
+                window.groupBy("table", "op")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.collect_list(
+                        F.when(F.col("op") == "SCHEMA", F.struct("lsn", "props"))
+                    ).alias("schema_rows"),
+                )
+                .collect()
+            )
+            ops: dict[tuple[str, str], int] = {(r["table"], r["op"]): r["n"] for r in scan}
             present = {t for (t, _op) in ops}
             markers: dict[str, list] = {name: [] for name in self.jobs}
-            # a shared binlog may carry SCHEMA events for tables this DAG
-            # doesn't own — they are skipped like un-owned data events
-            if any(op == "SCHEMA" and t in self.jobs for (t, op) in ops):
-                for m in (
-                    window.filter(
-                        (F.col("op") == "SCHEMA")
-                        & F.col("table").isin(list(self.jobs))
-                    )
-                    .select("table", "lsn", "props")
-                    .collect()
-                ):
-                    markers[m["table"]].append(m)
+            for r in scan:
+                if r["op"] == "SCHEMA" and r["table"] in self.jobs:
+                    markers[r["table"]].extend(r["schema_rows"])
             typed: dict[str, DataFrame] = {}
-            for name in self.order:
-                if name not in present:
-                    continue
-                job = self.jobs[name]
-                typed[name] = MultiTableLog.for_table(
-                    window, name, self._parse_schema(name, markers[name])
-                )
-                res.tables[name] = job.apply_batch(
-                    typed[name], batch_id, fence_writer=f"{ns}.{name}"
-                )
+            # fast path: SCHEMA-free window, MOR tables only — the shape of
+            # virtually every steady-state window (evolutions are rare)
+            fast = self.enable_fast_path and all(
+                not markers[name]
+                and self.jobs[name].table.snapshot().get("write_mode", "cow") == "mor"
+                for name in self.order
+                if name in present
+            )
+            if fast:
+                self._apply_window_fast(window, present, ops, batch_id, ns, res, typed)
+            else:
+                for name in self.order:
+                    if name not in present:
+                        continue
+                    job = self.jobs[name]
+                    typed[name] = MultiTableLog.for_table(
+                        window, name, self._parse_schema(name, markers[name])
+                    )
+                    res.tables[name] = job.apply_batch(
+                        typed[name], batch_id, fence_writer=f"{ns}.{name}"
+                    )
             if self.fk_check:
-                self._check_window(typed, ops)
+                try:
+                    self._check_window(typed, ops)
+                except FKViolation as exc:
+                    if self.on_violation == "halt":
+                        raise
+                    res.violations.append(str(exc))
         finally:
             if not we_cached:
                 window.unpersist()
         return res
 
+    def _apply_window_fast(
+        self,
+        window: DataFrame,
+        present: set,
+        ops: dict[tuple[str, str], int],
+        batch_id: int,
+        ns: str,
+        res: WindowResult,
+        typed: dict[str, DataFrame],
+    ) -> None:
+        """SCHEMA-free MOR window: stage concurrently, commit in FK order.
+
+        Each present table's validate → normalize → dedup → delta stage
+        write (the distributed jobs) runs in its own driver thread — the
+        stage writes are independent (distinct tables, distinct staging
+        dirs, invisible until commit), so overlapping them collapses the
+        window's fixed per-job cost from sum(tables) to ~max(tables).
+        Commits are driver-side metadata writes and run SEQUENTIALLY in
+        topological order, preserving the contract that a crash state
+        never shows a child ahead of its parent.
+
+        Fence parity with the sequential path: the merge fence id is
+        ``batch_id * 1024 + 0`` — exactly ``apply_batch``'s composite id
+        for a window with no schema epochs — so a window applied fast and
+        replayed sequentially (or vice versa) still fences to a no-op.
+        Reject counting rides the stage job as an Observation; dead-letter
+        and lineage writes (when configured) run after the commit, same
+        as the sequential path."""
+        fid = batch_id * 1024
+        work: list[tuple] = []
+        for name in self.order:
+            if name not in present:
+                continue
+            job = self.jobs[name]
+            snap = job.table.snapshot()
+            typed[name] = MultiTableLog.for_table(
+                window, name, self._parse_schema(name, [])
+            )
+            n_events = sum(n for (t, _op), n in ops.items() if t == name)
+            fence_key = f"last_batch_id.{ns}.{name}"
+            fence = snap["properties"].get(fence_key)
+            if fence is not None and fid <= fence:
+                res.tables[name] = BatchResult(
+                    batch_id, n_events, 0,
+                    MergeStats(fid, snap["version"], 0, 0, 0, fenced=True), 0, 0,
+                )
+                continue
+            work.append((name, job, snap, fence_key, n_events))
+        if not work:
+            return
+
+        staged: dict[str, dict | None] = {}
+        valids: dict[str, DataFrame] = {}
+        rejects: dict[str, DataFrame] = {}
+        n_rej: dict[str, int] = {}
+        walls: dict[str, float] = {}
+        errors: dict[str, BaseException] = {}
+        sem = threading.Semaphore(self.max_stage_threads)
+
+        def _stage(name: str, job: CDCApplyJob, snap: dict) -> None:
+            t0 = time.monotonic()
+            data = typed[name]
+            rules = validation_rules(job.merge_mode, job.keys, job._payload_cols(data))
+            obs = Observation()
+            observed = data.observe(
+                obs, F.sum((~valid_predicate(rules)).cast("long")).alias("n_rejects")
+            )
+            valid, rej = validate_split(observed, rules, cache=False)
+            normalized = job._normalize(valid)
+            coalesce = job.merge_mode == "coalesce"
+            deduped = (
+                dedup_coalesce(normalized, job.keys, "lsn", "op")
+                if coalesce
+                else dedup_max_seq(normalized, job.keys, "lsn")
+            )
+            source = job.table._align_source_types(deduped, snap)
+            staged[name] = job.table._mor_stage(source, snap, "lsn", "op", coalesce)
+            n_rej[name] = int(obs.get["n_rejects"] or 0)
+            valids[name], rejects[name] = valid, rej
+            walls[name] = time.monotonic() - t0
+
+        def _run(name, job, snap, _fence_key, _n_events):
+            with sem:
+                try:
+                    _stage(name, job, snap)
+                except BaseException as e:  # surfaced after join()
+                    errors[name] = e
+
+        threads = [threading.Thread(target=_run, args=w, daemon=True) for w in work]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            # staged files of the non-failing tables become orphans —
+            # age-thresholded vacuum reclaims them, and the window replays
+            name, exc = next(iter(errors.items()))
+            raise RuntimeError(f"stage failed for table {name!r}") from exc
+
+        for name, job, snap, fence_key, n_events in work:
+            t0 = time.monotonic()
+            st = staged.get(name)
+            if st is None:  # empty after validation: skip commit AND fence
+                stats = MergeStats(fid, job.table.snapshot()["version"], 0, 0, 0)
+            else:
+                stats = job.table._mor_commit(st, fid, None, fence_key)
+            wall_ms = int((walls[name] + time.monotonic() - t0) * 1000)
+            if n_rej[name] and job.dead_letter_dir:
+                rejects[name].withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(job.dead_letter_dir)
+            if job.lineage_dir:
+                job._write_lineage(valids[name], batch_id, stats, wall_ms)
+            res.tables[name] = BatchResult(
+                batch_id, n_events, n_rej[name], stats, 0, wall_ms
+            )
+
     def _check_window(
         self, typed: dict[str, DataFrame], ops: dict[tuple[str, str], int] | None = None
     ) -> None:
-        """Referential gate scoped to THIS window's events (O(window), plus
-        one broadcast-filtered child scan only when a parent was deleted).
-        ``ops`` — per-(table, op) counts precomputed by :meth:`apply_window`
-        — lets legs with provably nothing to check skip their jobs."""
+        """Referential gate scoped to THIS window's events, fused into ONE
+        Spark job: every applicable edge leg contributes a ≤5-row tagged
+        violation sample and the legs union into a single collect — the
+        per-window gate cost is one job regardless of edge count, not two
+        jobs per edge. ``ops`` — per-(table, op) counts precomputed by
+        :meth:`apply_window` — lets legs with provably nothing to check
+        contribute no plan at all.
+
+        The gate checks what the window actually LEFT IN THE TABLE, not
+        the raw events: checking raw (or even folded) EVENTS
+        false-positives whenever the table is ahead of the event — a
+        superseded U in a delete-children-then-parent cascade, a stale
+        event the LSN guard rejected, or a whole replayed window during a
+        convergent re-apply (reviewer findings, rounds 3+3cont).
+        Post-merge state is the invariant the DAG promises, so it is also
+        the thing to assert. Every leg is broadcast-shaped: touched keys /
+        deleted keys are the small probe side."""
 
         def has(table: str, *which: str) -> bool:
             return ops is None or any((table, op) in ops for op in which)
 
+        def tagged(df: DataFrame, violation: str) -> DataFrame:
+            return df.limit(5).select(
+                F.lit(violation).alias("violation"),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("sample"),
+            )
+
+        legs: list[DataFrame] = []
         for e in self.edges:
             child_job, parent_job = self.jobs[e.child], self.jobs[e.parent]
             if e.child in typed and has(e.child, "I", "U"):
-                # Gate what the window actually LEFT IN THE TABLE: the
-                # child's live rows for the keys this window touched,
-                # against the parent's post-window state. Checking raw (or
-                # even folded) EVENTS false-positives whenever the table
-                # is ahead of the event — a superseded U in a
-                # delete-children-then-parent cascade, a stale event the
-                # LSN guard rejected, or a whole replayed window during a
-                # convergent re-apply (reviewer findings, rounds 3+3cont).
-                # Post-merge state is the invariant the DAG promises
-                # ("FK integrity holds at every window boundary"), so it
-                # is also the thing to assert. O(window): touched keys are
-                # broadcast into a semi-join probe of the child table.
+                # the child's live rows for the keys this window touched,
+                # against the parent's post-window state. O(window):
+                # touched keys broadcast into a semi-join probe.
                 touched = (
                     typed[e.child]
                     .filter(F.col("op").isin("I", "U"))
@@ -238,14 +433,13 @@ class DagApplyJob:
                     F.broadcast(touched), child_job.keys, "left_semi"
                 )
                 refs = live.filter(F.col(e.fk_col).isNotNull())
-                bad = fk_orphans(
-                    refs, parent_job.table.read(), e.fk_col, e.parent_key
-                ).take(5)
-                if bad:
-                    raise FKViolation(
+                legs.append(
+                    tagged(
+                        fk_orphans(refs, parent_job.table.read(), e.fk_col, e.parent_key),
                         f"window events of {e.child}.{e.fk_col} reference missing "
-                        f"{e.parent}.{e.parent_key}; sample: {bad}"
+                        f"{e.parent}.{e.parent_key}",
                     )
+                )
             if e.parent not in typed or not has(e.parent, "D"):
                 continue  # parent absent or delete-free -> nothing to orphan
             # parent deletes that actually survived (no later reinsert in
@@ -256,25 +450,29 @@ class DagApplyJob:
                 .select(F.col(e.parent_key).alias(e.fk_col))
                 .distinct()
             )
-            if deleted.take(1):
-                still_absent = deleted.join(
-                    parent_job.table.read().select(
-                        F.col(e.parent_key).alias(e.fk_col)
-                    ),
-                    [e.fk_col],
-                    "left_anti",
-                )
-                orphaned = (
+            still_absent = deleted.join(
+                parent_job.table.read().select(F.col(e.parent_key).alias(e.fk_col)),
+                [e.fk_col],
+                "left_anti",
+            )
+            legs.append(
+                tagged(
                     child_job.table.read()
                     .filter(F.col(e.fk_col).isNotNull())
-                    .join(F.broadcast(still_absent), [e.fk_col], "left_semi")
-                    .take(5)
+                    .join(F.broadcast(still_absent), [e.fk_col], "left_semi"),
+                    f"deleting {e.parent} rows orphaned {e.child} rows via {e.fk_col}",
                 )
-                if orphaned:
-                    raise FKViolation(
-                        f"deleting {e.parent} rows orphaned {e.child} rows via "
-                        f"{e.fk_col}; sample: {orphaned}"
-                    )
+            )
+        if not legs:
+            return
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        found = out.collect()
+        if found:
+            raise FKViolation(
+                "; ".join(f"{r['violation']}; sample: {r['sample']}" for r in found)
+            )
 
     def deep_fk_check(self) -> dict[str, int]:
         """Whole-table FK audit (the reference's declarative constraint as

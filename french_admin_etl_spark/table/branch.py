@@ -7,9 +7,10 @@ callable over the branch read) runs against the would-be state, and only
 then does one atomic ``publish()`` make all of it visible. A failed
 audit drops the branch; readers never observed a byte of it. This is how
 production CDC pipelines gate bad upstream data out of serving tables
-(reference parity: the reference validates a whole import before its
-single transaction commits, ``internal/usecases/import_communes.go`` —
-WAP is that contract at micro-batch scale).
+(reference parity: the reference stages a whole load inside ONE
+transaction — per-row savepoints, then a single Commit,
+``internal/infrastructure/repository/region_repository.go:26-87`` —
+WAP is that all-or-nothing contract at micro-batch scale).
 
 Mechanics on this table format:
 

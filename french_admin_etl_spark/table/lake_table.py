@@ -376,10 +376,12 @@ class LakeTable:
         if group_pruner is not None:
             groups = [g for g in groups if group_pruner(g)]
         phys_cur = self._schema_at(snap, cur_v)
-        # group files by (schema version, commit seq, coalesce flag); seq
-        # counts distinct scans, but outstanding delta commits are bounded
-        # by the compaction threshold so the union stays small
-        by_key: dict[tuple[int, int, bool], list[str]] = {}
+        # group files by (schema version, commit seq, intra-commit sub
+        # order, coalesce flag) — sub is the equal-LSN tie-break for WAP
+        # publishes and MUST stay in the grouping key; seq counts distinct
+        # scans, but outstanding delta commits are bounded by the
+        # compaction threshold so the union stays small
+        by_key: dict[tuple[int, int, int, bool], list[str]] = {}
         for g in groups:
             # "sub" — intra-commit sub-order: a published WAP branch lands
             # all its staged commits under ONE snapshot (one seq), with
@@ -1232,6 +1234,21 @@ class LakeTable:
         barriers. Intra-batch partial updates must be pre-folded with
         ``operators.dedup.dedup_coalesce`` (one row per key, each column
         already last-non-null within the batch)."""
+        staged = self._mor_stage(source, snap, seq_col, op_col, coalesce)
+        if staged is None:
+            return MergeStats(batch_id, snap["version"], 0, 0, 0)
+        return self._mor_commit(staged, batch_id, extra_properties, fence_key)
+
+    def _mor_stage(
+        self, source: DataFrame, snap: dict, seq_col: str, op_col: str, coalesce: bool
+    ) -> dict | None:
+        """Stage half of the MOR merge: shape + write the delta file
+        groups, no commit. Returns None for an empty slice, else a staged
+        dict for :meth:`_mor_commit`. Split out so a multi-table driver
+        (``streaming.dag``) can run several tables' stage writes — the
+        expensive distributed jobs — CONCURRENTLY, while still committing
+        sequentially in FK order (stage order is free: staged files are
+        invisible until their commit)."""
         keys, nb, sv = snap["key_cols"], snap["num_buckets"], snap["schema_version"]
         delta, obs = self._build_mor_delta(source, snap, seq_col, op_col, coalesce)
         groups = self._stage_write(delta, sv)
@@ -1244,21 +1261,43 @@ class LakeTable:
             # fold an all-empty source (e.g. the coalesce barrier union of
             # two empties) to a LocalRelation, dropping the CollectMetrics
             # node the Observation waits on.
-            return MergeStats(batch_id, snap["version"], 0, 0, 0)
+            return None
         got = obs.get
         for g in groups:
             g["delta"] = True
             if coalesce:
                 g["coalesce"] = True
+        return {
+            "groups": groups,
+            "delta": delta,
+            "keys": keys,
+            "nb": nb,
+            "sv": sv,
+            "coalesce": coalesce,
+            "upserts": int(got["upserts"] or 0),
+            "deletes": int(got["deletes"] or 0),
+        }
 
-        # commit with bounded retry: a MOR delta append is independent of
-        # target state (no bucket was read), so on CommitConflict we simply
-        # rebase the already-staged file groups onto the newest snapshot —
-        # this makes a concurrent compactor plus ingest writers safe. Two
-        # log partitions feeding one table each carry their OWN batch-id
-        # sequence, so each must pass a distinct ``writer_id`` (per-writer
-        # fence property) — a shared scalar fence would treat writer B's
-        # fresh batch as writer A's replay and silently drop it.
+    def _mor_commit(
+        self,
+        staged: dict,
+        batch_id: int | None,
+        extra_properties: dict | None,
+        fence_key: str = "last_batch_id",
+    ) -> MergeStats:
+        """Commit half of the MOR merge (driver-only except a rebucket
+        restage): fenced, bounded-retry rebase onto the newest snapshot.
+
+        Commit with bounded retry: a MOR delta append is independent of
+        target state (no bucket was read), so on CommitConflict we simply
+        rebase the already-staged file groups onto the newest snapshot —
+        this makes a concurrent compactor plus ingest writers safe. Two
+        log partitions feeding one table each carry their OWN batch-id
+        sequence, so each must pass a distinct ``writer_id`` (per-writer
+        fence property) — a shared scalar fence would treat writer B's
+        fresh batch as writer A's replay and silently drop it."""
+        groups, delta = staged["groups"], staged["delta"]
+        keys, nb, sv, coalesce = staged["keys"], staged["nb"], staged["sv"], staged["coalesce"]
         for attempt in range(10):
             snap = self.snapshot()
             if batch_id is not None:
@@ -1296,8 +1335,8 @@ class LakeTable:
         stats = MergeStats(
             batch_id,
             new["version"],
-            int(got["upserts"] or 0),
-            int(got["deletes"] or 0),
+            staged["upserts"],
+            staged["deletes"],
             len(groups),
         )
         # auto-compaction: fold deltas into the base for any bucket past the
@@ -1343,8 +1382,8 @@ class LakeTable:
         the same resolved-read path.
 
         This generalizes the reference's run-metric counters
-        (``internal/usecases/import_communes.go`` success/failure tallies)
-        into maintained aggregate state at CDC scale."""
+        (``internal/processor/csv_processor.go:75-95`` processed/failed
+        tallies) into maintained aggregate state at CDC scale."""
         snap = self.snapshot()
         if snap["properties"].get("resolution") != "additive":
             raise ValueError(
@@ -1467,9 +1506,10 @@ class LakeTable:
         lang='go'), batch_id=...)`` touches only the index plus the
         tombstone write.
 
-        Reference parity: the reference's yearly COG reload deletes rows
-        absent from the new file (``import_communes.go`` full-refresh
-        semantics); this is the targeted-predicate generalization."""
+        Reference parity: none — the reference is upsert-only (``ON
+        CONFLICT DO UPDATE``, ``commune_repository.go:42-46``) and never
+        deletes; predicate deletes extend the engine beyond it (GDPR
+        erasure is table stakes for a lake serving CDC state)."""
         snap = self.snapshot()
         sv = snap["schema_version"]
         keys = snap["key_cols"]

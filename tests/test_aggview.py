@@ -386,3 +386,54 @@ def test_minmax_over_strings(spark, tmp_root):
     assert rep["mode"] == "incremental"
     got = view.read().collect()[0]
     assert (got["first_path"], got["last_path"]) == ("b", "z")
+
+
+def test_aggview_expired_before_image_falls_back_to_resync(spark, tmp_root):
+    """expire_snapshots (routine maintenance) may drop the snapshot a
+    lagging view's before-image read time-travels to; sync must fall back
+    to resync instead of raising FileNotFoundError forever (ADVICE)."""
+    source = _mk_source(spark, os.path.join(tmp_root, "srcx"))
+    source.merge(
+        _src(spark, [(i, "I", "r", f"p{i}", "py" if i % 2 else "go", i) for i in range(1, 9)]),
+        batch_id=0,
+    )
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "viewx"), ["lang"],
+        {"total_size": "size"}, num_buckets=2,
+    )
+    view.sync()
+    synced_at = view.synced_version()
+    # several more windows WITHOUT syncing the view, then expire the old
+    # snapshots — the view's from_v json is gone, its deltas are not
+    for b in range(1, 4):
+        source.merge(_src(spark, [(100 + b, "I", "r", f"q{b}", "rs", b)]), batch_id=b)
+    source.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        source.snapshot(synced_at)
+    rep = view.sync()
+    assert rep["mode"] == "resync"
+    assert _view_state(view) == _truth(source)
+    # and the view keeps advancing incrementally afterwards
+    source.merge(_src(spark, [(200, "U", "r", "p1", "go", 50)]), batch_id=9)
+    assert view.sync()["mode"] == "incremental"
+    assert _view_state(view) == _truth(source)
+
+
+def test_aggview_integer_sums_stay_exact_past_2_53(spark, tmp_root):
+    """Integer-source sums accumulate as long end-to-end: values whose
+    running total cannot be represented in a double (odd numbers near
+    2^53) must survive exactly (ADVICE: double accumulator lost exactness
+    before the final cast)."""
+    big = (1 << 53) + 1  # not representable as float64
+    source = _mk_source(spark, os.path.join(tmp_root, "srcbig"))
+    source.merge(_src(spark, [(1, "I", "r", "p1", "py", big)]), batch_id=0)
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "viewbig"), ["lang"],
+        {"total_size": "size"}, num_buckets=2,
+    )
+    view.sync()
+    source.merge(_src(spark, [(2, "I", "r", "p2", "py", 2)]), batch_id=1)
+    rep = view.sync()
+    assert rep["mode"] == "incremental"
+    [row] = view.read().collect()
+    assert row["total_size"] == big + 2  # float64 would round to 2**53 + 2 != big + 2

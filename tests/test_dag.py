@@ -549,3 +549,71 @@ def test_dag_coalesce_mode_table(spark, tmp_root):
     )
     row = jobs["commune"].table.read().collect()[0].asDict()
     assert row == {"code": "C1", "department_code": "D000", "name": "X", "population": 99}
+
+
+def test_dag_on_violation_record_advances_past_poison_window(spark, tmp_root):
+    """The gate DETECTS (post-commit), it does not prevent: with
+    on_violation='record' a poison window is logged into the
+    WindowResult and the checkpoint advances, so the stream keeps
+    flowing instead of wedging (ADVICE round-3 finding)."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            # poison: references a region that never existed
+            ("I", "department", {"code": "D001", "region_code": "NOPE", "name": "E"}),
+            # a later healthy window must still apply
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    dag = DagApplyJob(jobs, EDGES, writer_id="dag", on_violation="record")
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=3)
+    assert any(r.violations for r in results)  # poison window recorded
+    assert "NOPE" in ";".join(v for r in results for v in r.violations)
+    # the stream advanced past it: the later commune window applied
+    assert jobs["commune"].table.read().count() == 1
+    # rerun is a fenced no-op, not a re-raise
+    results2 = dag.run_incremental(log, ckpt, batch_lsns=3)
+    assert results2 == []
+    with pytest.raises(ValueError, match="halt"):
+        DagApplyJob(jobs, EDGES, on_violation="bogus")
+
+
+def test_dag_fast_and_sequential_paths_fence_each_other(spark, tmp_root, cog_events):
+    """A window applied by the fast path and replayed through the
+    sequential path (or vice versa) must fence to a no-op — the composite
+    fence ids are identical (batch_id*1024 + epoch)."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "ck.json"))
+    n = log.max_lsn() + 1
+    # window 0 via the FAST path
+    dag.run_incremental(log, ckpt, batch_lsns=n // 2 + 1, max_batches=1)
+    state_after_w0 = {r["code"]: r["name"] for r in jobs["region"].table.read().collect()}
+    # replay window 0 via the SEQUENTIAL path (fresh checkpoint, same ids)
+    dag.enable_fast_path = False
+    results = dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "ck2.json")),
+        batch_lsns=n // 2 + 1,
+    )
+    assert all(br.merge.fenced for br in results[0].tables.values())  # replayed w0
+    assert any(
+        not br.merge.fenced for br in results[1].tables.values()
+    )  # fresh w1 applies
+    dag.enable_fast_path = True
+    # final state matches the oracle regardless of the mixed paths
+    oracle = expected_cog_state(cog_events)
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+    assert state_after_w0  # sanity: window 0 did something
