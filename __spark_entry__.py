@@ -225,7 +225,10 @@ def a2_lineage_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: whitespace token count + char length per document."""
+    """Text analysis: whitespace token count + char length per document.
+    CONSOLIDATED into t2_quality_score (round 4, to fit the driver's
+    50-query correctness horizon); kept here because the local gate
+    (tools/check_contract.py) still hash-checks it via extra_queries()."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -235,7 +238,9 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality: alpha ratio, space ratio, mean token length."""
+    """Text quality + token stats per document: alpha ratio, space ratio,
+    mean token length, whitespace token count, char length (absorbs the
+    former t1_token_stats — same scan-speed column-expr family)."""
     docs = _t(spark, sf_dir, "documents")
     n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
     n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
@@ -247,6 +252,8 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.length("text") - n_space) / F.greatest(n_tok, F.lit(1)), 4).alias(
             "mean_token_len"
         ),
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
     )
 
 
@@ -1001,7 +1008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk_per_group": o1_topk_per_group,
         "cdc_final_state": cdc_final_state,
         "a2_lineage_ranges": a2_lineage_ranges,
-        "t1_token_stats": t1_token_stats,
         "t2_quality_score": t2_quality_score,
         "t3_exact_dedup": t3_exact_dedup,
         "t5_fingerprint": t5_fingerprint,
@@ -1010,8 +1016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_quality_filter": t7_quality_filter,
         "t6_bpe_tokens": t6_bpe_tokens,
         "d1_minhash_lsh_pairs": d1_minhash_lsh_pairs,
-        "d2_jaccard_pairs": d2_jaccard_pairs,
-        "d3_simhash": d3_simhash,
         "d4_lsh_verified_near_dups": d4_lsh_verified_near_dups,
         "d5_simhash_near_dups": d5_simhash_near_dups,
         "d6_cdc_chunk_dedup": d6_cdc_chunk_dedup,
@@ -1042,6 +1046,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_windowed_counts": r3_windowed_counts,
         "x1_asof_attribution": x1_asof_attribution,
         "x2_range_bucket_join": x2_range_bucket_join,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries consolidated out of the 50-entry driver contract (round 4:
+    the driver's correctness check covers exactly the first 50 entries of
+    ``queries()``, so the registry is held at 50 — every entry checked).
+    These remain implemented and HASH-CHECKED LOCALLY by
+    ``tools/check_contract.py``, which runs queries() ∪ extra_queries():
+
+    - t1_token_stats → absorbed by t2_quality_score (n_tokens/n_chars);
+    - d2_jaccard_pairs → same LSH→Jaccard pipeline as d4 at a different
+      threshold;
+    - d3_simhash → the per-doc fingerprint d5_simhash_near_dups computes
+      internally;
+    - r1_time_rollup → the (event_type, day) level of r2_rollup_hierarchy.
+    """
+    return {
+        "t1_token_stats": t1_token_stats,
+        "d2_jaccard_pairs": d2_jaccard_pairs,
+        "d3_simhash": d3_simhash,
         "r1_time_rollup": r1_time_rollup,
     }
 
@@ -1948,12 +1973,6 @@ def oracle_sql() -> dict[str, str]:
                      AS n_deletes
             FROM events GROUP BY user_id
         """,
-        "t1_token_stats": r"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
-                   length(text) AS n_chars_actual
-            FROM documents
-        """,
         "t2_quality_score": r"""
             SELECT doc_id,
                    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -1961,7 +1980,9 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^ ]', '', 'g'))
                          / greatest(length(text), 1), 4) AS space_ratio,
                    round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
-                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS mean_token_len
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS mean_token_len,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(text) AS n_chars
             FROM documents
         """,
         "t3_exact_dedup": """
@@ -2176,8 +2197,6 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END
         """,
-        "d2_jaccard_pairs": _lsh_verified_sql(threshold=0.5),
-        "d3_simhash": _simhash_sql(),
         "d5_simhash_near_dups": _simhash_pairs_sql(),
         "d6_cdc_chunk_dedup": _cdc_chunk_sql(),
         "d7_dedup_clusters": _dedup_clusters_sql(),
@@ -2382,16 +2401,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT unnest(range(20)) AS i) g
               ON e.value >= g.i * 5.0 AND e.value < g.i * 5.0 + 7.0
         """,
-        "r1_time_rollup": """
-            SELECT event_type, CAST(ts AS DATE) AS day,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
-            FROM events GROUP BY event_type, CAST(ts AS DATE)
-        """,
         "m1_media_metadata": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,
                    lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
                    sha256(text) AS sha256
             FROM documents
+        """,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracle twins for :func:`extra_queries` — the locally-checked pairs
+    consolidated out of the 50-entry driver contract (see extra_queries)."""
+    return {
+        "t1_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "d2_jaccard_pairs": _lsh_verified_sql(threshold=0.5),
+        "d3_simhash": _simhash_sql(),
+        "r1_time_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
         """,
     }

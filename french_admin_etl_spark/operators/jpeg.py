@@ -3,7 +3,9 @@
 Closes the last declared media-decode stub for the most common codec:
 baseline sequential DCT JPEGs (SOF0/SOF1), 8-bit, grayscale or YCbCr with
 any sampling factors (4:4:4, 4:2:2, 4:2:0, ...), interleaved or
-single-component scans, restart markers (DRI/RSTn), multi-segment DQT/DHT.
+MULTI-SCAN non-interleaved files (one SOS per component, with DHT/DRI
+segments allowed between scans), restart markers (DRI/RSTn),
+multi-segment DQT/DHT.
 Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
 raise ``NotImplementedError`` — per-row err isolation upstream (S9) turns
 those into dead-letter rows, same as every other codec gap.
@@ -113,12 +115,119 @@ def _extend(v: int, t: int) -> int:
     return v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
 
 
+def _split_entropy(payload: bytes, dpos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data (starting at ``dpos``) into
+    restart segments, un-stuffing 0xFF00. Returns (segments, position of
+    the marker that terminated the scan)."""
+    segs: list[bytearray] = [bytearray()]
+    j = dpos
+    n = len(payload)
+    while j < n:
+        b = payload[j]
+        if b != 0xFF:
+            segs[-1].append(b)
+            j += 1
+            continue
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            segs[-1].append(0xFF)
+            j += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytearray())
+            j += 2
+        elif nxt == 0xFF:
+            j += 1  # fill byte
+        else:
+            break  # EOI or next real marker terminates the scan
+    return [bytes(s) for s in segs], j
+
+
+def _decode_scan(payload, dpos, frame, scomps, qt, hdc, hac, dri, planes) -> int:
+    """Decode ONE scan's MCUs into ``planes`` (keyed by component id);
+    returns the payload position just past the scan's entropy data.
+    DC predictors reset at scan start and at every restart (T.81 E.2.4 /
+    F.2.1.3.1)."""
+    segs, end = _split_entropy(payload, dpos)
+    comps = frame["comps"]
+    w, hgt = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: c for c in comps}
+    interleaved = len(scomps) > 1
+    if interleaved:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-hgt // (8 * vmax))
+        units = [(by_id[s["id"]], s, by_id[s["id"]]["h"], by_id[s["id"]]["v"]) for s in scomps]
+    else:
+        # non-interleaved: the scan's "MCU" is a single block of this
+        # component, raster over the component's own block grid (T.81
+        # A.2.2). The MCU-grid plane allocation always covers it (the
+        # component block count never exceeds its MCU-grid padding).
+        c = by_id[scomps[0]["id"]]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(hgt * c["v"]) // vmax)
+        mcus_x = -(-cw // 8)
+        mcus_y = -(-ch // 8)
+        units = [(c, scomps[0], 1, 1)]
+
+    pred = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    bits = _Bits(segs[0])
+    total = mcus_x * mcus_y
+    for mi in range(total):
+        if dri and mi and mi % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            bits = _Bits(segs[seg_i])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mi, mcus_x)
+        for c, s, hu, vu in units:
+            q = qt[c["tq"]]
+            dct = hdc[s["td"]]
+            act = hac[s["ta"]]
+            for v in range(vu):
+                for hh in range(hu):
+                    zig = np.zeros(64)
+                    t = bits.huff(dct)
+                    pred[c["id"]] += _extend(bits.read(t), t)
+                    zig[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = bits.huff(act)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overrun")
+                        zig[k] = _extend(bits.read(sz), sz)
+                        k += 1
+                    nat = np.zeros(64)
+                    nat[ZIGZAG] = zig
+                    px = _idct2(nat.reshape(8, 8) * q) + 128.0
+                    y0 = (my * vu + v) * 8
+                    x0 = (mx * hu + hh) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    return end
+
+
 def decode_jpeg(payload: bytes):
     """Decode a baseline JPEG → (width, height, [component planes]).
 
     Planes are float64 arrays in [0, 255] at each component's CODED
     resolution (chroma stays subsampled — callers upsample if they need
-    RGB; the gray path needs only plane 0)."""
+    RGB; the gray path needs only plane 0).
+
+    Handles MULTIPLE scans: a baseline file may code its components as
+    one interleaved scan OR as one scan per component (plus new DHT/DRI
+    segments between scans) — the loop decodes every SOS until EOI, and
+    a component no scan covered raises instead of silently returning an
+    all-zero plane (reviewer finding: the old single-SOS parse fabricated
+    zero chroma for non-interleaved color files)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -127,17 +236,22 @@ def decode_jpeg(payload: bytes):
     frame = None
     dri = 0
     i = 2
-    scan = None
-    while i + 4 <= len(payload):
+    planes: dict[int, np.ndarray] = {}
+    covered: set[int] = set()
+    while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"marker sync lost at {i}")
         m = payload[i + 1]
         if m == 0xFF:  # fill byte before a marker
             i += 1
             continue
+        if m == 0xD9:  # EOI
+            break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:  # TEM / stray RST
             i += 2
             continue
+        if i + 4 > len(payload):
+            break  # truncated trailing marker
         ln = int.from_bytes(payload[i + 2 : i + 4], "big")
         seg = payload[i + 4 : i + 2 + ln]
         i += 2 + ln
@@ -178,108 +292,38 @@ def decode_jpeg(payload: bytes):
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
             frame = {"w": w, "h": h, "comps": comps}
+            # allocate every component's plane at its MCU-grid padding —
+            # covers both interleaved and per-component scan geometry
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                planes[c["id"]] = np.zeros(
+                    ((-(-h // (8 * vmax))) * c["v"] * 8, (-(-w // (8 * hmax))) * c["h"] * 8)
+                )
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker 0x{m:02x} (not baseline)")
         elif m == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scomps = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scomps.append({"id": cid, "td": tt >> 4, "ta": tt & 15})
-            scan = (scomps, i)
-            break
+            i = _decode_scan(payload, i, frame, scomps, qt, hdc, hac, dri, planes)
+            covered.update(s["id"] for s in scomps)
         # APPn / COM / others: skipped via their length
-    if frame is None or scan is None:
+    if frame is None or not covered:
         raise ValueError("JPEG missing SOF/SOS")
-    scomps, dpos = scan
-
-    # split entropy-coded data into restart segments, un-stuffing 0xFF00
-    segs: list[bytearray] = [bytearray()]
-    j = dpos
-    n = len(payload)
-    while j < n:
-        b = payload[j]
-        if b != 0xFF:
-            segs[-1].append(b)
-            j += 1
-            continue
-        nxt = payload[j + 1] if j + 1 < n else 0xD9
-        if nxt == 0x00:
-            segs[-1].append(0xFF)
-            j += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segs.append(bytearray())
-            j += 2
-        elif nxt == 0xFF:
-            j += 1  # fill byte
-        else:
-            break  # EOI or next real marker
-
+    missing = [c["id"] for c in frame["comps"] if c["id"] not in covered]
+    if missing:
+        raise ValueError(f"no scan covered component id(s) {missing} (truncated file)")
     comps = frame["comps"]
     w, hgt = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    by_id = {c["id"]: c for c in comps}
-    interleaved = len(scomps) > 1
-    if interleaved:
-        mcus_x = -(-w // (8 * hmax))
-        mcus_y = -(-hgt // (8 * vmax))
-        units = [(by_id[s["id"]], s, by_id[s["id"]]["h"], by_id[s["id"]]["v"]) for s in scomps]
-    else:
-        c = by_id[scomps[0]["id"]]
-        cw = -(-(w * c["h"]) // hmax)
-        ch = -(-(hgt * c["v"]) // vmax)
-        mcus_x = -(-cw // 8)
-        mcus_y = -(-ch // 8)
-        units = [(c, scomps[0], 1, 1)]
-    planes = {}
-    for c, _s, hu, vu in units:
-        planes[c["id"]] = np.zeros((mcus_y * vu * 8, mcus_x * hu * 8))
-
-    pred = {c["id"]: 0 for c in comps}
-    seg_i = 0
-    bits = _Bits(bytes(segs[0]))
-    total = mcus_x * mcus_y
-    for mi in range(total):
-        if dri and mi and mi % dri == 0:
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise ValueError("missing restart segment")
-            bits = _Bits(bytes(segs[seg_i]))
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mi, mcus_x)
-        for c, s, hu, vu in units:
-            q = qt[c["tq"]]
-            dct = hdc[s["td"]]
-            act = hac[s["ta"]]
-            for v in range(vu):
-                for hh in range(hu):
-                    zig = np.zeros(64)
-                    t = bits.huff(dct)
-                    pred[c["id"]] += _extend(bits.read(t), t)
-                    zig[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = bits.huff(act)
-                        r, sz = rs >> 4, rs & 15
-                        if sz == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC index overrun")
-                        zig[k] = _extend(bits.read(sz), sz)
-                        k += 1
-                    nat = np.zeros(64)
-                    nat[ZIGZAG] = zig
-                    px = _idct2(nat.reshape(8, 8) * q) + 128.0
-                    y0 = (my * vu + v) * 8
-                    x0 = (mx * hu + hh) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
     out = []
     for c in comps:
         cw = -(-(w * c["h"]) // hmax)

@@ -244,8 +244,11 @@ class DagApplyJob:
                 for name in self.order
                 if name in present
             )
+            gate_buckets: dict[str, list[int]] = {}
             if fast:
-                self._apply_window_fast(window, present, ops, batch_id, ns, res, typed)
+                self._apply_window_fast(
+                    window, present, ops, batch_id, ns, res, typed, gate_buckets
+                )
             else:
                 for name in self.order:
                     if name not in present:
@@ -259,7 +262,7 @@ class DagApplyJob:
                     )
             if self.fk_check:
                 try:
-                    self._check_window(typed, ops)
+                    self._check_window(typed, ops, gate_buckets)
                 except FKViolation as exc:
                     if self.on_violation == "halt":
                         raise
@@ -278,6 +281,7 @@ class DagApplyJob:
         ns: str,
         res: WindowResult,
         typed: dict[str, DataFrame],
+        gate_buckets: dict[str, list[int]] | None = None,
     ) -> None:
         """SCHEMA-free MOR window: stage concurrently, commit in FK order.
 
@@ -375,6 +379,15 @@ class DagApplyJob:
                 stats = MergeStats(fid, job.table.snapshot()["version"], 0, 0, 0)
             else:
                 stats = job.table._mor_commit(st, fid, None, fence_key)
+                if (
+                    gate_buckets is not None
+                    and job.table.snapshot()["num_buckets"] == st["nb"]
+                ):
+                    # the staged buckets ARE the buckets the window's keys
+                    # hash to — the FK gate prunes its child probe to them
+                    # (skipped when a racing rebucket restaged the commit:
+                    # the stage-time bucket list would be the old layout)
+                    gate_buckets[name] = sorted({g["bucket"] for g in st["groups"]})
             wall_ms = int((walls[name] + time.monotonic() - t0) * 1000)
             if n_rej[name] and job.dead_letter_dir:
                 rejects[name].withColumn("batch_id", F.lit(batch_id)).write.mode(
@@ -387,7 +400,10 @@ class DagApplyJob:
             )
 
     def _check_window(
-        self, typed: dict[str, DataFrame], ops: dict[tuple[str, str], int] | None = None
+        self,
+        typed: dict[str, DataFrame],
+        ops: dict[tuple[str, str], int] | None = None,
+        gate_buckets: dict[str, list[int]] | None = None,
     ) -> None:
         """Referential gate scoped to THIS window's events, fused into ONE
         Spark job: every applicable edge leg contributes a ≤5-row tagged
@@ -421,16 +437,30 @@ class DagApplyJob:
             child_job, parent_job = self.jobs[e.child], self.jobs[e.parent]
             if e.child in typed and has(e.child, "I", "U"):
                 # the child's live rows for the keys this window touched,
-                # against the parent's post-window state. O(window):
-                # touched keys broadcast into a semi-join probe.
+                # against the parent's post-window state. O(window) twice
+                # over: the probe reads only the buckets the window staged
+                # into (``gate_buckets``), and the touched keys are pushed
+                # BELOW the MOR resolution aggregate (``key_filter``), so
+                # the resolution shuffle moves the touched keys' physical
+                # rows, never the whole child table.
                 touched = (
                     typed[e.child]
                     .filter(F.col("op").isin("I", "U"))
                     .select(*child_job.keys)
                     .distinct()
                 )
-                live = child_job.table.read().join(
-                    F.broadcast(touched), child_job.keys, "left_semi"
+                csnap = child_job.table.snapshot()
+                lcols = [
+                    f["name"]
+                    for f in csnap["schemas"][str(csnap["schema_version"])]["fields"]
+                ]
+                live = (
+                    child_job.table.read_raw(
+                        buckets=(gate_buckets or {}).get(e.child),
+                        key_filter=F.broadcast(touched),
+                    )
+                    .filter(~F.col("_deleted"))
+                    .select(*lcols)
                 )
                 refs = live.filter(F.col(e.fk_col).isNotNull())
                 legs.append(

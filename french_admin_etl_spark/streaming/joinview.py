@@ -4,10 +4,11 @@
 ON l.fk = r.key`` continuously up-to-date as BOTH sides change — the
 dimension-enrichment half of materialized-view maintenance (Materialize
 delta joins / Flink temporal joins), and the reference's own enrichment
-shape: communes are loaded with their department/region attributes
-denormalized onto them (``internal/usecases/import_communes.go`` resolves
-each commune's department before insert). Here that lookup is a TABLE
-kept fresh by CDC instead of a per-import join.
+shape: communes are stored with their department AND region codes
+denormalized onto the row (``internal/infrastructure/repository/
+commune_repository.go:40-46`` upserts code_insee_departement and
+code_insee_region beside each commune). Here that enrichment is a TABLE
+kept fresh by CDC instead of a per-import denormalized write.
 
 Maintenance is O(changed keys + dimension fan-out), never O(left table):
 
@@ -196,12 +197,16 @@ class JoinView:
 
         lkeys = self.left.snapshot()["key_cols"]
         fks = [lc for lc, _ in self.on]
+        # ONE maintenance scan: the left window's changed keys (with their
+        # delete flag) and the dimension fan-out probe union into a single
+        # per-key frame that is checkpointed ONCE — previously the left
+        # window and the affected-key union were two separate checkpoint
+        # jobs (round-3 verdict: per-sync fixed cost is the bench's only
+        # amortize-not-shrink number). The bucket/delete summary is then a
+        # trivial aggregate over the already-materialized partitions.
         key_parts = []
-        deletes = None
         if dl is not None:
-            dl = dl.localCheckpoint(eager=True)
-            key_parts.append(dl.filter(~F.col("_deleted")).select(*lkeys))
-            deletes = dl.filter(F.col("_deleted")).select(*lkeys)
+            key_parts.append(dl.select(*lkeys, F.col("_deleted")))
         if dr is not None:
             # fan-out probe: left keys referencing a changed dimension key.
             # changes() is per-key deduped, so cr is O(window) — broadcast.
@@ -218,22 +223,37 @@ class JoinView:
                 c = F.col(lc) == F.col(f"_c_{rc}")
                 cond = c if cond is None else (cond & c)
             key_parts.append(
-                probe.join(F.broadcast(cr), on=cond, how="left_semi").select(*lkeys)
+                probe.join(F.broadcast(cr), on=cond, how="left_semi")
+                .select(*lkeys)
+                .withColumn("_deleted", F.lit(False))
             )
-        affected = key_parts[0]
+        changed = key_parts[0]
         for p in key_parts[1:]:
-            affected = affected.unionByName(p)
-        affected = affected.distinct().localCheckpoint(eager=True)
+            changed = changed.unionByName(p)
+        # one row per key. A key deleted in the left window cannot also be
+        # a live fan-out hit (the probe reads live rows / a synced index),
+        # but max() keeps the fold safe either way: delete wins.
+        changed = (
+            changed.groupBy(*lkeys)
+            .agg(F.max("_deleted").alias("_deleted"))
+            .localCheckpoint(eager=True)
+        )
 
         # bucket-restricted read of the affected left rows (≤ num_buckets
-        # ints through the driver — the COW-merge bounded collect)
+        # ints through the driver — the COW-merge bounded collect); reads
+        # the checkpointed partitions, no lineage recompute
         nb = self.left.snapshot(to_l)["num_buckets"]
-        touched = sorted(
-            r[0]
-            for r in affected.select(_bucket_expr(lkeys, nb).alias("_b"))
-            .distinct()
+        summary = (
+            changed.groupBy(
+                F.when(~F.col("_deleted"), _bucket_expr(lkeys, nb)).alias("_b")
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
         )
+        touched = sorted(r["_b"] for r in summary if r["_b"] is not None)
+        n_dels = sum(r["_n"] for r in summary if r["_b"] is None)
+        affected = changed.filter(~F.col("_deleted")).select(*lkeys)
+        deletes = changed.filter(F.col("_deleted")).select(*lkeys) if n_dels else None
         seq = to_l + to_r
         parts = []
         if touched:

@@ -338,6 +338,7 @@ class LakeTable:
         file_pruner=None,
         group_pruner=None,
         snapshot_dict: dict | None = None,
+        key_filter: DataFrame | None = None,
     ) -> DataFrame:
         """All physical rows (incl. tombstones + internal cols), optionally
         pruned to a bucket subset (the MERGE fast path).
@@ -366,7 +367,17 @@ class LakeTable:
 
         ``snapshot_dict`` substitutes a synthetic snapshot (a branch's
         parent + staged groups) for the stored chain — the WAP audit
-        read path."""
+        read path.
+
+        ``key_filter`` — a frame containing (at least) the table's key
+        columns; rows are LEFT-SEMI filtered to those keys BEFORE the MOR
+        resolution aggregate, so the resolution shuffle moves only the
+        requested keys' physical rows instead of the whole bucket
+        (resolution is per-key, and every physical row of a kept key
+        survives the semi join, so resolved values are unchanged — the
+        same pre-resolution-pruning rationale as ``buckets``). Wrap the
+        filter in ``F.broadcast`` when it is window-sized; callers doing
+        a post-read join on keys should pass it here instead."""
         snap = snapshot_dict if snapshot_dict is not None else self.snapshot(version)
         cur_v = snap["schema_version"]
         groups = snap["file_groups"]
@@ -412,6 +423,10 @@ class LakeTable:
         # column order normalized to current schema
         cols = [f.name for f in phys_cur.fields]
         out = out.select(*cols, "_cseq", "_sub", "_coal")
+        if key_filter is not None:
+            kcols = snap["key_cols"]
+            kf = key_filter if key_filter.columns == kcols else key_filter.select(*kcols)
+            out = out.join(kf, kcols, "left_semi")  # semi join: dups on the right are free
         if resolve and snap["properties"].get("resolution") == "additive":
             # additive tables (incremental aggregate views): every physical
             # row is an increment; resolution = a combinable aggregate per

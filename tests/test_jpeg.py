@@ -294,3 +294,119 @@ def test_jpeg_flows_through_feature_pipeline(spark):
     f2 = np.array(got[2]["feature"])
     assert f1.shape == f2.shape and np.max(np.abs(f1 - f2)) <= 3.0
     assert got[3]["err"] is not None  # corrupt row dead-letters, batch survives
+
+
+def encode_jpeg_per_component(planes, w, h, factors, qt_of, qtabs):
+    """Non-interleaved encoder variant: one SOS per component, each scan
+    rastering its component's OWN block grid, DC predictor reset per scan
+    (T.81 A.2.2) — the multi-scan baseline shape decode_jpeg must handle."""
+    nc = len(planes)
+    # tokenize each component independently
+    per_comp_toks = []
+    for i in range(nc):
+        p = planes[i]
+        bh, bw_ = -(-p.shape[0] // 8), -(-p.shape[1] // 8)
+        padded = _pad_blocks(p, bh, bw_)
+        toks = []
+        pred = 0
+        q = qtabs[qt_of[i]]
+        for bi in range(bh * bw_):
+            by, bx = divmod(bi, bw_)
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            x = C @ (blk - 128.0) @ C.T
+            qzig = _zig(np.round(x / q).astype(np.int64).reshape(64).copy())
+            t, dc = _block_tokens(qzig, pred)
+            pred = dc
+            toks.append(t)
+        per_comp_toks.append(toks)
+
+    used = {("dc", 0): [], ("ac", 0): [], ("dc", 1): [], ("ac", 1): []}
+    for i, toks in enumerate(per_comp_toks):
+        tid = 0 if i == 0 else 1
+        for blk in toks:
+            for cls, sym, _mb, _nb in blk:
+                used[(cls, tid)].append(sym)
+    tables = {k: _canonical(v) for k, v in used.items() if v}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    for tid, q in qtabs.items():
+        qz = q.reshape(64)[ZIGZAG].astype(int)
+        seg(0xDB, bytes([tid]) + bytes(int(x) for x in qz))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], qt_of[i]])
+    seg(0xC0, sof)
+    for (cls, tid), (counts, syms, _codes) in sorted(tables.items()):
+        tc = 0 if cls == "dc" else 1
+        seg(0xC4, bytes([(tc << 4) | tid]) + bytes(counts) + bytes(syms))
+    for i in range(nc):  # one scan per component
+        tid = 0 if i == 0 else 1
+        seg(0xDA, bytes([1, i + 1, (tid << 4) | tid, 0, 63, 0]))
+        bw = _BitWriter()
+        for blk in per_comp_toks[i]:
+            for cls, sym, mb, nb in blk:
+                code, ln = tables[(cls, tid)][2][sym]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(mb, nb)
+        bw.align()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_multi_scan_non_interleaved_color_decodes_all_planes():
+    """A baseline color file coded as one scan PER COMPONENT must decode
+    every plane (ADVICE: the single-SOS parse returned zero chroma). The
+    result must equal the interleaved encoding of the same source within
+    quantization error, and chroma must be genuinely non-zero."""
+    y, cb, cr = _img(16, 16, 1), _img(16, 16, 2), _img(16, 16, 3)
+    q = {0: np.full((8, 8), 8.0), 1: np.full((8, 8), 12.0)}
+    multi = encode_jpeg_per_component([y, cb, cr], 16, 16, [(1, 1)] * 3, [0, 1, 1], q)
+    w, h, planes = decode_jpeg(multi)
+    assert (w, h) == (16, 16) and [p.shape for p in planes] == [(16, 16)] * 3
+    for p, src, qv in zip(planes, (y, cb, cr), (8.0, 12.0, 12.0)):
+        rmse = float(np.sqrt(np.mean((p - src) ** 2)))
+        assert rmse <= qv / 2 + 0.5, rmse
+    assert float(np.mean(planes[1])) > 10.0  # chroma is real, not zeros
+    # interleaved vs multi-scan: same source, same tables family → planes
+    # agree bit-for-bit is not required, but must agree to quant error
+    inter = encode_jpeg([y, cb, cr], 16, 16, [(1, 1)] * 3, [0, 1, 1], q)
+    _, _, ip = decode_jpeg(inter)
+    for a, b in zip(planes, ip):
+        assert float(np.max(np.abs(a - b))) <= 1e-6  # same quantized coefficients
+
+
+def test_multi_scan_subsampled_and_odd_dims():
+    """Per-component scans with 4:2:0 subsampling and non-multiple-of-MCU
+    dims: the single-component scan rasters its own block grid, which is
+    smaller than the MCU grid — geometry must still line up."""
+    yp = _img(24, 36, 6)
+    cbp, crp = _img(12, 18, 7), _img(12, 18, 8)
+    q = {0: np.ones((8, 8)), 1: np.ones((8, 8))}
+    multi = encode_jpeg_per_component(
+        [yp, cbp, crp], 36, 24, [(2, 2), (1, 1), (1, 1)], [0, 1, 1], q
+    )
+    w, h, planes = decode_jpeg(multi)
+    assert (w, h) == (36, 24)
+    assert planes[0].shape == (24, 36) and planes[1].shape == (12, 18)
+    for p, src in zip(planes, (yp, cbp, crp)):
+        assert float(np.max(np.abs(p - src))) <= 2.0
+
+
+def test_component_missing_scan_raises():
+    """A color file whose trailing chroma scans were truncated away must
+    raise, not return fabricated zero planes."""
+    y, cb, cr = _img(16, 16, 1), _img(16, 16, 2), _img(16, 16, 3)
+    q = {0: np.ones((8, 8)), 1: np.ones((8, 8))}
+    multi = encode_jpeg_per_component([y, cb, cr], 16, 16, [(1, 1)] * 3, [0, 1, 1], q)
+    # cut right after the FIRST scan's entropy data: find the 2nd SOS
+    first_sos = multi.index(b"\xff\xda")
+    second_sos = multi.index(b"\xff\xda", first_sos + 2)
+    truncated = multi[:second_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no scan covered"):
+        decode_jpeg(truncated)

@@ -67,8 +67,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # the driver checks queries(); locally we ALSO hash-check the pairs
+    # consolidated out of the 50-entry contract (extra_queries)
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
