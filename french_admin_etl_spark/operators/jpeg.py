@@ -5,9 +5,13 @@ baseline sequential DCT JPEGs (SOF0/SOF1), 8-bit, grayscale or YCbCr with
 any sampling factors (4:4:4, 4:2:2, 4:2:0, ...), interleaved or
 MULTI-SCAN non-interleaved files (one SOS per component, with DHT/DRI
 segments allowed between scans), restart markers (DRI/RSTn),
-multi-segment DQT/DHT.
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
-raise ``NotImplementedError`` — per-row err isolation upstream (S9) turns
+multi-segment DQT/DHT — and PROGRESSIVE (SOF2) files (round 4): spectral
+selection, successive approximation (DC arithmetic-shift + AC
+magnitude-shift refinement passes), EOB run-lengths, per T.81 annex G;
+coefficients accumulate across scans and the IDCT runs once at EOI, so a
+complete progressive file decodes exactly like its sequential twin.
+Arithmetic coding, 12-bit, lossless, and hierarchical modes raise
+``NotImplementedError`` — per-row err isolation upstream (S9) turns
 those into dead-letter rows, same as every other codec gap.
 
 The decode pipeline is the textbook one (ITU-T T.81):
@@ -215,8 +219,168 @@ def _decode_scan(payload, dpos, frame, scomps, qt, hdc, hac, dri, planes) -> int
     return end
 
 
+def _decode_scan_progressive(
+    payload, dpos, frame, scomps, hdc, hac, dri, coefs, Ss, Se, Ah, Al
+) -> int:
+    """Decode ONE progressive scan (T.81 annex G decoding procedures)
+    into the per-component COEFFICIENT arrays ``coefs`` (zigzag-indexed,
+    accumulated across scans; IDCT happens once at EOI). Returns the
+    payload position just past the scan's entropy data.
+
+    Shapes handled: DC first/refinement scans (interleaved or single
+    component; arithmetic-shift successive approximation), AC
+    first/refinement scans (single component only, per G.1.1.1.1;
+    magnitude-shift successive approximation, EOB run-lengths across
+    blocks). Restart markers reset DC predictors AND the EOB run."""
+    segs, end = _split_entropy(payload, dpos)
+    comps = frame["comps"]
+    w, hgt = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: c for c in comps}
+    p1 = 1 << Al
+    m1 = -(1 << Al)
+
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        interleaved = len(scomps) > 1
+        if interleaved:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-hgt // (8 * vmax))
+            units = [
+                (by_id[s["id"]], s, by_id[s["id"]]["h"], by_id[s["id"]]["v"])
+                for s in scomps
+            ]
+        else:
+            c = by_id[scomps[0]["id"]]
+            cw = -(-(w * c["h"]) // hmax)
+            ch = -(-(hgt * c["v"]) // vmax)
+            mcus_x = -(-cw // 8)
+            mcus_y = -(-ch // 8)
+            units = [(c, scomps[0], 1, 1)]
+        pred = {c["id"]: 0 for c in comps}
+        seg_i = 0
+        bits = _Bits(segs[0])
+        for mi in range(mcus_x * mcus_y):
+            if dri and mi and mi % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart segment")
+                bits = _Bits(segs[seg_i])
+                pred = {c["id"]: 0 for c in comps}
+            my, mx = divmod(mi, mcus_x)
+            for c, s, hu, vu in units:
+                blocks = coefs[c["id"]]
+                for v in range(vu):
+                    for hh in range(hu):
+                        bY, bX = my * vu + v, mx * hu + hh
+                        if Ah == 0:  # DC first: diff-decode, value << Al
+                            t = bits.huff(hdc[s["td"]])
+                            pred[c["id"]] += _extend(bits.read(t), t)
+                            blocks[bY, bX, 0] = pred[c["id"]] << Al
+                        else:  # DC refinement: append bit Al (two's-compl OR)
+                            if bits.read(1):
+                                blocks[bY, bX, 0] |= p1
+        return end
+
+    # ---- AC scan: exactly one component, block-raster over its grid
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component (G.1.1.1.1)")
+    c = by_id[scomps[0]["id"]]
+    act = hac[scomps[0]["ta"]]
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(hgt * c["v"]) // vmax)
+    bxs = -(-cw // 8)
+    bys = -(-ch // 8)
+    blocks = coefs[c["id"]]
+    seg_i = 0
+    bits = _Bits(segs[0])
+    eobrun = 0
+    for bi in range(bxs * bys):
+        if dri and bi and bi % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            bits = _Bits(segs[seg_i])
+            eobrun = 0
+        bY, bX = divmod(bi, bxs)
+        coef = blocks[bY, bX]
+        if Ah == 0:  # AC first pass (G: value = sign * (|v| >> Al), sent << Al)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = bits.huff(act)
+                r, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if r == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits.read(r)
+                    break
+                k += r
+                if k > Se:
+                    raise ValueError("AC index overrun in progressive scan")
+                coef[k] = _extend(bits.read(sz), sz) << Al
+                k += 1
+        else:  # AC refinement (the IJG decode_mcu_AC_refine structure)
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = bits.huff(act)
+                    r, sz = rs >> 4, rs & 15
+                    newval = 0
+                    if sz == 0:
+                        if r != 15:  # EOBn: run of blocks, corrections still read
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.read(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if sz != 1:
+                            raise ValueError("bad AC refinement symbol")
+                        newval = p1 if bits.read(1) else m1
+                    while k <= Se:
+                        if coef[k] != 0:
+                            # correction bit for an already-nonzero coeff
+                            if bits.read(1) and (abs(coef[k]) & p1) == 0:
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= Se:
+                        coef[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:  # corrections through the rest of the band
+                    if coef[k] != 0:
+                        if bits.read(1) and (abs(coef[k]) & p1) == 0:
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+    return end
+
+
+def _idct_all(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequantize + de-zigzag + IDCT a (by, bx, 64) zigzag-coefficient
+    array into a (by*8, bx*8) pixel plane (vectorized over blocks)."""
+    by, bx, _ = coefs.shape
+    nat = np.zeros((by, bx, 64))
+    nat[:, :, ZIGZAG] = coefs
+    blocks = nat.reshape(by, bx, 8, 8) * q
+    px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+    return px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
 def decode_jpeg(payload: bytes):
-    """Decode a baseline JPEG → (width, height, [component planes]).
+    """Decode a baseline OR progressive JPEG → (width, height, [planes]).
 
     Planes are float64 arrays in [0, 255] at each component's CODED
     resolution (chroma stays subsampled — callers upsample if they need
@@ -227,7 +391,17 @@ def decode_jpeg(payload: bytes):
     segments between scans) — the loop decodes every SOS until EOI, and
     a component no scan covered raises instead of silently returning an
     all-zero plane (reviewer finding: the old single-SOS parse fabricated
-    zero chroma for non-interleaved color files)."""
+    zero chroma for non-interleaved color files).
+
+    PROGRESSIVE (SOF2) files decode too (round 4 — closes the last
+    common codec seam): scans accumulate zigzag coefficients per block
+    (spectral selection Ss..Se, successive approximation Ah/Al, EOB
+    run-lengths, DC/AC refinement passes per T.81 annex G), and the IDCT
+    runs once at EOI over the final coefficients — so a fully-received
+    progressive file decodes EXACTLY like its sequential twin. Coverage
+    rule for progressive: every component needs a DC scan (AC-less
+    previews are legal); arithmetic coding, 12-bit, and hierarchical
+    modes still raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -237,6 +411,7 @@ def decode_jpeg(payload: bytes):
     dri = 0
     i = 2
     planes: dict[int, np.ndarray] = {}
+    coefs: dict[int, np.ndarray] = {}
     covered: set[int] = set()
     while i + 2 <= len(payload):
         if payload[i] != 0xFF:
@@ -278,7 +453,7 @@ def decode_jpeg(payload: bytes):
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (hdc if tc == 0 else hac)[th] = huff_table(counts, vals)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -291,17 +466,24 @@ def decode_jpeg(payload: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-            # allocate every component's plane at its MCU-grid padding —
-            # covers both interleaved and per-component scan geometry
+            frame = {"w": w, "h": h, "comps": comps, "progressive": m == 0xC2}
+            # allocate at MCU-grid padding — covers both interleaved and
+            # per-component scan geometry
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             for c in comps:
-                planes[c["id"]] = np.zeros(
-                    ((-(-h // (8 * vmax))) * c["v"] * 8, (-(-w // (8 * hmax))) * c["h"] * 8)
-                )
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"JPEG SOF marker 0x{m:02x} (not baseline)")
+                by = (-(-h // (8 * vmax))) * c["v"]
+                bx = (-(-w // (8 * hmax))) * c["h"]
+                if frame["progressive"]:
+                    # progressive accumulates COEFFICIENTS across scans;
+                    # pixels materialize once at EOI
+                    coefs[c["id"]] = np.zeros((by, bx, 64), dtype=np.int64)
+                else:
+                    planes[c["id"]] = np.zeros((by * 8, bx * 8))
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{m:02x} (lossless/arithmetic/hierarchical)"
+            )
         elif m == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows the header
@@ -312,14 +494,28 @@ def decode_jpeg(payload: bytes):
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scomps.append({"id": cid, "td": tt >> 4, "ta": tt & 15})
-            i = _decode_scan(payload, i, frame, scomps, qt, hdc, hac, dri, planes)
-            covered.update(s["id"] for s in scomps)
+            if frame["progressive"]:
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                i = _decode_scan_progressive(
+                    payload, i, frame, scomps, hdc, hac, dri, coefs,
+                    ss, se, ahal >> 4, ahal & 15,
+                )
+                if ss == 0:  # DC coverage is what makes a component decodable
+                    covered.update(s["id"] for s in scomps)
+            else:
+                i = _decode_scan(payload, i, frame, scomps, qt, hdc, hac, dri, planes)
+                covered.update(s["id"] for s in scomps)
         # APPn / COM / others: skipped via their length
     if frame is None or not covered:
         raise ValueError("JPEG missing SOF/SOS")
     missing = [c["id"] for c in frame["comps"] if c["id"] not in covered]
     if missing:
         raise ValueError(f"no scan covered component id(s) {missing} (truncated file)")
+    if frame["progressive"]:
+        # all scans received: dequantize + IDCT the accumulated
+        # coefficients once (vectorized over blocks)
+        for c in frame["comps"]:
+            planes[c["id"]] = _idct_all(coefs[c["id"]], qt[c["tq"]])
     comps = frame["comps"]
     w, hgt = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)

@@ -9,15 +9,18 @@ delineated (this container has no PIL/ffmpeg):
   (PPM ``P6`` / PGM ``P5`` headers + numpy reshape; 24-bit uncompressed
   ``BM`` bitmaps incl. bottom-up row order and 4-byte row padding),
   **PNG** (stdlib ``zlib`` inflate + all five scanline filters, 8-bit
-  gray/RGB/GA/RGBA non-interlaced), **baseline JPEG** (from-scratch
-  Huffman + dequant + IDCT in ``operators/jpeg.py``: SOF0/SOF1, any
-  chroma sampling, restart markers; round-trip tested against a
-  from-scratch encoder), and PCM WAV audio (stdlib ``wave``). Real
-  nearest-neighbor RESIZE to an 8×8 grayscale thumbnail is the image
-  feature; per-segment RMS energy is the audio feature. Rows whose
-  codec still needs an external library (progressive JPEG, MP3/…) get
-  a per-row ``err`` instead of failing the batch — the engine's S9
-  dead-letter philosophy applied to media.
+  gray/RGB/GA/RGBA non-interlaced), **baseline AND progressive JPEG**
+  (from-scratch Huffman + dequant + IDCT in ``operators/jpeg.py``:
+  SOF0/SOF1/SOF2, any chroma sampling, restart markers, multi-scan
+  non-interleaved files, spectral selection + successive approximation;
+  round-trip tested against from-scratch sequential AND progressive
+  encoders — round 4 closed the progressive seam), and PCM WAV audio
+  (stdlib ``wave``). Real nearest-neighbor RESIZE to an 8×8 grayscale
+  thumbnail is the image feature; per-segment RMS energy is the audio
+  feature. Rows whose codec still needs an external library
+  (arithmetic-coded/12-bit/lossless JPEG, MP3/…) get a per-row ``err``
+  instead of failing the batch — the engine's S9 dead-letter philosophy
+  applied to media.
 - **STUBBED**: compressed codecs and video frame iteration
   (``decode_stub=True`` swaps in a deterministic fake so the pipeline
   shape is exercised end-to-end; the real-video seam raises

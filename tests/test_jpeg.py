@@ -254,12 +254,18 @@ def test_restart_markers_change_nothing():
     assert np.array_equal(a, b)
 
 
-def test_progressive_and_garbage_rejected():
+def test_unsupported_modes_and_garbage_rejected():
     img = _img(8, 8)
     payload = bytearray(encode_jpeg([img], 8, 8, [(1, 1)], [0], {0: np.ones((8, 8))}))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    payload[i + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless): still unsupported
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # SOF0 → SOF2 marker alone makes a MALFORMED progressive file (its one
+    # scan is a baseline Ss=0..Se=63 interleave, illegal for progressive
+    # DC) — rejected loudly, never mis-decoded
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
@@ -410,3 +416,312 @@ def test_component_missing_scan_raises():
     truncated = multi[:second_sos] + b"\xff\xd9"
     with pytest.raises(ValueError, match="no scan covered"):
         decode_jpeg(truncated)
+
+
+# ------------------------------------------------------ progressive encoder
+
+
+def _quantize_blocks(planes, w, h, factors, qt_of, qtabs):
+    """Per-component MCU-grid-padded quantized zigzag blocks (int64[by,bx,64])."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    out = []
+    for i, (hu, vu) in enumerate(factors):
+        by, bx = mcus_y * vu, mcus_x * hu
+        padded = _pad_blocks(planes[i], by, bx)
+        q = qtabs[qt_of[i]]
+        arr = np.empty((by, bx, 64), dtype=np.int64)
+        for yy in range(by):
+            for xx in range(bx):
+                blk = padded[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8]
+                x = C @ (blk - 128.0) @ C.T
+                arr[yy, xx] = _zig(np.round(x / q).astype(np.int64).reshape(64).copy())
+        out.append(arr)
+    return out, mcus_x, mcus_y
+
+
+def _scan_ops_dc_first(qblocks, comps, factors, mcus_x, mcus_y, al):
+    ops, pred = [], {i: 0 for i in comps}
+    for mi in range(mcus_x * mcus_y):
+        my, mx = divmod(mi, mcus_x)
+        for i in comps:
+            hu, vu = factors[i]
+            for v in range(vu):
+                for hh in range(hu):
+                    shifted = int(qblocks[i][my * vu + v, mx * hu + hh, 0]) >> al
+                    diff = shifted - pred[i]
+                    pred[i] = shifted
+                    t = _cat(diff)
+                    ops.append(("h", t, _mag(diff, t), t))
+    return ops
+
+
+def _scan_ops_dc_refine(qblocks, comps, factors, mcus_x, mcus_y, al):
+    ops = []
+    for mi in range(mcus_x * mcus_y):
+        my, mx = divmod(mi, mcus_x)
+        for i in comps:
+            hu, vu = factors[i]
+            for v in range(vu):
+                for hh in range(hu):
+                    ops.append(
+                        ("b", (int(qblocks[i][my * vu + v, mx * hu + hh, 0]) >> al) & 1, 1)
+                    )
+    return ops
+
+
+def _comp_grid(i, w, h, factors):
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    cw = -(-(w * factors[i][0]) // hmax)
+    ch = -(-(h * factors[i][1]) // vmax)
+    return -(-ch // 8), -(-cw // 8)  # (bys, bxs): the COMPONENT block grid
+
+
+def _scan_ops_ac_first(qb, bys, bxs, ss, se, al):
+    ops, eobrun = [], [0]
+
+    def flush_eob():
+        if eobrun[0]:
+            t = eobrun[0].bit_length() - 1
+            ops.append(("h", t << 4, eobrun[0] - (1 << t), t))
+            eobrun[0] = 0
+
+    for bi in range(bys * bxs):
+        by, bx = divmod(bi, bxs)
+        band = [int(v) for v in qb[by, bx, ss : se + 1]]
+        red = [(1 if v > 0 else -1) * (abs(v) >> al) for v in band]
+        if all(x == 0 for x in red):
+            eobrun[0] += 1
+            if eobrun[0] == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for x in red:
+            if x == 0:
+                r += 1
+                continue
+            while r > 15:
+                ops.append(("h", 0xF0, 0, 0))
+                r -= 16
+            s = _cat(x)
+            ops.append(("h", (r << 4) | s, _mag(x, s), s))
+            r = 0
+        if r:
+            eobrun[0] += 1
+    flush_eob()
+    return ops
+
+
+def _scan_ops_ac_refine(qb, bys, bxs, ss, se, al):
+    """IJG encode_mcu_AC_refine structure. TWO correction-bit buffers,
+    matching the decoder's read order exactly:
+
+    - ``be``: bits belonging to blocks already folded into the pending
+      EOB run — the decoder reads them right after the EOBn symbol (its
+      per-block remainder loop), so they flush WITH the EOBn;
+    - ``br``: bits buffered inside the CURRENT block since the last
+      symbol — the decoder reads them while advancing past
+      nonzero-history coeffs AFTER the next ZRL / newly-significant
+      symbol, so they flush right after that symbol (and its sign bit).
+
+    A block that ends with trailing zeros/corrections joins the EOB run:
+    its ``br`` migrates into ``be``. (Lumping the two buffers desyncs the
+    stream as soon as an EOB run is broken by a block whose band starts
+    with corrections — found by the scripted-bits harness below.)"""
+    ops, eobrun, be, br = [], [0], [], []
+
+    def flush_br():
+        ops.extend(("b", b, 1) for b in br)
+        br.clear()
+
+    def flush_eob():
+        if eobrun[0]:
+            t = eobrun[0].bit_length() - 1
+            ops.append(("h", t << 4, eobrun[0] - (1 << t), t))
+            eobrun[0] = 0
+            ops.extend(("b", b, 1) for b in be)
+            be.clear()
+
+    for bi in range(bys * bxs):
+        by, bx = divmod(bi, bxs)
+        band = [int(v) for v in qb[by, bx, ss : se + 1]]
+        absv = [abs(v) >> al for v in band]
+        # EOB = last newly-significant position; zero runs past it fold
+        # into the EOB run instead of ZRLs
+        eob_idx = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+        r = 0
+        for idx, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            # pending ZRLs flush before ANY nonzero (correction positions
+            # included): the decoder reads correction bits as it advances
+            # past nonzero-history coeffs within EACH ZRL's 16-position
+            # group, so group alignment matters (IJG; a straight read of
+            # figure G.7 misses this)
+            while r > 15 and idx <= eob_idx:
+                flush_eob()
+                ops.append(("h", 0xF0, 0, 0))
+                r -= 16
+                flush_br()
+            if a > 1:  # already significant: one correction bit
+                br.append(a & 1)
+                continue
+            # a == 1: newly significant this pass
+            flush_eob()
+            ops.append(("h", (r << 4) | 1, 0, 0))
+            ops.append(("b", 1 if band[idx] > 0 else 0, 1))
+            flush_br()
+            r = 0
+        if r > 0 or br:
+            eobrun[0] += 1
+            be.extend(br)
+            br.clear()
+            if eobrun[0] == 0x7FFE:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def encode_jpeg_progressive(planes, w, h, factors, qt_of, qtabs, script=None):
+    """Progressive (SOF2) encoder: spectral selection + successive
+    approximation, per-scan DHT redefinition, EOB run-lengths — the wire
+    shapes of T.81 annex G, built from scratch so the decoder round-trip
+    pins the format, not a library."""
+    nc = len(planes)
+    qblocks, mcus_x, mcus_y = _quantize_blocks(planes, w, h, factors, qt_of, qtabs)
+    if script is None:
+        if nc == 1:
+            script = [
+                ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+        else:
+            script = [
+                (list(range(nc)), 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                (list(range(nc)), 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    for tid, q in qtabs.items():
+        qz = q.reshape(64)[ZIGZAG].astype(int)
+        seg(0xDB, bytes([tid]) + bytes(int(x) for x in qz))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], qt_of[i]])
+    seg(0xC2, sof)
+
+    for comps, ss, se, ah, al in script:
+        if ss == 0:
+            ops = (
+                _scan_ops_dc_first(qblocks, comps, factors, mcus_x, mcus_y, al)
+                if ah == 0
+                else _scan_ops_dc_refine(qblocks, comps, factors, mcus_x, mcus_y, al)
+            )
+        else:
+            assert len(comps) == 1
+            bys, bxs = _comp_grid(comps[0], w, h, factors)
+            fn = _scan_ops_ac_first if ah == 0 else _scan_ops_ac_refine
+            ops = fn(qblocks[comps[0]], bys, bxs, ss, se, al)
+        syms = [op[1] for op in ops if op[0] == "h"]
+        codes = None
+        if syms:
+            counts, symlist, codes = _canonical(syms)
+            tc = 0 if ss == 0 else 1
+            seg(0xC4, bytes([(tc << 4) | 0]) + bytes(counts) + bytes(symlist))
+        sos = bytes([len(comps)])
+        for i in comps:
+            sos += bytes([i + 1, 0])  # td=0, ta=0 (redefined per scan)
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        bw = _BitWriter()
+        for op in ops:
+            if op[0] == "h":
+                _k, sym, extra, nbits = op
+                code, ln = codes[sym]
+                bw.write(code, ln)
+                if nbits:
+                    bw.write(extra, nbits)
+            else:
+                bw.write(op[1], op[2])
+        bw.align()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ------------------------------------------------------ progressive tests
+
+
+def test_progressive_color_420_equals_sequential():
+    """Full progressive script (spectral selection + DC and AC successive
+    approximation + EOB runs) over a 4:2:0 color image: the decoded
+    planes must EXACTLY equal the baseline encoding's decode of the same
+    source (identical quantized coefficients -> identical IDCT)."""
+    y = _img(24, 36, 10)
+    cb, cr = _img(12, 18, 11), _img(12, 18, 12)
+    q = {0: np.full((8, 8), 4.0), 1: np.full((8, 8), 6.0)}
+    factors = [(2, 2), (1, 1), (1, 1)]
+    prog = encode_jpeg_progressive([y, cb, cr], 36, 24, factors, [0, 1, 1], q)
+    seqb = encode_jpeg([y, cb, cr], 36, 24, factors, [0, 1, 1], q)
+    wp, hp, pp = decode_jpeg(prog)
+    ws, hs, ps = decode_jpeg(seqb)
+    assert (wp, hp) == (ws, hs) == (36, 24)
+    for a, b in zip(pp, ps):
+        assert a.shape == b.shape
+        assert float(np.max(np.abs(a - b))) <= 1e-9
+
+
+def test_progressive_spectral_only_gray():
+    """Spectral-selection-only progressive (no successive approximation):
+    three scans (DC, AC 1-5, AC 6-63) reassemble the exact coefficients."""
+    img = _img(17, 29, 13)  # non-multiples of 8: padding + crop path
+    q1 = np.ones((8, 8))
+    prog = encode_jpeg_progressive(
+        [img], 29, 17, [(1, 1)], [0], {0: q1},
+        script=[([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)],
+    )
+    w, h, gray = decode_jpeg_gray(prog)
+    assert (w, h) == (29, 17) and gray.shape == (17, 29)
+    assert float(np.max(np.abs(gray - img))) <= 2.0  # q=1: pure DCT rounding
+
+
+def test_progressive_missing_dc_scan_raises():
+    """Chroma without any DC scan is undecodable — must raise, not emit
+    fabricated planes (same coverage rule as multi-scan baseline)."""
+    y, cb, cr = _img(16, 16, 1), _img(16, 16, 2), _img(16, 16, 3)
+    q = {0: np.ones((8, 8)), 1: np.ones((8, 8))}
+    prog = encode_jpeg_progressive(
+        [y, cb, cr], 16, 16, [(1, 1)] * 3, [0, 1, 1], q,
+        script=[([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],  # luma only
+    )
+    with pytest.raises(ValueError, match="no scan covered"):
+        decode_jpeg(prog)
+
+
+def test_progressive_partial_ac_is_legal_preview():
+    """DC-only progressive (the first bytes a browser renders): decodes,
+    and equals the DC-only reconstruction (block means)."""
+    img = _img(16, 16, 14)
+    q1 = np.ones((8, 8))
+    prog = encode_jpeg_progressive(
+        [img], 16, 16, [(1, 1)], [0], {0: q1}, script=[([0], 0, 0, 0, 0)],
+    )
+    w, h, gray = decode_jpeg_gray(prog)
+    assert (w, h) == (16, 16)
+    # each 8x8 tile must be flat at (roughly) the tile mean
+    for by in range(2):
+        for bx in range(2):
+            tile = gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert float(np.ptp(tile)) <= 1e-9
+            src = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert abs(float(tile[0, 0]) - float(np.mean(src))) <= 1.0

@@ -403,6 +403,29 @@ def main() -> None:
               ["BatchEvalPython", "ArrowEvalPython"])
         sections.append(("Z-order range scan (multi-dimension pruning)", p))
 
+    # 21. keyed probe via read_raw(key_filter=): the touched-keys semi
+    #     join sits in the plan WITH the map-side-combining resolution —
+    #     the resolution shuffle moves only the requested keys' physical
+    #     rows (the DAG FK gate's child-probe shape, round 4)
+    with tempfile.TemporaryDirectory(prefix="audit_kf_") as td:
+        from pyspark.sql import types as _T
+
+        kt = LakeTable.create(
+            spark, os.path.join(td, "k"),
+            _T.StructType([_T.StructField("id", _T.LongType()),
+                           _T.StructField("v", _T.StringType())]),
+            ["id"], num_buckets=2, write_mode="mor",
+        )
+        mk = lambda rows: spark.createDataFrame(rows, "lsn long, op string, id long, v string")
+        kt.merge(mk([(1, "I", 1, "a"), (2, "I", 2, "b")]), batch_id=0)
+        kt.merge(mk([(3, "U", 1, "a2")]), batch_id=1)  # delta -> resolution active
+        probe = spark.createDataFrame([(1,)], "id long")
+        p = plan_of(kt.read_raw(key_filter=F.broadcast(probe)))
+        check("keyed probe: key_filter semi join + map-side resolution", p,
+              ["LeftSemi", "partial_max_by"],
+              ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"])
+        sections.append(("Keyed probe (key_filter below MOR resolution)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
