@@ -41,17 +41,26 @@ the small side, so at 100 TB these are map-side filters, never shuffles):
   child ROW against its parent table, the assertable form of the
   declarative constraint. O(child tables); run on demand, not per window.
 
-The per-window gate DETECTS, it does not PREVENT: it runs after the
-window's merges have committed, so a violating window's rows are already
-visible to readers when it fires. With ``on_violation='halt'`` (default)
-the gate raises and the checkpoint does NOT advance — a poison window
-re-raises on every rerun until an operator repairs the data (upstream
-fix + replay, or a manual merge) or re-runs with
-``on_violation='record'``, which logs the violation into the
-``WindowResult`` and advances past the window so the stream keeps
-flowing while ``deep_fk_check`` remains the audit. Pipelines that must
-never EXPOSE a violating state should stage through WAP branches
-(``table/branch.py``) and publish only after their audit passes.
+The per-window gate runs in one of two placements (``gate=``):
+
+- ``'post'`` (default): apply, then check — the gate DETECTS; a
+  violating window's rows are briefly visible even under 'halt'. With
+  ``on_violation='halt'`` the gate raises and the checkpoint does NOT
+  advance (a poison window re-raises on every rerun until an operator
+  repairs upstream); ``'record'`` logs the violation into the
+  ``WindowResult`` and advances so the stream keeps flowing, with
+  ``deep_fk_check`` as the audit.
+- ``'pre'`` (round 4 — write-audit-publish semantics without branch
+  files): the fast path already separates staging from committing, so
+  its staged-but-uncommitted file groups ARE an implicit WAP branch.
+  The gate runs between the two, against SYNTHETIC snapshots (current
+  state + staged groups — exactly the state the commits would publish),
+  and the commits happen only if every edge is clean. The gate
+  PREVENTS: 'halt' raises with main untouched (staged files go to the
+  age-guarded vacuum); 'record' QUARANTINES the window — skipped
+  wholesale, violation recorded, stream advances (rewind the checkpoint
+  to reprocess after repairing upstream). Sequential-path windows
+  (SCHEMA events / COW tables) still gate post-commit.
 """
 
 from __future__ import annotations
@@ -110,21 +119,42 @@ class DagApplyJob:
         fk_check: bool = True,
         on_violation: str = "halt",
         max_stage_threads: int = 8,
+        gate: str = "post",
     ):
         """``on_violation``: 'halt' (default) raises :class:`FKViolation`
         and leaves the checkpoint behind the window (poison windows
         re-raise on every rerun — loud, operator-visible); 'record' logs
         the violation into ``WindowResult.violations`` and advances, so a
-        poison window cannot wedge the stream (the gate only ever DETECTS
-        post-commit state — see the module docstring)."""
+        poison window cannot wedge the stream.
+
+        ``gate``: WHEN the FK gate runs relative to the window's commits.
+
+        - ``'post'`` (default): apply, then check — the gate DETECTS; a
+          violating window's rows are briefly visible even under 'halt'.
+        - ``'pre'`` (write-audit-publish semantics): the fast path's
+          staged-but-uncommitted file groups ARE an implicit WAP branch,
+          so the gate runs against SYNTHETIC snapshots (current state +
+          staged groups — exactly what the commits would publish) and
+          the commits happen only if every edge is clean. The gate
+          PREVENTS: under 'halt' a poison window never becomes visible
+          (staged files are reclaimed by the age-guarded vacuum); under
+          'record' the whole window is QUARANTINED — skipped entirely,
+          good rows included, violation recorded — and the stream
+          advances (rewind the checkpoint to reprocess after repairing
+          upstream). Windows that fall back to the sequential path
+          (SCHEMA events / COW tables) gate post-commit regardless and
+          say so in the result."""
         if on_violation not in ("halt", "record"):
             raise ValueError("on_violation must be 'halt' or 'record'")
+        if gate not in ("post", "pre"):
+            raise ValueError("gate must be 'post' or 'pre'")
         self.jobs = jobs
         self.edges = edges
         self.writer_id = writer_id
         self.fk_check = fk_check
         self.on_violation = on_violation
         self.max_stage_threads = max_stage_threads
+        self.gate = gate
         # ops/debug escape hatch (and the A/B lever the bench uses): False
         # forces every window down the sequential per-epoch path
         self.enable_fast_path = True
@@ -245,8 +275,9 @@ class DagApplyJob:
                 if name in present
             )
             gate_buckets: dict[str, list[int]] = {}
+            gated = False
             if fast:
-                self._apply_window_fast(
+                gated = self._apply_window_fast(
                     window, present, ops, batch_id, ns, res, typed, gate_buckets
                 )
             else:
@@ -260,7 +291,7 @@ class DagApplyJob:
                     res.tables[name] = job.apply_batch(
                         typed[name], batch_id, fence_writer=f"{ns}.{name}"
                     )
-            if self.fk_check:
+            if self.fk_check and not gated:
                 try:
                     self._check_window(typed, ops, gate_buckets)
                 except FKViolation as exc:
@@ -282,7 +313,7 @@ class DagApplyJob:
         res: WindowResult,
         typed: dict[str, DataFrame],
         gate_buckets: dict[str, list[int]] | None = None,
-    ) -> None:
+    ) -> bool:
         """SCHEMA-free MOR window: stage concurrently, commit in FK order.
 
         Each present table's validate → normalize → dedup → delta stage
@@ -300,7 +331,14 @@ class DagApplyJob:
         replayed sequentially (or vice versa) still fences to a no-op.
         Reject counting rides the stage job as an Observation; dead-letter
         and lineage writes (when configured) run after the commit, same
-        as the sequential path."""
+        as the sequential path.
+
+        With ``gate='pre'`` the FK gate runs HERE, between staging and
+        the commits, against synthetic snapshots (current state + staged
+        groups — the would-be published state): a violating window never
+        commits (halt raises; record quarantines the window and
+        advances). Returns True when the gate already ran (so
+        ``apply_window`` must not gate again)."""
         fid = batch_id * 1024
         work: list[tuple] = []
         for name in self.order:
@@ -322,7 +360,7 @@ class DagApplyJob:
                 continue
             work.append((name, job, snap, fence_key, n_events))
         if not work:
-            return
+            return False
 
         staged: dict[str, dict | None] = {}
         valids: dict[str, DataFrame] = {}
@@ -372,6 +410,42 @@ class DagApplyJob:
             name, exc = next(iter(errors.items()))
             raise RuntimeError(f"stage failed for table {name!r}") from exc
 
+        gated = False
+        if self.gate == "pre" and self.fk_check:
+            # WAP semantics: gate the WOULD-BE state (current snapshot +
+            # staged groups, exactly what the commits publish) BEFORE any
+            # commit. On violation nothing was published: halt raises the
+            # window away (staged files -> age-guarded vacuum), record
+            # quarantines it (skipped wholesale, violation on the result).
+            gated = True
+            synthetic: dict[str, dict] = {}
+            pre_buckets: dict[str, list[int]] = {}
+            for name, job, snap, _fk, _ne in work:
+                st = staged.get(name)
+                if st is None:
+                    continue
+                synth = job.table.snapshot()
+                synth["file_groups"] = synth["file_groups"] + [
+                    dict(g, seq=synth["version"] + 1) for g in st["groups"]
+                ]
+                synthetic[name] = synth
+                if synth["num_buckets"] == st["nb"]:
+                    pre_buckets[name] = sorted({g["bucket"] for g in st["groups"]})
+            try:
+                self._check_window(typed, ops, pre_buckets, synthetic)
+            except FKViolation as exc:
+                if self.on_violation == "halt":
+                    raise
+                res.violations.append(str(exc))
+                for name, job, snap, fence_key, n_events in work:
+                    # quarantined: nothing committed, nothing fenced — the
+                    # result row says so (merge=None)
+                    res.tables[name] = BatchResult(
+                        batch_id, n_events, n_rej.get(name, 0), None, 0,
+                        int(walls.get(name, 0.0) * 1000),
+                    )
+                return gated
+
         for name, job, snap, fence_key, n_events in work:
             t0 = time.monotonic()
             st = staged.get(name)
@@ -398,12 +472,14 @@ class DagApplyJob:
             res.tables[name] = BatchResult(
                 batch_id, n_events, n_rej[name], stats, 0, wall_ms
             )
+        return gated
 
     def _check_window(
         self,
         typed: dict[str, DataFrame],
         ops: dict[tuple[str, str], int] | None = None,
         gate_buckets: dict[str, list[int]] | None = None,
+        synthetic: dict[str, dict] | None = None,
     ) -> None:
         """Referential gate scoped to THIS window's events, fused into ONE
         Spark job: every applicable edge leg contributes a ≤5-row tagged
@@ -421,10 +497,29 @@ class DagApplyJob:
         convergent re-apply (reviewer findings, rounds 3+3cont).
         Post-merge state is the invariant the DAG promises, so it is also
         the thing to assert. Every leg is broadcast-shaped: touched keys /
-        deleted keys are the small probe side."""
+        deleted keys are the small probe side.
+
+        ``synthetic`` (gate='pre'): per-table synthetic snapshots — the
+        current snapshot PLUS the window's staged-but-uncommitted file
+        groups. Every read below then sees the WOULD-BE published state,
+        so the same assertion prevents instead of detects."""
 
         def has(table: str, *which: str) -> bool:
             return ops is None or any((table, op) in ops for op in which)
+
+        def live(job: CDCApplyJob, name: str) -> DataFrame:
+            synth = (synthetic or {}).get(name)
+            if synth is None:
+                return job.table.read()
+            logical = [
+                f["name"]
+                for f in synth["schemas"][str(synth["schema_version"])]["fields"]
+            ]
+            return (
+                job.table.read_raw(snapshot_dict=synth)
+                .filter(~F.col("_deleted"))
+                .select(*logical)
+            )
 
         def tagged(df: DataFrame, violation: str) -> DataFrame:
             return df.limit(5).select(
@@ -454,18 +549,19 @@ class DagApplyJob:
                     f["name"]
                     for f in csnap["schemas"][str(csnap["schema_version"])]["fields"]
                 ]
-                live = (
+                child_live = (
                     child_job.table.read_raw(
                         buckets=(gate_buckets or {}).get(e.child),
                         key_filter=F.broadcast(touched),
+                        snapshot_dict=(synthetic or {}).get(e.child),
                     )
                     .filter(~F.col("_deleted"))
                     .select(*lcols)
                 )
-                refs = live.filter(F.col(e.fk_col).isNotNull())
+                refs = child_live.filter(F.col(e.fk_col).isNotNull())
                 legs.append(
                     tagged(
-                        fk_orphans(refs, parent_job.table.read(), e.fk_col, e.parent_key),
+                        fk_orphans(refs, live(parent_job, e.parent), e.fk_col, e.parent_key),
                         f"window events of {e.child}.{e.fk_col} reference missing "
                         f"{e.parent}.{e.parent_key}",
                     )
@@ -481,13 +577,13 @@ class DagApplyJob:
                 .distinct()
             )
             still_absent = deleted.join(
-                parent_job.table.read().select(F.col(e.parent_key).alias(e.fk_col)),
+                live(parent_job, e.parent).select(F.col(e.parent_key).alias(e.fk_col)),
                 [e.fk_col],
                 "left_anti",
             )
             legs.append(
                 tagged(
-                    child_job.table.read()
+                    live(child_job, e.child)
                     .filter(F.col(e.fk_col).isNotNull())
                     .join(F.broadcast(still_absent), [e.fk_col], "left_semi"),
                     f"deleting {e.parent} rows orphaned {e.child} rows via {e.fk_col}",

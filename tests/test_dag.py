@@ -617,3 +617,115 @@ def test_dag_fast_and_sequential_paths_fence_each_other(spark, tmp_root, cog_eve
         got, oracle["commune"].astype({"population": "int64"})[got.columns]
     )
     assert state_after_w0  # sanity: window 0 did something
+
+
+def _mk_dag_pre(spark, tmp_root, on_violation="halt"):
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    return jobs, DagApplyJob(
+        jobs, EDGES, writer_id="dag", gate="pre", on_violation=on_violation
+    )
+
+
+def test_dag_pre_gate_halt_never_publishes_poison_window(spark, tmp_root):
+    """gate='pre': the gate runs against the staged-but-uncommitted state,
+    so a violating window raises with MAIN UNTOUCHED — the consistent
+    rows of the same window (region, D000) are all-or-nothing too."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "department", {"code": "D001", "region_code": "NOPE", "name": "E"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag_pre(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    with pytest.raises(FKViolation, match="NOPE"):
+        dag.run_incremental(log, ckpt, batch_lsns=100)
+    for name in ("region", "department", "commune"):
+        assert jobs[name].table.read().count() == 0  # nothing published
+    # nothing fenced either: after fixing upstream, a rerun applies fresh
+    with pytest.raises(FKViolation):  # poison still poisons, loudly
+        dag.run_incremental(log, ckpt, batch_lsns=100)
+
+
+def test_dag_pre_gate_record_quarantines_window(spark, tmp_root):
+    """gate='pre' + on_violation='record': the poison window is skipped
+    WHOLESALE (good rows included), the violation lands on the result,
+    and later consistent windows apply."""
+    ev = _envelope(
+        [
+            # window [0,3): consistent bootstrap
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            # window [3,6): poison (commune -> missing dept) + a good row
+            ("I", "commune", {"code": "C1", "department_code": "D999", "name": "X", "population": 1}),
+            ("I", "commune", {"code": "C2", "department_code": "D000", "name": "Y", "population": 2}),
+            # filler keeps C3 in its own window
+            ("U", "region", {"code": "REG00", "name": "R"}),
+            # window [6,9): consistent commune
+            ("I", "commune", {"code": "C3", "department_code": "D000", "name": "Z", "population": 3}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag_pre(spark, tmp_root, on_violation="record")
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=3)
+    quarantined = [r for r in results if r.violations]
+    assert len(quarantined) == 1 and "D999" in quarantined[0].violations[0]
+    # quarantined table rows report merge=None (nothing committed/fenced)
+    assert quarantined[0].tables["commune"].merge is None
+    got = {r["code"] for r in jobs["commune"].table.read().collect()}
+    assert got == {"C3"}  # window 2 skipped wholesale (C2 quarantined too)
+    assert jobs["department"].table.read().count() == 1  # window 1 applied
+    # rerun: nothing new, nothing re-raised
+    assert dag.run_incremental(log, ckpt, batch_lsns=3) == []
+
+
+def test_dag_pre_gate_clean_stream_matches_oracle(spark, tmp_root, cog_events):
+    """A clean stream through gate='pre' produces the identical final
+    state and fences as the default path (the gate placement must be
+    invisible when nothing violates)."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag_pre(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "ck.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=150)
+    assert all(not r.violations for r in results)
+    oracle = expected_cog_state(cog_events)
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+    # replay fences (fence ids unchanged by the gate placement)
+    results2 = dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "ck2.json")), batch_lsns=150
+    )
+    assert all(br.merge.fenced for r in results2 for br in r.tables.values())
+
+
+def test_dag_pre_gate_parent_delete_prevented(spark, tmp_root):
+    """The parent-delete leg also gates pre-commit: a window whose parent
+    delete would orphan children never publishes (the delete is not
+    visible afterwards)."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("D", "department", {"code": "D000"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag_pre(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    dag.run_incremental(log, ckpt, batch_lsns=4, max_batches=1)  # consistent window 1
+    with pytest.raises(FKViolation, match="orphaned"):
+        dag.run_incremental(log, ckpt, batch_lsns=4)  # the delete window
+    # the delete was PREVENTED: department row still live
+    assert jobs["department"].table.read().count() == 1
