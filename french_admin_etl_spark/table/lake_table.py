@@ -55,6 +55,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -1868,12 +1869,16 @@ class LakeTable:
           copy, O(metadata)); new writes/compactions/rebuckets on the
           clone land under its own root, so it localizes as it diverges.
           The dev/test idiom: a full-size table materialized in
-          milliseconds, writable without touching production. CAVEAT
-          (same as Delta's): the SOURCE's ``vacuum_orphans`` /
-          ``expire_snapshots`` does not know about clones — a shallow
-          clone outliving the source files it references breaks; deep
-          clone (or re-clone) before source maintenance reclaims them.
-          The clone's own vacuum only touches its own data dir — safe.
+          milliseconds, writable without touching production. The clone
+          REGISTERS itself in the source's properties
+          (``clone.outstanding.<uid> = dest_root``), and the source's
+          ``vacuum_orphans`` counts every source file a registered
+          clone's retained snapshots still reference as LIVE — so source
+          maintenance (compact → expire → vacuum) can no longer break an
+          outstanding shallow clone (the caveat Delta documents and
+          leaves to the operator). Once the clone localizes fully (or is
+          deleted), the next source vacuum deregisters it. The clone's
+          own vacuum only touches its own data dir — safe.
         - **deep**: every referenced file is copied under the clone's
           root; fully independent (O(table) copy).
 
@@ -1924,9 +1929,66 @@ class LakeTable:
         new = dict(snap)
         props = dict(snap["properties"])
         props.pop("restore.versions", None)  # source history, not the clone's
+        # a clone of a clone must not inherit its source's registrations
+        for k in [k for k in props if k.startswith("clone.outstanding.")]:
+            del props[k]
+        props["clone.source"] = self.root
+        props["clone.source_version"] = snap["version"]
         new.update(version=1, parent=None, file_groups=groups, properties=props)
+        if not deep:
+            # protect-then-publish: register BEFORE the clone commit, so a
+            # crash never leaves a live-but-unprotected clone (a crashed
+            # attempt leaves only a stale registration, which the next
+            # source vacuum deregisters). Registration goes to every table
+            # whose data dir the clone's groups actually REFERENCE — for a
+            # clone of a clone the absolute paths pass through to the
+            # ORIGINAL table, and registering only on the direct source
+            # would leave the original's vacuum free to break this clone
+            # once the middle clone localizes.
+            my_root = os.path.abspath(self.root)
+            roots = {
+                os.path.abspath(os.path.dirname(os.path.dirname(f)))
+                for g in groups
+                for f in g["files"]
+            }
+            for r in sorted(roots):
+                owner = self if r == my_root else LakeTable(self.spark, r)
+                owner._register_clone(dest_root)
         t._commit(new)
         return t
+
+    def _register_clone(self, dest_root: str) -> None:
+        """Record an outstanding shallow clone in this table's properties
+        so :meth:`vacuum_orphans` protects the source files it references.
+        Keyed by a digest of the destination path (stable across retries);
+        OCC retry mirrors :meth:`prune_fences`."""
+        dest_root = os.path.abspath(dest_root)
+        uid = hashlib.sha256(dest_root.encode()).hexdigest()[:12]
+        key = f"clone.outstanding.{uid}"
+        for attempt in range(10):
+            snap = self.snapshot()
+            if snap["properties"].get(key) == dest_root:
+                return
+            props = dict(snap["properties"])
+            props[key] = dest_root
+            new = dict(snap)
+            new.update(
+                version=snap["version"] + 1, properties=props, parent=snap["version"]
+            )
+            try:
+                self._commit(new)
+                return
+            except CommitConflict:
+                if attempt == 9:
+                    raise
+
+    def clones(self) -> dict[str, str]:
+        """Outstanding registered shallow clones: ``{uid: dest_root}``."""
+        return {
+            k.split(".")[-1]: v
+            for k, v in self.snapshot()["properties"].items()
+            if k.startswith("clone.outstanding.")
+        }
 
     def snapshots_df(self) -> DataFrame:
         """Metadata table (DESCRIBE HISTORY analog): one row per retained
@@ -2143,13 +2205,48 @@ class LakeTable:
         commit land pointing at missing files. Files are only removed once
         older than ``min_age_sec`` (the same age-threshold protocol as
         Iceberg's ``remove_orphan_files``); pass ``0`` only when no writer
-        can be active (e.g. offline maintenance)."""
+        can be active (e.g. offline maintenance).
+
+        Outstanding shallow clones (registered by :meth:`clone`) are part
+        of the live set: any file in THIS table's data dir that a clone's
+        retained snapshots still reference survives, so the maintenance
+        trio cannot break a clone. Clones that no longer reference any
+        source file — localized by their own compaction, expired past
+        their source-era snapshots, or deleted outright — are
+        DEREGISTERED here (best-effort metadata commit); a clone cannot
+        re-acquire source references (its writes land under its own root,
+        and restore/branch only reach retained snapshots, which are all
+        source-free by then), so deregistration is safe."""
         import time as _time
 
         live: set[str] = set()
         for snap in self.history():
             for g in snap["file_groups"]:
                 live.update(g["files"])
+        stale_clone_keys: list[str] = []
+        for key, dest in list(self.snapshot()["properties"].items()):
+            if not key.startswith("clone.outstanding."):
+                continue
+            refs: set[str] = set()
+            my_data = os.path.abspath(self._data_dir)
+            if LakeTable.exists(dest):
+                for csnap in LakeTable(self.spark, dest).history():
+                    for g in csnap["file_groups"]:
+                        for f in g["files"]:
+                            if (
+                                os.path.isabs(f)
+                                and os.path.abspath(os.path.dirname(f)) == my_data
+                            ):
+                                refs.add(f"data/{os.path.basename(f)}")
+            if refs:
+                live.update(refs)
+            else:
+                stale_clone_keys.append(key)
+        for key in stale_clone_keys:
+            try:
+                self.prune_fences(key)
+            except CommitConflict:
+                pass  # racing writers; the next vacuum retries
         # open WAP branches reference staged files no snapshot knows yet
         for fname in os.listdir(self._meta_dir):
             if fname.startswith("branch-") and fname.endswith(".json"):

@@ -354,3 +354,93 @@ def test_clone_restamps_into_own_version_chain(spark, tmp_root):
     os.makedirs(os.path.join(stale, "data"))
     clone2 = src.clone(stale)
     assert {r["k"] for r in clone2.read().collect()} == {r["k"] for r in src.read().collect()}
+
+
+def test_source_maintenance_cannot_break_outstanding_shallow_clone(spark, tmp_root):
+    """Round 4: clone() registers itself on the source
+    (clone.outstanding.<uid>), and the source's vacuum counts every file a
+    registered clone's retained snapshots reference as LIVE — so the
+    maintenance trio (compact -> expire -> vacuum) no longer breaks a
+    shallow clone (the caveat Delta leaves to the operator)."""
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "msrc"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    src.merge(_src(spark, [("a", 1, 1, "I"), ("b", 2, 2, "I")]), batch_id=0)
+    clone = src.clone(os.path.join(tmp_root, "mdev"))
+    assert list(src.clones().values()) == [os.path.abspath(os.path.join(tmp_root, "mdev"))]
+    assert clone.snapshot()["properties"]["clone.source"] == src.root
+    # source maintenance: rewrite everything, drop history, vacuum NOW
+    src.merge(_src(spark, [("a", 10, 5, "U")]), batch_id=1)
+    src.compact(include_clean=True)
+    src.expire_snapshots(keep_last=1)
+    removed = src.vacuum_orphans(min_age_sec=0)
+    # the clone-referenced files survived; files referenced by NEITHER the
+    # source's retained history NOR the clone may go
+    assert _state(clone) == {"a": 1, "b": 2}
+    assert _state(src) == {"a": 10, "b": 2}
+    # registration survives while the clone still references source files
+    assert src.clones()
+    # sanity: vacuum did not throw and returns a count
+    assert removed >= 0
+
+
+def test_source_vacuum_deregisters_localized_and_deleted_clones(spark, tmp_root):
+    import shutil as _shutil
+
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "vsrc"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    src.merge(_src(spark, [("a", 1, 1, "I"), ("b", 2, 2, "I")]), batch_id=0)
+    c1 = src.clone(os.path.join(tmp_root, "vdev1"))
+    c2 = src.clone(os.path.join(tmp_root, "vdev2"))
+    assert len(src.clones()) == 2
+    # c1 localizes fully: compaction rewrites under its own root, then its
+    # source-era snapshots expire
+    c1.compact(include_clean=True)
+    c1.expire_snapshots(keep_last=1)
+    # c2 is deleted outright
+    _shutil.rmtree(os.path.join(tmp_root, "vdev2"))
+    # rewrite the source so the clone-era files leave its own history
+    src.merge(_src(spark, [("a", 10, 5, "U")]), batch_id=1)
+    src.compact(include_clean=True)
+    src.expire_snapshots(keep_last=1)
+    removed = src.vacuum_orphans(min_age_sec=0)
+    assert removed > 0  # the old base files are reclaimable now
+    assert src.clones() == {}  # both deregistered
+    assert _state(c1) == {"a": 1, "b": 2}  # localized clone unaffected
+    assert _state(src) == {"a": 10, "b": 2}
+
+
+def test_clone_of_clone_registers_on_every_referenced_table(spark, tmp_root):
+    """A clone of a clone references the ORIGINAL table's files by
+    absolute path (they pass through the middle clone's metadata), so it
+    must register on the original too — registering only on the direct
+    source would let the original's vacuum break it once the middle
+    clone localizes."""
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "ccs"), ST, ["k"], num_buckets=2,
+        write_mode="mor",
+    )
+    src.merge(_src(spark, [("a", 1, 1, "I")]), batch_id=0)
+    c1 = src.clone(os.path.join(tmp_root, "cc1"))
+    c1.merge(_src(spark, [("b", 2, 2, "I")]), batch_id=1)
+    c2 = c1.clone(os.path.join(tmp_root, "cc2"))
+    # c2 references src's files (via c1's pass-through) AND c1's own delta
+    assert set(src.clones().values()) == {
+        os.path.abspath(os.path.join(tmp_root, p)) for p in ("cc1", "cc2")
+    }
+    assert set(c1.clones().values()) == {os.path.abspath(os.path.join(tmp_root, "cc2"))}
+    assert c2.clones() == {}  # registrations are not inherited
+    assert _state(c2) == {"a": 1, "b": 2}
+    # c1 localizes and expires; src maintenance must STILL protect c2
+    c1.compact(include_clean=True)
+    c1.expire_snapshots(keep_last=1)
+    src.merge(_src(spark, [("a", 10, 5, "U")]), batch_id=1)
+    src.compact(include_clean=True)
+    src.expire_snapshots(keep_last=1)
+    src.vacuum_orphans(min_age_sec=0)
+    c1.vacuum_orphans(min_age_sec=0)
+    assert _state(c2) == {"a": 1, "b": 2}  # survives both vacuums
+    assert list(src.clones().values()) == [os.path.abspath(os.path.join(tmp_root, "cc2"))]
