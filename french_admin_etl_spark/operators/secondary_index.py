@@ -172,9 +172,12 @@ class SecondaryIndex:
         logical = [
             f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
         ]
-        src = (
-            self.source.read_raw(buckets=buckets)
+        # the hit-keys semi join rides BELOW the MOR resolution
+        # (``key_filter``): the resolution shuffle moves only the matched
+        # keys' physical rows, not the whole touched bucket. ``hits`` is
+        # an equality-probe result (checkpointed above) → broadcast.
+        return (
+            self.source.read_raw(buckets=buckets, key_filter=F.broadcast(hits))
             .filter(~F.col("_deleted"))
             .select(*logical)
         )
-        return src.join(hits, on=keys, how="left_semi")

@@ -237,13 +237,17 @@ class AggregateView:
             # (routine maintenance) may have dropped that snapshot — a
             # lagging view must fall back to resync, not wedge on
             # FileNotFoundError forever (ADVICE round-3 medium finding)
-            before = self.source.read_raw(buckets=touched, version=from_v)
+            # the changed-keys semi join rides BELOW the MOR resolution
+            # (``key_filter``): the before-image shuffle moves only the
+            # window's keys' physical rows, not the whole touched bucket.
+            # ``changed`` is window-sized and checkpointed → broadcast.
+            before = self.source.read_raw(
+                buckets=touched, version=from_v,
+                key_filter=F.broadcast(changed.select(*keys)),
+            )
         except FileNotFoundError:
             return self._resync(to_v)
-        old_live = (
-            before.filter(~F.col("_deleted"))
-            .join(changed.select(*keys), on=keys, how="left_semi")
-        )
+        old_live = before.filter(~F.col("_deleted"))
         new_live = changed.filter(~F.col("_deleted"))
         if self.mins or self.maxs:
             # min/max cannot retract incrementally (the retracted value

@@ -257,12 +257,22 @@ class JoinView:
         seq = to_l + to_r
         parts = []
         if touched:
+            # the affected-keys semi join rides BELOW the MOR resolution
+            # (``key_filter``): the resolution shuffle moves only the
+            # changed keys' physical rows, not the whole touched bucket —
+            # the same pre-resolution pruning the DAG FK gate uses, and
+            # the difference between O(changed keys) and O(bucket) on a
+            # 100-TB fact table. ``affected`` is window-sized and already
+            # checkpointed → broadcast.
+            lsnap_to = self.left.snapshot(to_l)
             live = (
-                self.left.read_raw(buckets=touched, version=to_l)
+                self.left.read_raw(
+                    buckets=touched, version=to_l,
+                    key_filter=F.broadcast(affected),
+                )
                 .filter(~F.col("_deleted"))
-                .select(*[f["name"] for f in self.left.snapshot(to_l)["schemas"][
-                    str(self.left.snapshot(to_l)["schema_version"])]["fields"]])
-                .join(affected, on=lkeys, how="left_semi")
+                .select(*[f["name"] for f in lsnap_to["schemas"][
+                    str(lsnap_to["schema_version"])]["fields"]])
             )
             up = self._enrich(live, to_r).withColumn("op", F.lit("U"))
             parts.append(up)
