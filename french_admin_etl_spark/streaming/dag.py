@@ -507,19 +507,41 @@ class DagApplyJob:
         def has(table: str, *which: str) -> bool:
             return ops is None or any((table, op) in ops for op in which)
 
-        def live(job: CDCApplyJob, name: str) -> DataFrame:
+        def live(
+            job: CDCApplyJob, name: str, key_filter: DataFrame | None = None
+        ) -> DataFrame:
             synth = (synthetic or {}).get(name)
-            if synth is None:
+            if synth is None and key_filter is None:
                 return job.table.read()
+            snap = synth if synth is not None else job.table.snapshot()
             logical = [
                 f["name"]
-                for f in synth["schemas"][str(synth["schema_version"])]["fields"]
+                for f in snap["schemas"][str(snap["schema_version"])]["fields"]
             ]
             return (
-                job.table.read_raw(snapshot_dict=synth)
+                job.table.read_raw(snapshot_dict=synth, key_filter=key_filter)
                 .filter(~F.col("_deleted"))
                 .select(*logical)
             )
+
+        def parent_probe(e: FKEdge, ref_vals: DataFrame) -> DataFrame:
+            """The parent side of a gate leg, restricted to the window's
+            referenced values. When the FK targets the parent's key (the
+            reference's FK shape, and the overwhelmingly common one), the
+            referenced values ride BELOW the parent's MOR resolution via
+            ``key_filter`` — the gate resolves O(window) parent keys, never
+            the whole parent table (a dimension can be 10^8 rows at 100 TB;
+            a superset of referenced keys is sound: extra parent keys
+            resolve and the anti-join ignores them). Composite-keyed or
+            non-key-referencing parents keep the full live read."""
+            pjob = self.jobs[e.parent]
+            psnap = (synthetic or {}).get(e.parent) or pjob.table.snapshot()
+            if psnap["key_cols"] == [e.parent_key]:
+                kf = F.broadcast(
+                    ref_vals.select(F.col(ref_vals.columns[0]).alias(e.parent_key))
+                )
+                return live(pjob, e.parent, key_filter=kf)
+            return live(pjob, e.parent)
 
         def tagged(df: DataFrame, violation: str) -> DataFrame:
             return df.limit(5).select(
@@ -559,9 +581,19 @@ class DagApplyJob:
                     .select(*lcols)
                 )
                 refs = child_live.filter(F.col(e.fk_col).isNotNull())
+                # ref values must come from the POST-MERGE child state (refs),
+                # not the raw events: a stale window whose events all lost to
+                # pre-window rows would otherwise miss the live fk values and
+                # false-positive. The O(window) probe subtree appears twice in
+                # the one gate job — still no full-table work anywhere.
                 legs.append(
                     tagged(
-                        fk_orphans(refs, live(parent_job, e.parent), e.fk_col, e.parent_key),
+                        fk_orphans(
+                            refs,
+                            parent_probe(e, refs.select(e.fk_col).distinct()),
+                            e.fk_col,
+                            e.parent_key,
+                        ),
                         f"window events of {e.child}.{e.fk_col} reference missing "
                         f"{e.parent}.{e.parent_key}",
                     )
@@ -576,8 +608,10 @@ class DagApplyJob:
                 .select(F.col(e.parent_key).alias(e.fk_col))
                 .distinct()
             )
+            # liveness of exactly the deleted keys — same key_filter
+            # restriction as the insert leg's parent probe
             still_absent = deleted.join(
-                live(parent_job, e.parent).select(F.col(e.parent_key).alias(e.fk_col)),
+                parent_probe(e, deleted).select(F.col(e.parent_key).alias(e.fk_col)),
                 [e.fk_col],
                 "left_anti",
             )
