@@ -31,7 +31,13 @@ def get_spark(
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
-        cores = int(env) if env else 0
+        cores = int(env) if env and env != "*" else 0
+    elif cores == "*":
+        # accept the literal '*' (callers mirror $SPARK_GRAFT_CPUS / the
+        # master string); an un-normalized '*' would otherwise flow into
+        # spark.sql.shuffle.partitions, an invalid conf whose failure
+        # surfaces as a baffling per-job error far from the cause
+        cores = 0
     master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores if cores else (os.cpu_count() or 8)

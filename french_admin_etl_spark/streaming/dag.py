@@ -158,6 +158,18 @@ class DagApplyJob:
         # ops/debug escape hatch (and the A/B lever the bench uses): False
         # forces every window down the sequential per-epoch path
         self.enable_fast_path = True
+        # Gate cost model: key-filtering a parent probe below its MOR
+        # resolution only pays when the parent is LARGE — the filter costs
+        # an extra materialization job (the window's referenced values must
+        # be a SMALL CONCRETE frame before they can ride a broadcast; an
+        # unmaterialized child subtree nested inside the parent's plan
+        # re-evaluates the child probe per leg and blows the optimizer up
+        # combinatorially, measured: the 4-window bench DAG went 24 s ->
+        # stuck >10 min when the probe subtree was inlined). Parents whose
+        # live physical rows (from snapshot metadata, free) are under this
+        # threshold resolve whole — a sub-second single job. Tests set 0 to
+        # force the key-filtered path.
+        self.gate_keyfilter_min_rows = 2_000_000
         for e in edges:
             for t in (e.child, e.parent):
                 if t not in jobs:
@@ -524,24 +536,43 @@ class DagApplyJob:
                 .select(*logical)
             )
 
-        def parent_probe(e: FKEdge, ref_vals: DataFrame) -> DataFrame:
+        def parent_probe(
+            e: FKEdge, ref_vals: DataFrame, materialize: bool
+        ) -> DataFrame:
             """The parent side of a gate leg, restricted to the window's
             referenced values. When the FK targets the parent's key (the
-            reference's FK shape, and the overwhelmingly common one), the
-            referenced values ride BELOW the parent's MOR resolution via
-            ``key_filter`` — the gate resolves O(window) parent keys, never
-            the whole parent table (a dimension can be 10^8 rows at 100 TB;
-            a superset of referenced keys is sound: extra parent keys
-            resolve and the anti-join ignores them). Composite-keyed or
-            non-key-referencing parents keep the full live read."""
+            reference's FK shape, and the overwhelmingly common one) AND
+            the parent is large, the referenced values ride BELOW the
+            parent's MOR resolution via ``key_filter`` — the gate resolves
+            O(window) parent keys, never the whole parent table (a
+            dimension can be 10^8 rows at 100 TB; a superset of referenced
+            keys is sound: extra parent keys resolve and the anti-join
+            ignores them). Small parents (live rows from snapshot metadata
+            under ``gate_keyfilter_min_rows``), composite-keyed, and
+            non-key-referencing parents keep the full live read — resolving
+            a small dimension whole is one cheap job, cheaper than the
+            filter's own setup.
+
+            ``materialize`` — True when ``ref_vals`` is a non-trivial plan
+            (the insert leg derives it from the child's own keyed MOR
+            probe): it must become a small CONCRETE frame (localCheckpoint)
+            before riding the parent's broadcast, or the child probe
+            subtree is inlined — and re-evaluated — inside the parent's
+            plan, which measurably wedges the optimizer at real window
+            counts. The delete leg's values come from the persisted window
+            frame and skip the extra job."""
             pjob = self.jobs[e.parent]
             psnap = (synthetic or {}).get(e.parent) or pjob.table.snapshot()
-            if psnap["key_cols"] == [e.parent_key]:
-                kf = F.broadcast(
-                    ref_vals.select(F.col(ref_vals.columns[0]).alias(e.parent_key))
-                )
-                return live(pjob, e.parent, key_filter=kf)
-            return live(pjob, e.parent)
+            live_rows = sum(g.get("rows", 0) for g in psnap["file_groups"])
+            if (
+                psnap["key_cols"] != [e.parent_key]
+                or live_rows < self.gate_keyfilter_min_rows
+            ):
+                return live(pjob, e.parent)
+            kf = ref_vals.select(F.col(ref_vals.columns[0]).alias(e.parent_key))
+            if materialize:
+                kf = kf.localCheckpoint(eager=True)
+            return live(pjob, e.parent, key_filter=F.broadcast(kf))
 
         def tagged(df: DataFrame, violation: str) -> DataFrame:
             return df.limit(5).select(
@@ -590,7 +621,9 @@ class DagApplyJob:
                     tagged(
                         fk_orphans(
                             refs,
-                            parent_probe(e, refs.select(e.fk_col).distinct()),
+                            parent_probe(
+                                e, refs.select(e.fk_col).distinct(), materialize=True
+                            ),
                             e.fk_col,
                             e.parent_key,
                         ),
@@ -611,7 +644,9 @@ class DagApplyJob:
             # liveness of exactly the deleted keys — same key_filter
             # restriction as the insert leg's parent probe
             still_absent = deleted.join(
-                parent_probe(e, deleted).select(F.col(e.parent_key).alias(e.fk_col)),
+                parent_probe(e, deleted, materialize=False).select(
+                    F.col(e.parent_key).alias(e.fk_col)
+                ),
                 [e.fk_col],
                 "left_anti",
             )

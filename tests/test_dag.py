@@ -729,3 +729,58 @@ def test_dag_pre_gate_parent_delete_prevented(spark, tmp_root):
         dag.run_incremental(log, ckpt, batch_lsns=4)  # the delete window
     # the delete was PREVENTED: department row still live
     assert jobs["department"].table.read().count() == 1
+
+
+def test_dag_gate_keyfiltered_parent_probe(spark, tmp_root, cog_events):
+    """``gate_keyfilter_min_rows = 0`` forces the large-parent path: both
+    gate legs read parents through a MATERIALIZED-then-broadcast key
+    filter below the MOR resolution. Semantics must be unchanged — a
+    clean stream converges to the oracle, an orphaning insert and an
+    orphaning parent delete both still raise — and the probe keys must be
+    a concrete frame, never the child subtree inlined in the parent's
+    plan (the inlined form wedged Catalyst at bench window counts; see
+    parent_probe's docstring)."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    dag.gate_keyfilter_min_rows = 0
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=40
+    )
+    oracle = expected_cog_state(cog_events)
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D999", "name": "X", "population": 10}),
+        ]
+    )
+    log2 = _write_log(spark, os.path.join(tmp_root, "bad"), ev)
+    os.makedirs(os.path.join(tmp_root, "badt"), exist_ok=True)
+    _, dag2 = _mk_dag(spark, os.path.join(tmp_root, "badt"))
+    dag2.gate_keyfilter_min_rows = 0
+    with pytest.raises(FKViolation, match="D999"):
+        dag2.run_incremental(
+            log2, CheckpointStore(os.path.join(tmp_root, "c2.json")), batch_lsns=100
+        )
+
+    ev3 = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("D", "department", {"code": "D000"}),
+        ]
+    )
+    log3 = _write_log(spark, os.path.join(tmp_root, "del"), ev3)
+    os.makedirs(os.path.join(tmp_root, "delt"), exist_ok=True)
+    _, dag3 = _mk_dag(spark, os.path.join(tmp_root, "delt"))
+    dag3.gate_keyfilter_min_rows = 0
+    with pytest.raises(FKViolation, match="orphaned"):
+        dag3.run_incremental(
+            log3, CheckpointStore(os.path.join(tmp_root, "c3.json")), batch_lsns=4
+        )
