@@ -149,6 +149,24 @@ class SecondaryIndex:
             df = df.filter(F.col(c).eqNullSafe(F.lit(v)))
         return df.select(*keys)
 
+    def search_in(self, column: str, values: DataFrame) -> DataFrame:
+        """Set-probe twin of :meth:`search`: key tuples whose indexed
+        ``column`` equals ANY value in ``values`` (the frame's first
+        column). The probe side is broadcast and the scan side is the
+        NARROW index read — at a wide 100-TB source this is the
+        difference between scanning a few key+value columns and the full
+        table width (the DAG FK gate's parent-delete leg uses this to
+        find candidate referrers of a deleted dimension key set)."""
+        if column not in self.columns:
+            raise ValueError(f"{column!r} not in indexed columns {self.columns!r}")
+        keys = self.source.snapshot()["key_cols"]
+        probe = values.select(F.col(values.columns[0]).alias(column)).distinct()
+        return (
+            self.table.read()
+            .join(F.broadcast(probe), [column], "left_semi")
+            .select(*keys)
+        )
+
     def rows(self, **equals) -> DataFrame:
         """Full SOURCE rows matching the indexed predicate: index search
         → bucket-restricted source scan → left-semi join on the keys.

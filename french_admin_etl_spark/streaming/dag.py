@@ -120,6 +120,7 @@ class DagApplyJob:
         on_violation: str = "halt",
         max_stage_threads: int = 8,
         gate: str = "post",
+        fk_indexes: dict | None = None,
     ):
         """``on_violation``: 'halt' (default) raises :class:`FKViolation`
         and leaves the checkpoint behind the window (poison windows
@@ -143,7 +144,22 @@ class DagApplyJob:
           advances (rewind the checkpoint to reprocess after repairing
           upstream). Windows that fall back to the sequential path
           (SCHEMA events / COW tables) gate post-commit regardless and
-          say so in the result."""
+          say so in the result.
+
+        ``fk_indexes``: ``{(child, fk_col): (SecondaryIndex, CheckpointStore)}``
+        — opt-in scale path for the gate's parent-delete leg. Without an
+        index, checking that a deleted parent key left no referrers
+        requires scanning the WHOLE child table each delete window (the
+        referrers can live in any bucket — the child is bucketed by its
+        own key, not the FK). With a :class:`SecondaryIndex` over the FK
+        column, the leg instead probes the narrow, CDC-maintained index
+        for candidate referrer keys and verifies exactly those keys
+        against the live child via the keyed read — O(index-narrow-scan +
+        candidates), never the child's full width. The gate keeps the
+        index fresh itself: one cascade sync per gated window per index
+        (O(changed rows), fenced, resync-on-folded-window — all cascade
+        semantics), so the probe is always consistent with the state the
+        gate asserts over."""
         if on_violation not in ("halt", "record"):
             raise ValueError("on_violation must be 'halt' or 'record'")
         if gate not in ("post", "pre"):
@@ -174,6 +190,19 @@ class DagApplyJob:
             for t in (e.child, e.parent):
                 if t not in jobs:
                     raise ValueError(f"FK edge references unknown table {t!r}")
+        self.fk_indexes = dict(fk_indexes or {})
+        edge_pairs = {(e.child, e.fk_col) for e in edges}
+        for pair, (idx, _ck) in self.fk_indexes.items():
+            if pair not in edge_pairs:
+                raise ValueError(f"fk_indexes key {pair!r} matches no FK edge")
+            if pair[1] not in idx.columns:
+                raise ValueError(
+                    f"index for {pair!r} does not cover column {pair[1]!r}"
+                )
+            if idx.source.root != jobs[pair[0]].table.root:
+                raise ValueError(
+                    f"index for {pair!r} is not built over table {pair[0]!r}"
+                )
         self.order = self._topo_order()
 
     def _topo_order(self) -> list[str]:
@@ -516,6 +545,19 @@ class DagApplyJob:
         groups. Every read below then sees the WOULD-BE published state,
         so the same assertion prevents instead of detects."""
 
+        # keep configured FK indexes fresh BEFORE planning any leg: one
+        # cascade sync per present child per window — O(changed rows),
+        # fenced, falls back to full resync on a folded window (cascade
+        # semantics). gate='post': index then covers this window too;
+        # gate='pre': it covers through the previous window and the
+        # window's own events come from ``typed`` — either way the
+        # candidate union below is a superset of every possible live
+        # referrer, and the keyed verify read prunes it exactly.
+        for (child, _fk), (idx, ck) in self.fk_indexes.items():
+            if child in typed:
+                idx.sync(ck)
+        self.last_gate_delete_paths = {}
+
         def has(table: str, *which: str) -> bool:
             return ops is None or any((table, op) in ops for op in which)
 
@@ -650,10 +692,35 @@ class DagApplyJob:
                 [e.fk_col],
                 "left_anti",
             )
+            idx_entry = self.fk_indexes.get((e.child, e.fk_col))
+            if idx_entry is not None:
+                # index path: candidate referrer keys = narrow-index hits
+                # for the deleted values ∪ every key this window touched
+                # (intra-window FK changes are not yet in the index under
+                # gate='pre'; under 'post' the union is redundant but
+                # harmless — superset-then-verify). The union is
+                # MATERIALIZED before riding the keyed read's broadcast
+                # (same rule as parent_probe: concrete frames only).
+                idx, _ck = idx_entry
+                ckeys = self.jobs[e.child].keys
+                cands = idx.search_in(e.fk_col, deleted)
+                if e.child in typed:
+                    cands = cands.unionByName(
+                        typed[e.child]
+                        .filter(F.col("op").isin("I", "U"))
+                        .select(*ckeys)
+                    )
+                cands = cands.distinct().localCheckpoint(eager=True)
+                referrers = live(
+                    child_job, e.child, key_filter=F.broadcast(cands)
+                )
+                self.last_gate_delete_paths[(e.child, e.fk_col)] = "index"
+            else:
+                referrers = live(child_job, e.child)
+                self.last_gate_delete_paths[(e.child, e.fk_col)] = "scan"
             legs.append(
                 tagged(
-                    live(child_job, e.child)
-                    .filter(F.col(e.fk_col).isNotNull())
+                    referrers.filter(F.col(e.fk_col).isNotNull())
                     .join(F.broadcast(still_absent), [e.fk_col], "left_semi"),
                     f"deleting {e.parent} rows orphaned {e.child} rows via {e.fk_col}",
                 )

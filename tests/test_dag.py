@@ -784,3 +784,141 @@ def test_dag_gate_keyfiltered_parent_probe(spark, tmp_root, cog_events):
         dag3.run_incremental(
             log3, CheckpointStore(os.path.join(tmp_root, "c3.json")), batch_lsns=4
         )
+
+
+def _mk_dag_with_fk_index(spark, tmp_root, **dag_kwargs):
+    """DAG whose commune.department_code edge is backed by a
+    SecondaryIndex (the O(index + candidates) parent-delete gate path)."""
+    from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    idx = SecondaryIndex.create(
+        spark, jobs["commune"].table, os.path.join(tmp_root, "fkidx"),
+        ["department_code"], writer_id="gatefk",
+    )
+    ck = CheckpointStore(os.path.join(tmp_root, "fkidx_ck.json"))
+    dag = DagApplyJob(
+        jobs, EDGES, writer_id="dag",
+        fk_indexes={("commune", "department_code"): (idx, ck)},
+        **dag_kwargs,
+    )
+    return jobs, dag, idx
+
+
+def test_dag_fk_index_delete_leg_detects_orphans(spark, tmp_root):
+    """With a SecondaryIndex on the FK column, the parent-delete leg
+    probes the narrow index instead of scanning the child table — and
+    still detects: a referrer inserted WINDOWS AGO (visible only via the
+    index) and a referrer inserted IN the delete window (visible only via
+    ``typed``) must both raise."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "department", {"code": "D001", "region_code": "REG00", "name": "E"}),
+            # old referrer: lands two windows before the delete
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("U", "commune", {"code": "C1", "department_code": "D000", "name": "X2", "population": 11}),
+            ("D", "department", {"code": "D000"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag, idx = _mk_dag_with_fk_index(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    with pytest.raises(FKViolation, match="orphaned"):
+        dag.run_incremental(log, ckpt, batch_lsns=2)  # 3 windows: the delete is alone in window 3
+    assert dag.last_gate_delete_paths[("commune", "department_code")] == "index"
+
+    # same-window referrer: insert + orphaning delete in ONE window
+    ev2 = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C9", "department_code": "D000", "name": "Y", "population": 5}),
+            ("D", "department", {"code": "D000"}),
+        ]
+    )
+    root2 = os.path.join(tmp_root, "w2")
+    os.makedirs(root2, exist_ok=True)
+    log2 = _write_log(spark, root2, ev2)
+    jobs2, dag2, _ = _mk_dag_with_fk_index(spark, root2)
+    ckpt2 = CheckpointStore(os.path.join(root2, "c.json"))
+    dag2.run_incremental(log2, ckpt2, batch_lsns=2, max_batches=1)  # bootstrap window
+    with pytest.raises(FKViolation, match="orphaned"):
+        dag2.run_incremental(log2, ckpt2, batch_lsns=2)
+    assert dag2.last_gate_delete_paths[("commune", "department_code")] == "index"
+
+
+def test_dag_fk_index_clean_stream_matches_oracle(spark, tmp_root, cog_events):
+    """A clean stream through the index-backed gate converges to the
+    same oracle state as the scan-backed gate, the index stays in sync
+    with the commune table (cascade fenced per window), and non-orphaning
+    parent deletes pass the index probe without raising."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag, idx = _mk_dag_with_fk_index(spark, tmp_root)
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=40
+    )
+    oracle = expected_cog_state(cog_events)
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+    assert dag.deep_fk_check() == {
+        "department.region_code->region.code": 0,
+        "commune.department_code->department.code": 0,
+    }
+    # the gate-maintained index mirrors the live (code, department_code)
+    live = {
+        (r["code"], r["department_code"])
+        for r in jobs["commune"].table.read().select("code", "department_code").collect()
+    }
+    indexed = {
+        (r["code"], r["department_code"])
+        for r in idx.table.read().collect()
+    }
+    assert indexed == live
+
+
+def test_dag_fk_indexes_validation(spark, tmp_root):
+    from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    idx = SecondaryIndex.create(
+        spark, jobs["commune"].table, os.path.join(tmp_root, "i1"), ["department_code"]
+    )
+    ck = CheckpointStore(os.path.join(tmp_root, "i1.json"))
+    with pytest.raises(ValueError, match="matches no FK edge"):
+        DagApplyJob(jobs, EDGES, fk_indexes={("commune", "name"): (idx, ck)})
+    idx2 = SecondaryIndex.create(
+        spark, jobs["commune"].table, os.path.join(tmp_root, "i2"), ["name"]
+    )
+    with pytest.raises(ValueError, match="does not cover"):
+        DagApplyJob(
+            jobs, EDGES,
+            fk_indexes={("commune", "department_code"): (idx2, ck)},
+        )
+    other = LakeTable.create(
+        spark, os.path.join(tmp_root, "communeB"), COMMUNE, ["code"],
+        num_buckets=4, write_mode="mor",
+    )
+    idx3 = SecondaryIndex.create(
+        spark, other, os.path.join(tmp_root, "i3"), ["department_code"]
+    )
+    with pytest.raises(ValueError, match="not built over"):
+        DagApplyJob(
+            jobs, EDGES,
+            fk_indexes={("commune", "department_code"): (idx3, ck)},
+        )
