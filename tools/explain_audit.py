@@ -426,6 +426,35 @@ def main() -> None:
               ["CartesianProduct", "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"])
         sections.append(("Keyed probe (key_filter below MOR resolution)", p))
 
+    # 22. FK-index set probe (the gate delete leg's candidate lookup):
+    #     a broadcast semi join against the NARROW index read — never a
+    #     scan of the wide source table, never a shuffle join
+    with tempfile.TemporaryDirectory(prefix="audit_fkidx_") as td:
+        from pyspark.sql import types as _T
+
+        from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+        from french_admin_etl_spark.streaming.checkpoint import CheckpointStore as _CS
+
+        src = LakeTable.create(
+            spark, os.path.join(td, "src"),
+            _T.StructType([_T.StructField("id", _T.LongType()),
+                           _T.StructField("fk", _T.StringType()),
+                           _T.StructField("wide", _T.StringType())]),
+            ["id"], num_buckets=2, write_mode="mor",
+        )
+        mk2 = lambda rows: spark.createDataFrame(
+            rows, "lsn long, op string, id long, fk string, wide string")
+        src.merge(mk2([(1, "I", 1, "a", "w1"), (2, "I", 2, "b", "w2")]), batch_id=0)
+        sidx = SecondaryIndex.create(spark, src, os.path.join(td, "idx"), ["fk"])
+        sidx.sync(_CS(os.path.join(td, "ck.json")))
+        vals = spark.createDataFrame([("a",)], "fk string")
+        p = plan_of(sidx.search_in("fk", vals))
+        check("fk-index set probe: broadcast semi join on the narrow index", p,
+              ["LeftSemi", "BroadcastExchange"],
+              ["wide", "CartesianProduct", "SortMergeJoin",
+               "BatchEvalPython", "ArrowEvalPython"])
+        sections.append(("FK-index set probe (gate delete-leg candidates)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
