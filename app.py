@@ -176,10 +176,31 @@ def cmd_dag(args) -> None:
         jobs[name] = CDCApplyJob(
             spark, table, merge_mode=t.get("merge_mode", "overwrite")
         )
+    fk_indexes = {}
+    for child, fk_col in spec.get("fk_indexes") or []:
+        # narrow CDC-maintained index backing the gate's parent-delete
+        # leg (O(index + candidates) instead of a full child scan); the
+        # DAG syncs it per gated window via the paired checkpoint
+        from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+
+        iroot = os.path.join(args.table_root, f"_fkidx_{child}_{fk_col}")
+        if LakeTable.exists(iroot):
+            idx = SecondaryIndex(jobs[child].table, LakeTable(spark, iroot), [fk_col])
+        else:
+            idx = SecondaryIndex.create(spark, jobs[child].table, iroot, [fk_col])
+        fk_indexes[(child, fk_col)] = (
+            idx,
+            CheckpointStore(
+                os.path.join(args.checkpoint, f"fkidx_{child}_{fk_col}.json")
+            ),
+        )
     dag = DagApplyJob(
         jobs,
         [FKEdge(*e) for e in spec.get("edges", [])],
         writer_id=args.writer_id,
+        gate=args.gate,
+        on_violation=args.on_violation,
+        fk_indexes=fk_indexes,
     )
     log = MultiTableLog(spark, args.log_dir)
     if args.stream:
@@ -417,12 +438,17 @@ def main() -> None:
     gp.add_argument("--table-root", required=True,
                     help="parent dir; each table lives at <root>/<name>")
     gp.add_argument("--tables-json", required=True,
-                    help="JSON spec: tables {name: {schema, keys[, merge_mode]}}, edges [[child, fk, parent, pk], ...]")
+                    help="JSON spec: tables {name: {schema, keys[, merge_mode]}}, "
+                         "edges [[child, fk, parent, pk], ...], "
+                         "fk_indexes [[child, fk], ...] (opt-in narrow index for the delete gate)")
     gp.add_argument("--checkpoint", required=True)
     gp.add_argument("--batch-lsns", type=int, default=1_000_000)
     gp.add_argument("--num-buckets", type=int, default=32)
     gp.add_argument("--write-mode", choices=["cow", "mor"], default=None)
     gp.add_argument("--writer-id", default="dag")
+    gp.add_argument("--gate", choices=["post", "pre"], default="post",
+                    help="FK gate placement: detect post-commit or prevent pre-commit (WAP)")
+    gp.add_argument("--on-violation", choices=["halt", "record"], default="halt")
     gp.add_argument("--stream", action="store_true",
                     help="Structured Streaming driver (availableNow over sealed segments)")
     gp.add_argument("--cores", type=int, default=None)

@@ -6,6 +6,7 @@ import os
 import sys
 
 import pandas as pd
+import pytest
 
 from french_admin_etl_spark.sources.envelope_log import ENVELOPE_SCHEMA
 from french_admin_etl_spark.table.lake_table import LakeTable
@@ -248,3 +249,61 @@ def test_maintain_clone_flag(spark, tmp_root, monkeypatch, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["cloned_to"] == dest and rep["clone_deep"] is False
     assert {r["k"] for r in LakeTable(spark, dest).read().collect()} == {"a"}
+
+
+def test_dag_subcommand_fk_index_spec(spark, tmp_root, monkeypatch):
+    """A ``fk_indexes`` entry in the tables spec creates (or reopens) the
+    narrow FK index under the table root, the gate maintains it per
+    window, and an orphaning delete still halts the CLI run."""
+    sys.path.insert(0, REPO)
+    import app
+
+    rows = [
+        (1, "I", "region", json.dumps({"code": "R1", "name": "A"})),
+        (2, "I", "department", json.dumps({"code": "D1", "region_code": "R1", "name": "B"})),
+        (3, "D", "region", json.dumps({"code": "R1"})),
+    ]
+    ev = pd.DataFrame(
+        {
+            "lsn": [r[0] for r in rows],
+            "ts": pd.Timestamp("2024-01-01"),
+            "op": [r[1] for r in rows],
+            "table": [r[2] for r in rows],
+            "payload": [r[3] for r in rows],
+            "schema_version": 1,
+            "props": None,
+        }
+    )
+    spark.createDataFrame(ev, schema=ENVELOPE_SCHEMA).write.parquet(
+        os.path.join(tmp_root, "mlog")
+    )
+    spec = {
+        "tables": {
+            "region": {"schema": "code string, name string", "keys": ["code"]},
+            "department": {
+                "schema": "code string, region_code string, name string",
+                "keys": ["code"],
+            },
+        },
+        "edges": [["department", "region_code", "region", "code"]],
+        "fk_indexes": [["department", "region_code"]],
+    }
+    spec_path = os.path.join(tmp_root, "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    argv = ["app.py", "dag", "--log-dir", os.path.join(tmp_root, "mlog"),
+            "--table-root", os.path.join(tmp_root, "t"),
+            "--tables-json", spec_path,
+            "--checkpoint", os.path.join(tmp_root, "ck"),
+            "--num-buckets", "2", "--cores", "4",
+            "--batch-lsns", "2"]
+    monkeypatch.setattr(sys, "argv", argv)
+    from french_admin_etl_spark.streaming.dag import FKViolation
+
+    with pytest.raises(FKViolation, match="orphaned"):
+        app.main()
+    # index table was created under the table root and mirrors window 1
+    idx = LakeTable(spark, os.path.join(tmp_root, "t", "_fkidx_department_region_code"))
+    assert [r.asDict() for r in idx.read().collect()] == [
+        {"code": "D1", "region_code": "R1"}
+    ]
