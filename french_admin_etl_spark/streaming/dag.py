@@ -191,6 +191,9 @@ class DagApplyJob:
                 if t not in jobs:
                     raise ValueError(f"FK edge references unknown table {t!r}")
         self.fk_indexes = dict(fk_indexes or {})
+        # introspection for tests/ops: which path the last gate's delete
+        # legs took, {(child, fk_col): 'index' | 'scan'}
+        self.last_gate_delete_paths: dict = {}
         edge_pairs = {(e.child, e.fk_col) for e in edges}
         for pair, (idx, _ck) in self.fk_indexes.items():
             if pair not in edge_pairs:
