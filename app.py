@@ -177,10 +177,17 @@ def cmd_dag(args) -> None:
             spark, table, merge_mode=t.get("merge_mode", "overwrite")
         )
     fk_indexes = {}
+    edge_pairs = {(e[0], e[1]) for e in spec.get("edges", [])}
     for child, fk_col in spec.get("fk_indexes") or []:
         # narrow CDC-maintained index backing the gate's parent-delete
         # leg (O(index + candidates) instead of a full child scan); the
-        # DAG syncs it per gated window via the paired checkpoint
+        # DAG syncs it per gated window via the paired checkpoint.
+        # Validate BEFORE creating: a bad spec entry must fail clean, not
+        # leave a stray _fkidx_* table behind for later runs to reopen
+        if child not in jobs:
+            raise ValueError(f"fk_indexes entry {[child, fk_col]!r}: unknown table {child!r}")
+        if (child, fk_col) not in edge_pairs:
+            raise ValueError(f"fk_indexes entry {[child, fk_col]!r} matches no FK edge")
         from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
 
         iroot = os.path.join(args.table_root, f"_fkidx_{child}_{fk_col}")

@@ -160,12 +160,14 @@ class SecondaryIndex:
         if column not in self.columns:
             raise ValueError(f"{column!r} not in indexed columns {self.columns!r}")
         keys = self.source.snapshot()["key_cols"]
-        probe = values.select(F.col(values.columns[0]).alias(column)).distinct()
-        return (
-            self.table.read()
-            .join(F.broadcast(probe), [column], "left_semi")
-            .select(*keys)
-        )
+        probe = values.select(F.col(values.columns[0]).alias(f"_probe_{column}")).distinct()
+        idx = self.table.read()
+        # null-safe like search(): a NULL probe value matches IS NULL rows
+        return idx.join(
+            F.broadcast(probe),
+            idx[column].eqNullSafe(probe[f"_probe_{column}"]),
+            "left_semi",
+        ).select(*keys)
 
     def rows(self, **equals) -> DataFrame:
         """Full SOURCE rows matching the indexed predicate: index search

@@ -549,16 +549,23 @@ class DagApplyJob:
         so the same assertion prevents instead of detects."""
 
         # keep configured FK indexes fresh BEFORE planning any leg: one
-        # cascade sync per present child per window — O(changed rows),
+        # cascade sync per index per gated window — O(changed rows),
         # fenced, falls back to full resync on a folded window (cascade
-        # semantics). gate='post': index then covers this window too;
-        # gate='pre': it covers through the previous window and the
-        # window's own events come from ``typed`` — either way the
-        # candidate union below is a superset of every possible live
-        # referrer, and the keyed verify read prunes it exactly.
-        for (child, _fk), (idx, ck) in self.fk_indexes.items():
-            if child in typed:
-                idx.sync(ck)
+        # semantics), and a pure metadata no-op when the child hasn't
+        # committed since the last sync. The sync runs UNCONDITIONALLY —
+        # not only when the child has events in this window: under
+        # gate='pre' the sync sees only COMMITTED state (this window's
+        # child commits are still staged), so the index is brought up to
+        # date by the NEXT window's gate — which may be a delete-only
+        # window with no child events at all (reviewer finding: the
+        # child-presence condition left the index one window behind
+        # forever and a delete-only window then passed orphaning deletes
+        # the scan path would have caught). gate='post': index covers
+        # this window too. Either way the candidate union below is a
+        # superset of every possible live referrer, and the keyed verify
+        # read prunes it exactly.
+        for (_child, _fk), (idx, ck) in self.fk_indexes.items():
+            idx.sync(ck)
         self.last_gate_delete_paths = {}
 
         def has(table: str, *which: str) -> bool:

@@ -922,3 +922,48 @@ def test_dag_fk_indexes_validation(spark, tmp_root):
             jobs, EDGES,
             fk_indexes={("commune", "department_code"): (idx3, ck)},
         )
+
+
+def test_dag_fk_index_pre_gate_delete_only_window(spark, tmp_root):
+    """gate='pre' + fk_indexes, orphaning delete ALONE in its window: the
+    gate's index sync runs unconditionally, so the index covers the
+    previous window's committed referrers even though the delete window
+    carries no child events — the violation must still be prevented
+    (reviewer finding: a child-presence condition on the sync left the
+    index one window behind forever and this exact stream passed)."""
+    from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("D", "department", {"code": "D000"}),  # alone in window 2
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    idx = SecondaryIndex.create(
+        spark, jobs["commune"].table, os.path.join(tmp_root, "fkidx"),
+        ["department_code"],
+    )
+    dag = DagApplyJob(
+        jobs, EDGES, writer_id="dag", gate="pre",
+        fk_indexes={
+            ("commune", "department_code"):
+                (idx, CheckpointStore(os.path.join(tmp_root, "fkidx_ck.json")))
+        },
+    )
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    dag.run_incremental(log, ckpt, batch_lsns=3, max_batches=1)  # consistent window 1
+    with pytest.raises(FKViolation, match="orphaned"):
+        dag.run_incremental(log, ckpt, batch_lsns=3)
+    assert dag.last_gate_delete_paths[("commune", "department_code")] == "index"
+    # gate='pre' PREVENTED the delete: department row still live
+    assert jobs["department"].table.read().count() == 1

@@ -199,3 +199,35 @@ def test_index_accelerated_delete(spark, rig):
         source.delete_where()
     with _pytest.raises(ValueError, match="lacks key"):
         source.delete_where(keys_df=idx.search(lang="py").select("repo"))
+
+
+def test_search_in_null_safe(spark, tmp_root):
+    """search_in matches NULL probe values against IS NULL rows — the
+    same eqNullSafe semantics as search()."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "src"),
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("fk", T.StringType())]),
+        ["id"], num_buckets=2, write_mode="mor",
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(1, "I", 1, "a"), (2, "I", 2, None), (3, "I", 3, "b")],
+            "lsn long, op string, id long, fk string",
+        ),
+        batch_id=0,
+    )
+    idx = SecondaryIndex.create(spark, src, os.path.join(tmp_root, "idx"), ["fk"])
+    idx.sync(CheckpointStore(os.path.join(tmp_root, "ck.json")))
+    probe = spark.createDataFrame([("a",), (None,)], "fk string")
+    got = sorted(r["id"] for r in idx.search_in("fk", probe).collect())
+    assert got == [1, 2]
+    assert sorted(r["id"] for r in idx.search(fk=None).collect()) == [2]
