@@ -213,3 +213,120 @@ def test_restore_reproduces_every_historical_state(spark, tmp_root, seed):
     # and every checkpoint is still time-travel-readable post-restore
     for v, exp in checkpoints:
         assert {r["k"]: r["v"] for r in t.read(version=v).collect()} == exp
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_fk_index_gate_equals_scan_gate(spark, tmp_root, seed):
+    """The FK-index-backed parent-delete gate is observationally
+    equivalent to the full-scan gate: over the same randomized envelope
+    stream — FK-consistent waves plus injected orphaning deletes — both
+    dags (gate='post', on_violation='record') record violations for the
+    SAME windows, and the final table states are identical."""
+    import json as _json
+
+    import pandas as pd
+
+    from french_admin_etl_spark.datagen import gen_cog_events
+    from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
+    from french_admin_etl_spark.sources.envelope_log import ENVELOPE_SCHEMA, MultiTableLog
+    from french_admin_etl_spark.streaming.apply import CDCApplyJob
+    from french_admin_etl_spark.streaming.checkpoint import CheckpointStore
+    from french_admin_etl_spark.streaming.dag import DagApplyJob, FKEdge
+    from pyspark.sql import types as T
+
+    rng = random.Random(seed)
+    ev = gen_cog_events(
+        n_regions=3, n_departments=8, n_communes=60, n_updates=200, seed=seed
+    )
+    # inject an orphaning delete: drop a department that still has live
+    # communes, at a random point in the back half of the stream
+    dept_codes = sorted(
+        {
+            _json.loads(p)["department_code"]
+            for op, t, p in zip(ev["op"], ev["table"], ev["payload"])
+            if t == "commune" and op in ("I", "U") and p is not None
+        }
+    )
+    victim = rng.choice(dept_codes)
+    cut = rng.randrange(len(ev) // 2, len(ev))
+    inj = pd.DataFrame(
+        {
+            "lsn": [0], "ts": pd.Timestamp("2024-06-01"), "op": ["D"],
+            "table": ["department"], "payload": [_json.dumps({"code": victim})],
+            "schema_version": 1, "props": None,
+        }
+    )
+    ev = pd.concat([ev.iloc[:cut], inj, ev.iloc[cut:]], ignore_index=True)
+    ev["lsn"] = range(1, len(ev) + 1)
+
+    schemas = {
+        "region": T.StructType(
+            [T.StructField("code", T.StringType()), T.StructField("name", T.StringType())]
+        ),
+        "department": T.StructType(
+            [
+                T.StructField("code", T.StringType()),
+                T.StructField("region_code", T.StringType()),
+                T.StructField("name", T.StringType()),
+            ]
+        ),
+        "commune": T.StructType(
+            [
+                T.StructField("code", T.StringType()),
+                T.StructField("department_code", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("population", T.LongType()),
+            ]
+        ),
+    }
+    edges = [
+        FKEdge("department", "region_code", "region", "code"),
+        FKEdge("commune", "department_code", "department", "code"),
+    ]
+    log_dir = os.path.join(tmp_root, f"mlog{seed}")
+    spark.createDataFrame(ev, schema=ENVELOPE_SCHEMA).write.parquet(log_dir)
+
+    def run(variant: str, use_index: bool):
+        root = os.path.join(tmp_root, f"{variant}{seed}")
+        jobs = {
+            name: CDCApplyJob(
+                spark,
+                LakeTable.create(
+                    spark, os.path.join(root, name), schema, ["code"],
+                    num_buckets=4, write_mode="mor",
+                ),
+            )
+            for name, schema in schemas.items()
+        }
+        fk_indexes = None
+        if use_index:
+            idx = SecondaryIndex.create(
+                spark, jobs["commune"].table, os.path.join(root, "fkidx"),
+                ["department_code"],
+            )
+            fk_indexes = {
+                ("commune", "department_code"):
+                    (idx, CheckpointStore(os.path.join(root, "fkidx_ck.json")))
+            }
+        dag = DagApplyJob(
+            jobs, edges, writer_id="dag", on_violation="record",
+            fk_indexes=fk_indexes,
+        )
+        results = dag.run_incremental(
+            MultiTableLog(spark, log_dir),
+            CheckpointStore(os.path.join(root, "ck.json")),
+            batch_lsns=60,
+        )
+        states = {
+            n: sorted(
+                tuple(r) for r in jobs[n].table.read().collect()
+            )
+            for n in schemas
+        }
+        return [(r.batch_id, len(r.violations)) for r in results], states
+
+    v_scan, s_scan = run("scan", use_index=False)
+    v_idx, s_idx = run("idx", use_index=True)
+    assert v_idx == v_scan
+    assert sum(n for _, n in v_idx) >= 1  # the injected orphan was caught
+    assert s_idx == s_scan
