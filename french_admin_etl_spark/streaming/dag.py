@@ -104,6 +104,7 @@ class WindowResult:
     hi: int
     tables: dict[str, BatchResult] = field(default_factory=dict)
     violations: list[str] = field(default_factory=list)
+    gate_ms: int = 0
 
 
 class FKViolation(AssertionError):
@@ -336,12 +337,15 @@ class DagApplyJob:
                         typed[name], batch_id, fence_writer=f"{ns}.{name}"
                     )
             if self.fk_check and not gated:
+                g0 = time.monotonic()
                 try:
                     self._check_window(typed, ops, gate_buckets)
                 except FKViolation as exc:
                     if self.on_violation == "halt":
                         raise
                     res.violations.append(str(exc))
+                finally:
+                    res.gate_ms = int((time.monotonic() - g0) * 1000)
         finally:
             if not we_cached:
                 window.unpersist()
@@ -475,9 +479,12 @@ class DagApplyJob:
                 synthetic[name] = synth
                 if synth["num_buckets"] == st["nb"]:
                     pre_buckets[name] = sorted({g["bucket"] for g in st["groups"]})
+            g0 = time.monotonic()
             try:
                 self._check_window(typed, ops, pre_buckets, synthetic)
+                res.gate_ms = int((time.monotonic() - g0) * 1000)
             except FKViolation as exc:
+                res.gate_ms = int((time.monotonic() - g0) * 1000)
                 if self.on_violation == "halt":
                     raise
                 res.violations.append(str(exc))

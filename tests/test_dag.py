@@ -967,3 +967,16 @@ def test_dag_fk_index_pre_gate_delete_only_window(spark, tmp_root):
     assert dag.last_gate_delete_paths[("commune", "department_code")] == "index"
     # gate='pre' PREVENTED the delete: department row still live
     assert jobs["department"].table.read().count() == 1
+
+
+def test_dag_window_result_records_gate_wall(spark, tmp_root, cog_events):
+    """Every gated window reports its FK-gate wall time — the per-window
+    observability an operator sizes windows with (the gate is the
+    dominant fixed cost after the fast-path stage fusion)."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    results = dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=150
+    )
+    gated = [r for r in results if any(t in r.tables for t in ("department", "commune"))]
+    assert gated and all(r.gate_ms > 0 for r in gated)
