@@ -148,7 +148,11 @@ class DagApplyJob:
           say so in the result.
 
         ``fk_indexes``: ``{(child, fk_col): (SecondaryIndex, CheckpointStore)}``
-        — opt-in scale path for the gate's parent-delete leg. Without an
+        — opt-in scale path for the gate's parent-delete leg (the lake
+        analog of the btree Postgres plants under the reference's FK
+        constraints, ``migrations/000003_create_base_tables_ref_admin.up
+        .sql:28,63-65`` — there the database probes an index on delete;
+        here the engine maintains and probes its own). Without an
         index, checking that a deleted parent key left no referrers
         requires scanning the WHOLE child table each delete window (the
         referrers can live in any bucket — the child is bucketed by its
