@@ -757,13 +757,30 @@ class DagApplyJob:
                 "; ".join(f"{r['violation']}; sample: {r['sample']}" for r in found)
             )
 
-    def deep_fk_check(self) -> dict[str, int]:
+    def deep_fk_check(self, use_indexes: bool = False) -> dict[str, int]:
         """Whole-table FK audit (the reference's declarative constraint as
-        an assertion): orphan count per edge; raises on any violation."""
+        an assertion): orphan count per edge; raises on any violation.
+
+        ``use_indexes=True``: edges with a configured FK index audit the
+        INDEX's (key, fk) projection instead of the full-width child read
+        — at a wide 100-TB child that is the difference between scanning
+        a few columns and the whole table. The index is synced first
+        (O(changed rows)), and the audit then trusts the maintained index
+        to mirror the child — exactly-once cascade semantics, with the
+        index-mirrors-live property separately asserted in tests. The
+        default (False) audits the table itself with no structural trust.
+        Edges without an index always take the full read."""
         counts = {}
         for e in self.edges:
+            idx_entry = self.fk_indexes.get((e.child, e.fk_col)) if use_indexes else None
+            if idx_entry is not None:
+                idx, ck = idx_entry
+                idx.sync(ck)
+                child_side = idx.table.read()
+            else:
+                child_side = self.jobs[e.child].table.read()
             n = fk_orphans(
-                self.jobs[e.child].table.read(),
+                child_side,
                 self.jobs[e.parent].table.read(),
                 e.fk_col,
                 e.parent_key,

@@ -980,3 +980,36 @@ def test_dag_window_result_records_gate_wall(spark, tmp_root, cog_events):
     )
     gated = [r for r in results if any(t in r.tables for t in ("department", "commune"))]
     assert gated and all(r.gate_ms > 0 for r in gated)
+
+
+def test_deep_fk_check_via_index(spark, tmp_root, cog_events):
+    """deep_fk_check(use_indexes=True) audits the narrow index projection
+    instead of the full-width child: zeros on a clean stream, and a
+    violation deliberately let through (fk_check=False) is still caught
+    at index cost."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag, idx = _mk_dag_with_fk_index(spark, tmp_root)
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=40
+    )
+    assert set(dag.deep_fk_check(use_indexes=True).values()) == {0}
+
+    # let an orphaning delete through (gate off), then audit
+    ev = _envelope([("D", "department",
+                     {"code": jobs["commune"].table.read()
+                      .select("department_code").first()[0]})])
+    ev["lsn"] = [10**9]
+    root2 = os.path.join(tmp_root, "ung")
+    os.makedirs(root2, exist_ok=True)
+    log2 = _write_log(spark, root2, ev)
+    # fresh writer namespace: the first run's batch-0 fence must not
+    # swallow this second driver's batch 0
+    ungated = DagApplyJob(
+        jobs, EDGES, writer_id="ungated", fk_check=False,
+        fk_indexes=dag.fk_indexes,
+    )
+    ungated.run_incremental(
+        log2, CheckpointStore(os.path.join(tmp_root, "c2.json")), batch_lsns=10**10
+    )
+    with pytest.raises(FKViolation, match="commune.department_code"):
+        ungated.deep_fk_check(use_indexes=True)
