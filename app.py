@@ -191,16 +191,41 @@ def cmd_dag(args) -> None:
         from french_admin_etl_spark.operators.secondary_index import SecondaryIndex
 
         iroot = os.path.join(args.table_root, f"_fkidx_{child}_{fk_col}")
+        ick = CheckpointStore(
+            os.path.join(args.checkpoint, f"fkidx_{child}_{fk_col}.json")
+        )
         if LakeTable.exists(iroot):
+            # reopen sanity check (review finding): if the child table was
+            # dropped and recreated at the same root while the stale index
+            # table + its cascade checkpoint survived, the checkpoint points
+            # at versions of the OLD table — the index would under-report
+            # candidates and the gate's delete leg could miss orphans.
+            # Fail clean and tell the operator; a silent rebuild could mask
+            # an operational mistake (wrong --table-root / --checkpoint).
             idx = SecondaryIndex(jobs[child].table, LakeTable(spark, iroot), [fk_col])
+            csnap, isnap = jobs[child].table.snapshot(), idx.table.snapshot()
+            want_cols = list(csnap["key_cols"]) + [fk_col]
+            have_cols = [
+                f["name"]
+                for f in isnap["schemas"][str(isnap["schema_version"])]["fields"]
+            ]
+            state = ick.load() or {}
+            if (
+                isnap["key_cols"] != csnap["key_cols"]
+                or have_cols != want_cols
+                or state.get("from_version", 0) > csnap["version"]
+            ):
+                raise ValueError(
+                    f"stale fk index at {iroot!r}: index keys/columns "
+                    f"{isnap['key_cols']}/{have_cols} vs expected "
+                    f"{csnap['key_cols']}/{want_cols}, checkpoint from_version "
+                    f"{state.get('from_version', 0)} vs child version "
+                    f"{csnap['version']} — the child table was likely recreated; "
+                    f"delete the index table and its checkpoint to rebuild"
+                )
         else:
             idx = SecondaryIndex.create(spark, jobs[child].table, iroot, [fk_col])
-        fk_indexes[(child, fk_col)] = (
-            idx,
-            CheckpointStore(
-                os.path.join(args.checkpoint, f"fkidx_{child}_{fk_col}.json")
-            ),
-        )
+        fk_indexes[(child, fk_col)] = (idx, ick)
     dag = DagApplyJob(
         jobs,
         [FKEdge(*e) for e in spec.get("edges", [])],

@@ -149,18 +149,32 @@ class SecondaryIndex:
             df = df.filter(F.col(c).eqNullSafe(F.lit(v)))
         return df.select(*keys)
 
-    def search_in(self, column: str, values: DataFrame) -> DataFrame:
+    def search_in(
+        self, column: str, values: DataFrame, probe_col: str | None = None
+    ) -> DataFrame:
         """Set-probe twin of :meth:`search`: key tuples whose indexed
-        ``column`` equals ANY value in ``values`` (the frame's first
-        column). The probe side is broadcast and the scan side is the
-        NARROW index read — at a wide 100-TB source this is the
-        difference between scanning a few key+value columns and the full
-        table width (the DAG FK gate's parent-delete leg uses this to
-        find candidate referrers of a deleted dimension key set)."""
+        ``column`` equals ANY value in ``values``. The probe column is
+        ``probe_col`` if given, else ``values`` must have EXACTLY one
+        column (a silent positional columns[0] pick on a wide frame
+        probed the wrong column with no error — review finding). The
+        probe side is broadcast and the scan side is the NARROW index
+        read — at a wide 100-TB source this is the difference between
+        scanning a few key+value columns and the full table width (the
+        DAG FK gate's parent-delete leg uses this to find candidate
+        referrers of a deleted dimension key set)."""
         if column not in self.columns:
             raise ValueError(f"{column!r} not in indexed columns {self.columns!r}")
+        if probe_col is None:
+            if len(values.columns) != 1:
+                raise ValueError(
+                    f"search_in probe frame has {len(values.columns)} columns "
+                    f"{values.columns!r}; pass probe_col= or a single-column frame"
+                )
+            probe_col = values.columns[0]
+        elif probe_col not in values.columns:
+            raise ValueError(f"probe_col {probe_col!r} not in {values.columns!r}")
         keys = self.source.snapshot()["key_cols"]
-        probe = values.select(F.col(values.columns[0]).alias(f"_probe_{column}")).distinct()
+        probe = values.select(F.col(probe_col).alias(f"_probe_{column}")).distinct()
         idx = self.table.read()
         # null-safe like search(): a NULL probe value matches IS NULL rows
         return idx.join(

@@ -104,7 +104,7 @@ class WindowResult:
     hi: int
     tables: dict[str, BatchResult] = field(default_factory=dict)
     violations: list[str] = field(default_factory=list)
-    gate_ms: int = 0
+    gate_ms: float = 0.0
 
 
 class FKViolation(AssertionError):
@@ -349,7 +349,9 @@ class DagApplyJob:
                         raise
                     res.violations.append(str(exc))
                 finally:
-                    res.gate_ms = int((time.monotonic() - g0) * 1000)
+                    # fractional ms: int() truncation made a sub-ms gate
+                    # read 0 and flake the >0 observability assertion
+                    res.gate_ms = (time.monotonic() - g0) * 1000
         finally:
             if not we_cached:
                 window.unpersist()
@@ -486,9 +488,9 @@ class DagApplyJob:
             g0 = time.monotonic()
             try:
                 self._check_window(typed, ops, pre_buckets, synthetic)
-                res.gate_ms = int((time.monotonic() - g0) * 1000)
+                res.gate_ms = (time.monotonic() - g0) * 1000
             except FKViolation as exc:
-                res.gate_ms = int((time.monotonic() - g0) * 1000)
+                res.gate_ms = (time.monotonic() - g0) * 1000
                 if self.on_violation == "halt":
                     raise
                 res.violations.append(str(exc))
@@ -610,11 +612,15 @@ class DagApplyJob:
             O(window) parent keys, never the whole parent table (a
             dimension can be 10^8 rows at 100 TB; a superset of referenced
             keys is sound: extra parent keys resolve and the anti-join
-            ignores them). Small parents (live rows from snapshot metadata
+            ignores them). Small parents (physical rows from snapshot metadata
             under ``gate_keyfilter_min_rows``), composite-keyed, and
             non-key-referencing parents keep the full live read — resolving
             a small dimension whole is one cheap job, cheaper than the
-            filter's own setup.
+            filter's own setup. The size estimate is PHYSICAL rows from
+            snapshot metadata (for MOR that counts tombstones and
+            superseded delta rows too, so a heavily-deleted small parent
+            can be overcounted into the key-filter path — sound either
+            way, the threshold only picks the cheaper plan).
 
             ``materialize`` — True when ``ref_vals`` is a non-trivial plan
             (the insert leg derives it from the child's own keyed MOR
@@ -626,10 +632,10 @@ class DagApplyJob:
             frame and skip the extra job."""
             pjob = self.jobs[e.parent]
             psnap = (synthetic or {}).get(e.parent) or pjob.table.snapshot()
-            live_rows = sum(g.get("rows", 0) for g in psnap["file_groups"])
+            physical_rows = sum(g.get("rows", 0) for g in psnap["file_groups"])
             if (
                 psnap["key_cols"] != [e.parent_key]
-                or live_rows < self.gate_keyfilter_min_rows
+                or physical_rows < self.gate_keyfilter_min_rows
             ):
                 return live(pjob, e.parent)
             kf = ref_vals.select(F.col(ref_vals.columns[0]).alias(e.parent_key))

@@ -307,3 +307,61 @@ def test_dag_subcommand_fk_index_spec(spark, tmp_root, monkeypatch):
     assert [r.asDict() for r in idx.read().collect()] == [
         {"code": "D1", "region_code": "R1"}
     ]
+
+
+def test_dag_subcommand_stale_fk_index_fails_clean(spark, tmp_root, monkeypatch):
+    """Reopen sanity check (review finding): if the child table was
+    dropped and recreated at the same root while the stale ``_fkidx_*``
+    table and its cascade checkpoint survived, the checkpoint points at
+    versions of the OLD table and the index could under-report orphan
+    candidates — the CLI must fail clean, not reopen silently."""
+    import shutil
+
+    sys.path.insert(0, REPO)
+    import app
+
+    rows = [
+        (1, "I", "region", json.dumps({"code": "R1", "name": "A"})),
+        (2, "I", "department", json.dumps({"code": "D1", "region_code": "R1", "name": "B"})),
+    ]
+    ev = pd.DataFrame(
+        {
+            "lsn": [r[0] for r in rows],
+            "ts": pd.Timestamp("2024-01-01"),
+            "op": [r[1] for r in rows],
+            "table": [r[2] for r in rows],
+            "payload": [r[3] for r in rows],
+            "schema_version": 1,
+            "props": None,
+        }
+    )
+    spark.createDataFrame(ev, schema=ENVELOPE_SCHEMA).write.parquet(
+        os.path.join(tmp_root, "mlog")
+    )
+    spec = {
+        "tables": {
+            "region": {"schema": "code string, name string", "keys": ["code"]},
+            "department": {
+                "schema": "code string, region_code string, name string",
+                "keys": ["code"],
+            },
+        },
+        "edges": [["department", "region_code", "region", "code"]],
+        "fk_indexes": [["department", "region_code"]],
+    }
+    spec_path = os.path.join(tmp_root, "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    argv = ["app.py", "dag", "--log-dir", os.path.join(tmp_root, "mlog"),
+            "--table-root", os.path.join(tmp_root, "t"),
+            "--tables-json", spec_path,
+            "--checkpoint", os.path.join(tmp_root, "ck"),
+            "--num-buckets", "2", "--cores", "4",
+            "--batch-lsns", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()  # clean first run — index created and synced
+    # simulate the operational mistake: child table recreated at the same
+    # root, stale index + checkpoint left behind
+    shutil.rmtree(os.path.join(tmp_root, "t", "department"))
+    with pytest.raises(ValueError, match="stale fk index"):
+        app.main()

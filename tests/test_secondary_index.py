@@ -231,3 +231,32 @@ def test_search_in_null_safe(spark, tmp_root):
     got = sorted(r["id"] for r in idx.search_in("fk", probe).collect())
     assert got == [1, 2]
     assert sorted(r["id"] for r in idx.search(fk=None).collect()) == [2]
+
+
+def test_search_in_rejects_ambiguous_probe_frame(spark, tmp_root):
+    """A multi-column probe frame without an explicit probe_col raises
+    instead of silently probing columns[0] (review finding: a wide frame
+    got wrong-column matches with no error); probe_col= selects the
+    intended column."""
+    src = LakeTable.create(
+        spark, os.path.join(tmp_root, "src"),
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("fk", T.StringType())]),
+        ["id"], num_buckets=2, write_mode="mor",
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(1, "I", 1, "a"), (2, "I", 2, "b")],
+            "lsn long, op string, id long, fk string",
+        ),
+        batch_id=0,
+    )
+    idx = SecondaryIndex.create(spark, src, os.path.join(tmp_root, "idx"), ["fk"])
+    idx.sync(CheckpointStore(os.path.join(tmp_root, "ck.json")))
+    wide = spark.createDataFrame([("junk", "a")], "noise string, val string")
+    with pytest.raises(ValueError, match="pass probe_col"):
+        idx.search_in("fk", wide)
+    with pytest.raises(ValueError, match="not in"):
+        idx.search_in("fk", wide, probe_col="missing")
+    got = [r["id"] for r in idx.search_in("fk", wide, probe_col="val").collect()]
+    assert got == [1]
