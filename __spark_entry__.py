@@ -428,15 +428,18 @@ def e2_ann_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators.similarity.ivf_ann): deterministic one-step
     k-means inverted file (8 lists, seeds = lowest ids, centroids rounded
-    for cross-engine reproducibility), probe the 5 nearest lists, exact
+    for cross-engine reproducibility), probe the 6 nearest lists, exact
     cosine top-10 — the data-adaptive ANN scale path next to e2's
-    data-independent sign-bucket LSH. nprobe=5/8 is tuned for the
+    data-independent sign-bucket LSH. nprobe=6/8 is tuned for the
     SYNTHETIC near-uniform embeddings table, whose true neighbors spread
     almost evenly across lists (recall ~ scanned fraction): measured
-    recall@10 = 0.86 vs e1 brute force (floor asserted in
-    tests/test_ivf.py). On clustered real-world embeddings the adaptive
-    partitions earn their keep at far smaller probe fractions — the
-    planted-cluster test shows recall 1.0 probing 1 list of 3."""
+    recall@10 = 0.94 at sf0.001, 0.90 at sf0.1, vs e1 brute force (0.9
+    floor asserted in tests/test_ivf.py). Assignment is a shuffle-free
+    argmax fold over the broadcast centroid array, so the extra probed
+    list costs scan width, not a new shuffle. On clustered real-world
+    embeddings the adaptive partitions earn their keep at far smaller
+    probe fractions — the planted-cluster test shows recall 1.0 probing
+    1 list of 3."""
     from french_admin_etl_spark.operators.similarity import ivf_ann
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -444,7 +447,7 @@ def e4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     corpus = emb.filter(F.col("vec_id") != 0)
-    out = ivf_ann(corpus, q, k=10, k_lists=8, nprobe=5)
+    out = ivf_ann(corpus, q, k=10, k_lists=8, nprobe=6)
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim_r"))
 
 
@@ -2295,7 +2298,7 @@ def oracle_sql() -> dict[str, str]:
               ) AS p(list_id, x, y)
               GROUP BY list_id
             ),
-            probes AS (SELECT list_id FROM qsim ORDER BY sim DESC, list_id LIMIT 5),
+            probes AS (SELECT list_id FROM qsim ORDER BY sim DESC, list_id LIMIT 6),
             cand AS (
               SELECT a.vec_id FROM assign1 a JOIN probes p ON a.list_id = p.list_id
             ),

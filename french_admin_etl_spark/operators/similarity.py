@@ -170,27 +170,41 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (``list_id``).
 
-    ``centroids``: (list_id, centroid) — small by construction (k lists),
-    so the assignment is a broadcast nested-loop over k rows per vector:
-    one corpus scan, no shuffle, embarrassingly parallel at any corpus
-    size. Ties break to the lowest list_id (deterministic)."""
-    from pyspark.sql import Window
-
-    # norms once per side (vector norm would otherwise be re-folded k
-    # times per vector; float-identical since the fold itself is unchanged)
-    scored = (
-        df.withColumn("_vn", l2_norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(centroids.withColumn("_cn", l2_norm(F.col("centroid")))))
-        .withColumn(
-            "_sim",
-            dot(F.col(vec_col), F.col("centroid")) / (F.col("_vn") * F.col("_cn")),
+    ``centroids``: (list_id, centroid) — small by construction (k lists).
+    The whole centroid set collapses to ONE broadcast row holding a
+    (list_id, centroid, norm) array, and the argmax runs INSIDE the scan
+    as an array fold (``array_max`` over (sim, −list_id) structs — struct
+    ordering is field-lexicographic, so ties break to the LOWEST
+    list_id): assignment is a pure map over the corpus with no explode,
+    no shuffle, and no window at any corpus size. (The first cut
+    exploded corpus×k rows through a row_number window — a corpus-sized
+    sort-shuffle per Lloyd step that this form deletes outright; sims
+    are computed by the same dot/norm folds, so assignments are
+    float-identical and the DuckDB oracle is unchanged.)"""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("list_id"),
+                _as_double(F.col("centroid")).alias("centroid"),
+                l2_norm(F.col("centroid")).alias("_cn"),
+            )
+        ).alias("_cs")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                (
+                    dot(F.col(vec_col), c["centroid"]) / (F.col("_vn") * c["_cn"])
+                ).alias("sim"),
+                (-c["list_id"]).alias("_neg"),
+            ),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("list_id"))
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, vec_col, "list_id")
+        df.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, (-best["_neg"]).alias("list_id"))
     )
 
 
@@ -266,7 +280,11 @@ def ivf_ann(
     Versus ``signature_bucket_ann`` (data-independent buckets), IVF adapts
     the partitions to the data distribution — better recall per scanned
     byte on clustered embeddings."""
+    # pin the k·d-value centroid table: it feeds both the assignment scan
+    # and the probe ranking — left lazy, each action replays the whole
+    # training lineage
     cents = ivf_train(corpus, k_lists, id_col, vec_col, iterations=iterations)
+    cents = cents.localCheckpoint(eager=True)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     probes = (
         query.crossJoin(F.broadcast(cents))

@@ -61,13 +61,13 @@ def test_ivf_ann_matches_bruteforce_on_clustered_data(spark, emb):
 def test_ivf_recall_measured_and_iterations_help(spark):
     """Recall@10 of IVF ANN vs brute-force ground truth on the REAL
     embeddings table (sf0.001, 500×64f): the e4 configuration
-    (k_lists=8, nprobe=5, 1 Lloyd step) must clear the usable-ANN floor
-    of 0.8 (round-4 sweep: measured 0.86; nprobe=2 measured 0.50 — on
-    these near-uniform synthetic embeddings recall tracks the scanned
-    fraction, so the config probes 5/8 lists; clustered corpora hit the
-    same recall at far smaller fractions, see the planted-cluster test),
-    and extra Lloyd iterations must not lose recall (they tighten the
-    partitions). Prints the numbers so the measurement is on record."""
+    (k_lists=8, nprobe=6, 1 Lloyd step) must clear the 0.9 floor
+    (round-5 sweep: measured 0.94 here, 0.90 at sf0.1; nprobe=5 was
+    0.86 — on these near-uniform synthetic embeddings recall tracks the
+    scanned fraction; clustered corpora hit the same recall at far
+    smaller fractions, see the planted-cluster test), and extra Lloyd
+    iterations must not lose recall (they tighten the partitions).
+    Prints the numbers so the measurement is on record."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = [int(r["vec_id"]) for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
     recalls = {}
@@ -82,14 +82,14 @@ def test_ivf_recall_measured_and_iterations_help(spark):
             approx = {
                 r["vec_id"]
                 for r in ivf_ann(
-                    corpus, q, k=10, k_lists=8, nprobe=5, iterations=iters
+                    corpus, q, k=10, k_lists=8, nprobe=6, iterations=iters
                 ).collect()
             }
             hits += len(exact & approx)
             total += len(exact)
         recalls[iters] = hits / total
     print(f"IVF recall@10 over {len(queries)} queries: {recalls}")
-    assert recalls[1] >= 0.8, recalls  # e4 config floor (measured 0.86)
+    assert recalls[1] >= 0.9, recalls  # e4 config floor (measured 0.94)
     assert recalls[3] >= recalls[1] - 0.05, recalls  # iterating never collapses
 
 
