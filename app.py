@@ -241,6 +241,7 @@ def cmd_dag(args) -> None:
         results = dag.run_incremental(
             log, CheckpointStore(os.path.join(args.checkpoint, "dag.json")),
             batch_lsns=args.batch_lsns,
+            group_commit=args.group_commit,
         )
     for r in results:
         print(
@@ -481,6 +482,9 @@ def main() -> None:
     gp.add_argument("--gate", choices=["post", "pre"], default="post",
                     help="FK gate placement: detect post-commit or prevent pre-commit (WAP)")
     gp.add_argument("--on-violation", choices=["halt", "record"], default="halt")
+    gp.add_argument("--group-commit", type=int, default=1,
+                    help="coalesce up to N pending windows into one apply "
+                         "when the log is behind (catch-up throughput)")
     gp.add_argument("--stream", action="store_true",
                     help="Structured Streaming driver (availableNow over sealed segments)")
     gp.add_argument("--cores", type=int, default=None)

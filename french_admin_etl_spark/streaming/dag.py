@@ -805,10 +805,30 @@ class DagApplyJob:
         checkpoint: CheckpointStore,
         batch_lsns: int = 10_000,
         max_batches: int | None = None,
+        group_commit: int = 1,
     ) -> list[WindowResult]:
         """LSN-windowed batches over the shared log; ONE checkpoint for the
         whole DAG. Kill it anywhere — mid-window, between tables — and the
-        rerun reconverges (per-table fences make replayed merges no-ops)."""
+        rerun reconverges (per-table fences make replayed merges no-ops).
+
+        ``group_commit`` > 1 is the catch-up throttle (the classic
+        group-commit): when the log is BEHIND — more than one window of
+        events already landed — up to that many consecutive windows
+        coalesce into ONE apply, so the per-window fixed cost (combined
+        scan, stage writes, FK gate, commits, index syncs) is paid once
+        per GROUP instead of once per window. A caught-up stream (one
+        pending window) behaves exactly like ``group_commit=1``; latency
+        is only traded where there was already a backlog. Fence safety
+        under regrouping: the planned group's upper bound is PINNED into
+        the checkpoint BEFORE the apply (``pending_hi`` — the same
+        pending-window protocol as ``CascadeJob``), so a crash mid-group
+        replays the IDENTICAL window under the same batch_id and the
+        per-table fences hold. Without the pin, a rerun that grouped
+        wider (the log grew) would reuse the fenced batch_id and
+        silently skip the never-applied tail — the exact data-loss trap
+        the CDC resume contract documents for re-windowed replays."""
+        if group_commit < 1:
+            raise ValueError("group_commit must be >= 1")
         state = checkpoint.load()
         if state is not None and ("next_lsn" not in state or "bounds" in state):
             # e.g. a CDCApplyJob.run_incremental_balanced checkpoint —
@@ -821,10 +841,20 @@ class DagApplyJob:
         state = state or {"batch_id": 0, "next_lsn": 0}
         results: list[WindowResult] = []
         hi_all = log.max_lsn() + 1
-        while state["next_lsn"] < hi_all:
+        while state["next_lsn"] < hi_all or "pending_hi" in state:
             if max_batches is not None and len(results) >= max_batches:
                 break
-            lo, hi = state["next_lsn"], state["next_lsn"] + batch_lsns
+            lo = state["next_lsn"]
+            if "pending_hi" in state:
+                # crash replay: reuse the exact grouping that was planned
+                hi = state["pending_hi"]
+            else:
+                pending = -(-(hi_all - lo) // batch_lsns)  # ceil
+                n = max(1, min(group_commit, pending))
+                hi = lo + n * batch_lsns
+                if n > 1:
+                    state = dict(state, pending_hi=hi)
+                    checkpoint.save(state)
             window = log.lsn_range(lo, hi)
             results.append(self.apply_window(window, state["batch_id"], lo, hi))
             state = {"batch_id": state["batch_id"] + 1, "next_lsn": hi}

@@ -1013,3 +1013,80 @@ def test_deep_fk_check_via_index(spark, tmp_root, cog_events):
     )
     with pytest.raises(FKViolation, match="commune.department_code"):
         ungated.deep_fk_check(use_indexes=True)
+
+
+# ----------------------------------------------------------- group commit
+
+
+def test_dag_group_commit_coalesces_and_matches_oracle(spark, tmp_root, cog_events):
+    """group_commit=4 over a backlog that would be ~16 windows coalesces
+    into ~4 applies, final state oracle-exact, FK audit clean, and a
+    replay of the SAME run fences every merge to a no-op."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "gc.json"))
+    n_lsns = int(cog_events["lsn"].max()) + 1
+    per = max(1, n_lsns // 16)
+    results = dag.run_incremental(log, ckpt, batch_lsns=per, group_commit=4)
+    ungrouped = -(-n_lsns // per)
+    assert len(results) <= -(-ungrouped // 4) + 1
+    oracle = expected_cog_state(cog_events)
+    for name in ("region", "department", "commune"):
+        got = _table_pdf(jobs[name])
+        oc = oracle[name]
+        if name == "commune":
+            oc = oc.astype({"population": "int64"})
+        pd.testing.assert_frame_equal(got, oc[got.columns])
+    assert set(dag.deep_fk_check().values()) == {0}
+    # replay with a REWOUND checkpoint: same grouping, everything fences
+    replay = dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "gc2.json")),
+        batch_lsns=per, group_commit=4,
+    )
+    assert all(
+        br.merge is not None and br.merge.fenced
+        for r in replay
+        for br in r.tables.values()
+    )
+    for name in ("region", "department", "commune"):
+        got = _table_pdf(jobs[name])
+        oc = oracle[name]
+        if name == "commune":
+            oc = oc.astype({"population": "int64"})
+        pd.testing.assert_frame_equal(got, oc[got.columns])
+
+
+def test_dag_group_commit_pinned_window_survives_regrouping(spark, tmp_root, cog_events):
+    """The planned group is pinned into the checkpoint BEFORE applying —
+    a crash replay must reuse the identical window bounds even when
+    invoked with a different group_commit (the fence-safety contract:
+    reusing a fenced batch_id over a WIDER window would silently skip
+    the never-applied tail)."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "pin.json"))
+    # simulate the crash state: group [0, 100) planned and pinned but not
+    # applied (batch_id 0 never committed anything)
+    ckpt.save({"batch_id": 0, "next_lsn": 0, "pending_hi": 100})
+    results = dag.run_incremental(log, ckpt, batch_lsns=50, group_commit=16)
+    assert (results[0].lo, results[0].hi) == (0, 100)  # pinned, not 16*50
+    # after the pinned group, grouping resumes at the CALLER's width
+    assert results[1].lo == 100
+    oracle = expected_cog_state(cog_events)
+    got = _table_pdf(jobs["commune"])
+    pd.testing.assert_frame_equal(
+        got, oracle["commune"].astype({"population": "int64"})[got.columns]
+    )
+    assert set(dag.deep_fk_check().values()) == {0}
+
+
+def test_dag_group_commit_one_is_identity(spark, tmp_root, cog_events):
+    """group_commit=1 must behave exactly like the ungrouped driver —
+    same window count, no pending_hi ever written."""
+    log = _write_log(spark, tmp_root, cog_events)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "id.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=150, group_commit=1)
+    n_lsns = int(cog_events["lsn"].max()) + 1
+    assert len(results) == -(-n_lsns // 150)
+    assert "pending_hi" not in (ckpt.load() or {})
