@@ -233,8 +233,25 @@ def cmd_dag(args) -> None:
         gate=args.gate,
         on_violation=args.on_violation,
         fk_indexes=fk_indexes,
+        quarantine_dir=os.path.join(args.checkpoint, "quarantine"),
     )
     log = MultiTableLog(spark, args.log_dir)
+    if args.requeue_quarantined:
+        # drain mode: re-apply quarantined windows (optionally repaired)
+        # instead of advancing the stream
+        results = dag.requeue_quarantined(log, repair_where=args.repair_where)
+        for r in results:
+            print(
+                json.dumps(
+                    {
+                        "requeued_batch_id": r.batch_id,
+                        "window": [r.lo, r.hi],
+                        "drained": not r.violations,
+                        "violations": r.violations,
+                    }
+                )
+            )
+        return
     if args.stream:
         results = dag.run_stream(log, args.checkpoint)
     else:
@@ -482,6 +499,12 @@ def main() -> None:
     gp.add_argument("--gate", choices=["post", "pre"], default="post",
                     help="FK gate placement: detect post-commit or prevent pre-commit (WAP)")
     gp.add_argument("--on-violation", choices=["halt", "record"], default="halt")
+    gp.add_argument("--requeue-quarantined", action="store_true",
+                    help="drain mode: re-apply windows quarantined by "
+                         "gate=pre on_violation=record (after upstream repair)")
+    gp.add_argument("--repair-where", default=None,
+                    help="SQL boolean over the envelope columns; events where "
+                         "it is false are dropped from the requeued replay")
     gp.add_argument("--group-commit", type=int, default=1,
                     help="coalesce up to N pending windows into one apply "
                          "when the log is behind (catch-up throughput)")

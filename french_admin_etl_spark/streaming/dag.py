@@ -122,6 +122,7 @@ class DagApplyJob:
         max_stage_threads: int = 8,
         gate: str = "post",
         fk_indexes: dict | None = None,
+        quarantine_dir: str | None = None,
     ):
         """``on_violation``: 'halt' (default) raises :class:`FKViolation`
         and leaves the checkpoint behind the window (poison windows
@@ -164,7 +165,15 @@ class DagApplyJob:
         index fresh itself: one cascade sync per gated window per index
         (O(changed rows), fenced, resync-on-folded-window — all cascade
         semantics), so the probe is always consistent with the state the
-        gate asserts over."""
+        gate asserts over.
+
+        ``quarantine_dir``: durable store for windows QUARANTINED by
+        ``gate='pre', on_violation='record'`` — one small JSON record per
+        skipped window (batch_id, LSN bounds, violations). Without it the
+        quarantine is only visible on the in-memory ``WindowResult`` and
+        draining means hand-rewinding the checkpoint;
+        :meth:`requeue_quarantined` replays the recorded windows after
+        upstream repair."""
         if on_violation not in ("halt", "record"):
             raise ValueError("on_violation must be 'halt' or 'record'")
         if gate not in ("post", "pre"):
@@ -176,6 +185,7 @@ class DagApplyJob:
         self.on_violation = on_violation
         self.max_stage_threads = max_stage_threads
         self.gate = gate
+        self.quarantine_dir = quarantine_dir
         # ops/debug escape hatch (and the A/B lever the bench uses): False
         # forces every window down the sequential per-epoch path
         self.enable_fast_path = True
@@ -501,6 +511,7 @@ class DagApplyJob:
                         batch_id, n_events, n_rej.get(name, 0), None, 0,
                         int(walls.get(name, 0.0) * 1000),
                     )
+                self._record_quarantine(res)
                 return gated
 
         for name, job, snap, fence_key, n_events in work:
@@ -762,6 +773,93 @@ class DagApplyJob:
             raise FKViolation(
                 "; ".join(f"{r['violation']}; sample: {r['sample']}" for r in found)
             )
+
+    def _record_quarantine(self, res: WindowResult) -> None:
+        """Persist a quarantined window's identity so it can be drained
+        later — atomic single-file write (tmp + rename), one record per
+        window; a re-quarantine of the same window overwrites it."""
+        if not self.quarantine_dir:
+            return
+        import json
+        import os
+
+        os.makedirs(self.quarantine_dir, exist_ok=True)
+        path = os.path.join(
+            self.quarantine_dir, f"win_{res.batch_id:012d}_{res.lo}_{res.hi}.json"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "batch_id": res.batch_id,
+                    "lo": res.lo,
+                    "hi": res.hi,
+                    "violations": res.violations,
+                    "quarantined_at": time.time(),
+                },
+                fh,
+            )
+        os.replace(tmp, path)
+
+    def quarantined(self) -> list[dict]:
+        """The standing quarantine records, oldest window first."""
+        import glob
+        import json
+        import os
+
+        if not self.quarantine_dir or not os.path.isdir(self.quarantine_dir):
+            return []
+        out = []
+        for path in sorted(glob.glob(os.path.join(self.quarantine_dir, "win_*.json"))):
+            with open(path) as fh:
+                rec = json.load(fh)
+            rec["_path"] = path
+            out.append(rec)
+        return out
+
+    def requeue_quarantined(
+        self, log: MultiTableLog, repair_where: str | None = None
+    ) -> list[WindowResult]:
+        """Drain the quarantine: re-apply each recorded window (oldest
+        first) after upstream repair. Two repair shapes:
+
+        - **upstream fixed** (``repair_where=None``): later windows
+          supplied what the poison window was missing (e.g. the referenced
+          parent finally arrived) — the window replays as-is and the gate
+          now passes. LSN-guarded merges make the late replay convergent:
+          a requeued event can never clobber newer state.
+        - **repair predicate**: a SQL boolean over the ENVELOPE columns
+          (``lsn ts op table payload schema_version props``); events where
+          it is false are DROPPED from the replay — the operator's
+          explicit decision to shed the poison rows.
+
+        Fence bump: requeued windows commit under the ``<writer_id>.rq``
+        namespace with their original batch_id — the main stream's fences
+        have long advanced past the quarantined id, so replaying under the
+        main namespace would fence the whole window out as a no-op
+        (silently losing it); a separate namespace keeps the requeue
+        exactly-once on ITS OWN sequence (a crashed drain re-runs and
+        fences to no-ops). A clean re-apply deletes the record; a window
+        that still violates keeps it (and re-records under
+        ``on_violation='record'``)."""
+        import os
+
+        results: list[WindowResult] = []
+        for rec in self.quarantined():
+            window = log.lsn_range(rec["lo"], rec["hi"])
+            if repair_where is not None:
+                window = window.filter(F.expr(repair_where))
+            res = self.apply_window(
+                window,
+                rec["batch_id"],
+                rec["lo"],
+                rec["hi"],
+                fence_ns=f"{self.writer_id}.rq",
+            )
+            results.append(res)
+            if not res.violations:
+                os.remove(rec["_path"])
+        return results
 
     def deep_fk_check(self, use_indexes: bool = False) -> dict[str, int]:
         """Whole-table FK audit (the reference's declarative constraint as

@@ -365,3 +365,74 @@ def test_dag_subcommand_stale_fk_index_fails_clean(spark, tmp_root, monkeypatch)
     shutil.rmtree(os.path.join(tmp_root, "t", "department"))
     with pytest.raises(ValueError, match="stale fk index"):
         app.main()
+
+
+def test_dag_subcommand_requeue_quarantined(spark, tmp_root, monkeypatch, capsys):
+    """app.py dag --requeue-quarantined drains windows quarantined by a
+    previous gate=pre on_violation=record run: the upstream repair landed
+    in a later window, so the drain re-applies cleanly and reports it."""
+    sys.path.insert(0, REPO)
+    import app
+
+    rows = [
+        (1, "I", "region", json.dumps({"code": "R1", "name": "A"})),
+        (2, "I", "department", json.dumps({"code": "D1", "region_code": "R1", "name": "B"})),
+        # poison window: commune references D9 before it exists
+        (3, "I", "commune", json.dumps(
+            {"code": "C1", "department_code": "D9", "name": "X", "population": 5})),
+        (4, "I", "region", json.dumps({"code": "R2", "name": "A2"})),
+        # repair window: D9 arrives
+        (5, "I", "department", json.dumps({"code": "D9", "region_code": "R1", "name": "L"})),
+        (6, "I", "region", json.dumps({"code": "R3", "name": "A3"})),
+    ]
+    ev = pd.DataFrame(
+        {
+            "lsn": [r[0] for r in rows],
+            "ts": pd.Timestamp("2024-01-01"),
+            "op": [r[1] for r in rows],
+            "table": [r[2] for r in rows],
+            "payload": [r[3] for r in rows],
+            "schema_version": 1,
+            "props": None,
+        }
+    )
+    spark.createDataFrame(ev, schema=ENVELOPE_SCHEMA).write.parquet(
+        os.path.join(tmp_root, "mlog")
+    )
+    spec = {
+        "tables": {
+            "region": {"schema": "code string, name string", "keys": ["code"]},
+            "department": {
+                "schema": "code string, region_code string, name string",
+                "keys": ["code"],
+            },
+            "commune": {
+                "schema": "code string, department_code string, name string, population bigint",
+                "keys": ["code"],
+            },
+        },
+        "edges": [
+            ["department", "region_code", "region", "code"],
+            ["commune", "department_code", "department", "code"],
+        ],
+    }
+    spec_path = os.path.join(tmp_root, "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    base = ["app.py", "dag", "--log-dir", os.path.join(tmp_root, "mlog"),
+            "--table-root", os.path.join(tmp_root, "t"),
+            "--tables-json", spec_path,
+            "--checkpoint", os.path.join(tmp_root, "ck"),
+            "--num-buckets", "2", "--cores", "4",
+            "--batch-lsns", "2", "--gate", "pre", "--on-violation", "record"]
+    monkeypatch.setattr(sys, "argv", base)
+    app.main()  # poison window quarantined, stream advanced
+    assert os.listdir(os.path.join(tmp_root, "ck", "quarantine"))
+    capsys.readouterr()
+    monkeypatch.setattr(sys, "argv", base + ["--requeue-quarantined"])
+    app.main()
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out and all(o["drained"] for o in out)
+    assert not os.listdir(os.path.join(tmp_root, "ck", "quarantine"))
+    commune = LakeTable(spark, os.path.join(tmp_root, "t", "commune"))
+    assert [r["code"] for r in commune.read().collect()] == ["C1"]

@@ -1090,3 +1090,103 @@ def test_dag_group_commit_one_is_identity(spark, tmp_root, cog_events):
     n_lsns = int(cog_events["lsn"].max()) + 1
     assert len(results) == -(-n_lsns // 150)
     assert "pending_hi" not in (ckpt.load() or {})
+
+
+# ------------------------------------------------------- quarantine drain
+
+
+def _mk_dag_q(spark, tmp_root):
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(spark, t)
+    return jobs, DagApplyJob(
+        jobs, EDGES, writer_id="dag", gate="pre", on_violation="record",
+        quarantine_dir=os.path.join(tmp_root, "quarantine"),
+    )
+
+
+def test_dag_requeue_after_upstream_repair(spark, tmp_root):
+    """E2E drain, upstream-fixed shape: a window referencing a
+    not-yet-arrived parent is quarantined (durable record); a LATER
+    window delivers the parent; requeue_quarantined replays the
+    quarantined window, the gate passes, the record drains, the FK audit
+    is green, and NO event is lost (final state equals the full-log
+    oracle)."""
+    ev = _envelope(
+        [
+            # window [0,3): consistent bootstrap (lsn 1..2 + filler)
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            # window [3,6): poison (D999 not yet arrived) + a good row
+            ("I", "commune", {"code": "C1", "department_code": "D999", "name": "X", "population": 1}),
+            ("I", "commune", {"code": "C2", "department_code": "D000", "name": "Y", "population": 2}),
+            ("U", "region", {"code": "REG00", "name": "R"}),
+            # window [6,9): the upstream repair — D999 arrives, plus C3
+            ("I", "department", {"code": "D999", "region_code": "REG00", "name": "L"}),
+            ("I", "commune", {"code": "C3", "department_code": "D999", "name": "Z", "population": 3}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag_q(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=3)
+    assert sum(1 for r in results if r.violations) == 1
+    recs = dag.quarantined()
+    assert len(recs) == 1 and (recs[0]["lo"], recs[0]["hi"]) == (3, 6)
+    assert "D999" in recs[0]["violations"][0]
+    # later consistent window applied while the poison one sat quarantined
+    assert {r["code"] for r in jobs["commune"].table.read().collect()} == {"C3"}
+
+    drained = dag.requeue_quarantined(log)
+    assert len(drained) == 1 and not drained[0].violations
+    assert dag.quarantined() == []  # record removed
+    # no event lost: every commune of the full log is live and correct
+    got = {
+        r["code"]: (r["department_code"], r["population"])
+        for r in jobs["commune"].table.read().collect()
+    }
+    assert got == {"C1": ("D999", 1), "C2": ("D000", 2), "C3": ("D999", 3)}
+    assert set(dag.deep_fk_check().values()) == {0}
+    # drain again: nothing queued, nothing applied
+    assert dag.requeue_quarantined(log) == []
+
+
+def test_dag_requeue_with_repair_predicate(spark, tmp_root):
+    """E2E drain, shed shape: the referenced parent never arrives, so the
+    operator drains with a repair predicate that DROPS the poison events;
+    the window's good rows land, the record drains, audit green. A drain
+    attempt WITHOUT repair first re-quarantines (still poison)."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D999", "name": "X", "population": 1}),
+            ("I", "commune", {"code": "C2", "department_code": "D000", "name": "Y", "population": 2}),
+            ("U", "region", {"code": "REG00", "name": "R"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag_q(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    dag.run_incremental(log, ckpt, batch_lsns=3)
+    assert len(dag.quarantined()) == 1
+    # unrepaired drain: still poison -> still quarantined, nothing lands
+    attempt = dag.requeue_quarantined(log)
+    assert attempt[0].violations and len(dag.quarantined()) == 1
+    assert jobs["commune"].table.read().count() == 0
+    drained = dag.requeue_quarantined(
+        log,
+        repair_where=(
+            "not (table = 'commune' "
+            "and get_json_object(payload, '$.department_code') = 'D999')"
+        ),
+    )
+    assert not drained[0].violations
+    assert dag.quarantined() == []
+    got = {r["code"] for r in jobs["commune"].table.read().collect()}
+    assert got == {"C2"}  # poison shed, good row recovered
+    assert set(dag.deep_fk_check().values()) == {0}
