@@ -1058,6 +1058,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def g8_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + curve-aware multi-dimensional box scan driven
+    end-to-end THROUGH the engine: documents land in a MOR lake table,
+    ``optimize_zorder(["n_chars", "doc_id"])`` rewrites every bucket along
+    the Morton curve (recording per-file curve intervals + equi-depth
+    boundaries), and ``scan_box`` answers a 2-D range predicate pruning
+    files by per-dimension stats AND the Tropf–Herzog curve test
+    (table/zcurve.py). The oracle states the box declaratively, so the
+    hash-match proves layout + two-layer pruning lose no rows and invent
+    none; the strict curve-beats-stats property is asserted separately in
+    tests/test_zorder.py."""
+    import shutil
+    import tempfile
+
+    from french_admin_etl_spark.table.lake_table import LakeTable
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="g8_")
+    try:
+        table = LakeTable.create(
+            spark,
+            os.path.join(root, "docs"),
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("n_chars", T.LongType()),
+                ]
+            ),
+            key_cols=["doc_id"],
+            num_buckets=2,
+            write_mode="mor",
+            properties={"write.max-records-per-file": 512},
+        )
+        table.merge(
+            docs.select(
+                "doc_id",
+                F.length("text").cast("long").alias("n_chars"),
+                (F.col("doc_id") + 1).alias("lsn"),
+                F.lit("I").alias("op"),
+            ),
+            batch_id=0,
+        )
+        table.optimize_zorder(["n_chars", "doc_id"])
+        out = table.scan_box({"n_chars": (100, 400), "doc_id": (50, 5000)})
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries consolidated out of the 50-entry driver contract (round 4:
     the driver's correctness check covers exactly the first 50 entries of
@@ -1070,13 +1120,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       threshold;
     - d3_simhash → the per-doc fingerprint d5_simhash_near_dups computes
       internally;
-    - r1_time_rollup → the (event_type, day) level of r2_rollup_hierarchy.
+    - r1_time_rollup → the (event_type, day) level of r2_rollup_hierarchy;
+    - g8_zorder_box_scan → round-5 addition (z-order + curve-aware
+      scan_box), kept here so the driver registry stays at exactly 50.
     """
     return {
         "t1_token_stats": t1_token_stats,
         "d2_jaccard_pairs": d2_jaccard_pairs,
         "d3_simhash": d3_simhash,
         "r1_time_rollup": r1_time_rollup,
+        "g8_zorder_box_scan": g8_zorder_box_scan,
     }
 
 
@@ -2436,5 +2489,11 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(ts AS DATE) AS day,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, CAST(ts AS DATE)
+        """,
+        "g8_zorder_box_scan": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE length(text) BETWEEN 100 AND 400
+              AND doc_id BETWEEN 50 AND 5000
         """,
     }

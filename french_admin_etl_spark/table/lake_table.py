@@ -679,6 +679,127 @@ class LakeTable:
             .select(*logical)
         )
 
+    def scan_box(self, box: dict[str, tuple], version: int | None = None) -> DataFrame:
+        """Multi-dimensional range scan: live rows satisfying
+        ``lo <= col <= hi`` for EVERY ``col: (lo, hi)`` in ``box`` (either
+        bound may be None). Two driver-side pruning layers run before any
+        task is scheduled:
+
+        1. per-dimension manifest min/max (``scan_range``'s rule applied
+           conjunctively — a file disjoint from the box on ANY queried
+           dimension is out);
+        2. on a z-ordered layout, the CURVE test: each file records the
+           Morton interval it covers (``zstats``), the box converts to
+           rank space through the recorded equi-depth boundaries, and
+           Tropf–Herzog BIGMIN decides whether the file's curve segment
+           ever enters the box (:mod:`.zcurve`). This prunes files whose
+           per-dimension bounding rectangle overlaps the box but whose
+           actual curve segment never does — on a z-layout the interval
+           is the exact geometry, the rectangle is only its hull.
+
+        Both layers are conservative under quantization (rank boxes are
+        supersets) and the in-flow predicate re-filters survivors, so
+        results are exact. Same MOR-soundness rule as ``scan_range``:
+        outstanding deltas disable file pruning entirely (dropping a
+        key's newest out-of-box version would resurrect a stale in-box
+        one). ``last_scan_box_pruning`` records {total, after_stats,
+        after_curve} file counts for observability/tests."""
+        from french_admin_etl_spark.table.zcurve import (
+            interval_intersects_box,
+            rank_of,
+        )
+
+        snap = self.snapshot(version)
+        logical = [
+            f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
+        ]
+        for c in box:
+            if c not in logical:
+                raise ValueError(f"no column {c!r}")
+
+        def as_py_num(v):
+            # rank conversion only for plain numerics: a datetime's
+            # .timestamp() is timezone-sensitive where the write path's
+            # epoch cast is session-scoped — a mismatch could WRONGLY
+            # prune, so date/timestamp box bounds leave their curve
+            # dimension unconstrained (full rank range; the in-flow
+            # predicate still filters exactly)
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                return None
+            return float(v)
+
+        dirty = any(g.get("delta") for g in snap["file_groups"])
+        total = sum(len(g["files"]) for g in snap["file_groups"])
+        kept_stats = kept_curve = total
+        snap_used = snap
+        if not dirty:
+            zc = snap.get("zcurve")
+            curve_on = bool(zc) and set(box) <= set(zc["cols"])
+            if curve_on:
+                ncols, zbits = len(zc["cols"]), zc["bits"]
+                rank_lo, rank_hi = [], []
+                for j, c in enumerate(zc["cols"]):
+                    bnds = zc["bounds"][j]
+                    lo, hi = box.get(c, (None, None))
+                    lo_n, hi_n = as_py_num(lo), as_py_num(hi)
+                    # rank is monotonic, so [rank(lo), rank(hi)] is a
+                    # superset image of [lo, hi] — sound to prune outside
+                    rank_lo.append(0 if lo_n is None else rank_of(lo_n, bnds))
+                    rank_hi.append(len(bnds) if hi_n is None else rank_of(hi_n, bnds))
+            kept_stats = kept_curve = 0
+            pruned_groups = []
+            for g in snap["file_groups"]:
+                files = g["files"]
+                stats = g.get("stats") or [None] * len(files)
+                zst = g.get("zstats") or [None] * len(files)
+                kf, ks, kz = [], [], []
+                for f, s, zr in zip(files, stats, zst):
+                    keep = True
+                    for c, (lo, hi) in box.items():
+                        if not s or c not in s:
+                            continue
+                        mn, mx = s[c]
+                        try:
+                            if (lo is not None and mx < lo) or (
+                                hi is not None and mn > hi
+                            ):
+                                keep = False
+                                break
+                        except TypeError:
+                            continue  # cross-type stats: no evidence
+                    if not keep:
+                        continue
+                    kept_stats += 1
+                    if curve_on and zr is not None:
+                        if not interval_intersects_box(
+                            zr[0], zr[1], rank_lo, rank_hi, ncols, zbits
+                        ):
+                            continue
+                    kept_curve += 1
+                    kf.append(f)
+                    ks.append(s)
+                    kz.append(zr)
+                if kf:
+                    pruned_groups.append(dict(g, files=kf, stats=ks, zstats=kz))
+            snap_used = dict(snap, file_groups=pruned_groups)
+        self.last_scan_box_pruning = {
+            "files_total": total,
+            "after_stats": kept_stats,
+            "after_curve": kept_curve,
+        }
+        pred = F.lit(True)
+        for c, (lo, hi) in box.items():
+            if lo is not None:
+                pred = pred & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(c) <= F.lit(hi))
+        return (
+            self.read_raw(snapshot_dict=snap_used if not dirty else None, version=version)
+            .filter(~F.col("_deleted"))
+            .filter(pred)
+            .select(*logical)
+        )
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """CDF-style incremental read: the change rows committed AFTER
         ``from_version`` up to ``to_version`` (default: current) — what a
@@ -1692,8 +1813,10 @@ class LakeTable:
         all_bounds = live.approxQuantile(list(cols), q, 0.001)
 
         zparts = []
+        bounds_per_col: list[list[float]] = []
         for j, (c, bounds) in enumerate(zip(cols, all_bounds)):
             uniq = sorted(set(bounds))[: (1 << bits) - 1]
+            bounds_per_col.append([float(b) for b in uniq])
             if uniq:
                 arr = F.array(*[F.lit(float(b)) for b in uniq])
                 v = as_num(c)
@@ -1721,14 +1844,39 @@ class LakeTable:
             sort_cols=["__z"],
             stat_cols=list(dict.fromkeys(keys + list(cols))),
         )
+        # per-FILE curve intervals for box pruning (``scan_box``): the
+        # z-value never reaches the files (ordering-only scaffolding), so
+        # recompute it — z is a deterministic function of the data columns
+        # and the boundaries above — with ONE aggregation over the
+        # just-written files (page-cache warm, column-pruned; the same
+        # pay-at-write-time economics as the manifest stats and blooms)
+        all_files = [f for g in groups for f in g["files"]]
+        zstats: dict[str, list[int]] = {}
+        if all_files:
+            for r in (
+                self.spark.read.parquet(*[os.path.join(self.root, f) for f in all_files])
+                .select(F.input_file_name().alias("_f"), z.alias("__z"))
+                .groupBy("_f")
+                .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+                .collect()
+            ):
+                # input_file_name is a URI; manifest paths are root-relative
+                zstats[r["_f"].split("/data/")[-1]] = [int(r["lo"]), int(r["hi"])]
         for g in groups:
             g["seq"] = snap["version"] + 1
             g["zorder"] = list(cols)
+            g["zstats"] = [zstats.get(f.split("data/")[-1]) for f in g["files"]]
         new = dict(snap)
         new.update(
             version=snap["version"] + 1,
             file_groups=sorted(groups, key=lambda g: g["bucket"]),
             parent=snap["version"],
+            # curve metadata shared by every group of this rewrite: the
+            # query-time rank conversion needs the same boundaries the
+            # write used; later merge commits copy the snapshot dict so
+            # the key persists, and pruning only ever engages on groups
+            # that still carry ``zstats``
+            zcurve={"cols": list(cols), "bits": bits, "bounds": bounds_per_col},
         )
         self._commit(new)
         return new["version"]
