@@ -9,7 +9,10 @@ delineated (this container has no PIL/ffmpeg):
   (PPM ``P6`` / PGM ``P5`` headers + numpy reshape; 24-bit uncompressed
   ``BM`` bitmaps incl. bottom-up row order and 4-byte row padding),
   **PNG** (stdlib ``zlib`` inflate + all five scanline filters, 8-bit
-  gray/RGB/GA/RGBA non-interlaced), **baseline AND progressive JPEG**
+  gray/RGB/GA/RGBA non-interlaced), **GIF** (from-scratch variable-width
+  LZW with dictionary growth / deferred clear / KwKwK, global+local
+  color tables, 4-pass interlace; round 5 closed this seam),
+  **baseline AND progressive JPEG**
   (from-scratch Huffman + dequant + IDCT in ``operators/jpeg.py``:
   SOF0/SOF1/SOF2, any chroma sampling, restart markers, multi-scan
   non-interleaved files, spectral selection + successive approximation;
@@ -145,6 +148,8 @@ def decode_image(payload: bytes):
         return w, h, gray
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         # baseline JPEG, from-scratch (operators/jpeg.py): the luma plane
         # IS the BT.601 gray the other branches compute from RGB
@@ -249,6 +254,141 @@ def _decode_png(payload: bytes):
     else:  # 2 or 6: RGB(+A)
         gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
     return w, h, gray
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_px: int) -> bytearray:
+    """The GIF variant of LZW (GIF89a spec appendix F): variable code
+    width starting at ``min_code_size + 1``, LSB-first bit packing,
+    CLEAR re-initializes the table, EOI terminates, width grows when the
+    table fills 2**width (capped at 12 — a full table keeps decoding
+    with deferred clear, per the spec's 'deferred clear code' note).
+    Returns palette indices, exactly ``n_px`` of them or fewer if EOI
+    arrives early (caller validates)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = di = 0
+    while len(out) < n_px:
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None and len(table) < 4096:
+            # the KwKwK case: the code being defined by this very step
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad GIF LZW code {code} (table={len(table)})")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _decode_gif(payload: bytes):
+    """REAL GIF decode, stdlib+numpy only: GIF87a/89a, global AND local
+    color tables, full variable-width LZW (dictionary growth, CLEAR/EOI,
+    the KwKwK self-referential code, deferred clear at a full table),
+    and the 4-pass interlace row shuffle. Decodes the FIRST image frame
+    (later frames of an animated 89a are composition deltas, not part of
+    the still-image feature) and ignores transparency — the grayscale
+    thumbnail wants the stored palette color either way. Round-trip
+    tested against the repo's own from-scratch LZW encoder
+    (tests/test_training_ops.py)."""
+    import numpy as np
+
+    try:
+        return _decode_gif_inner(payload, np)
+    except IndexError:
+        # running off the end of the byte string anywhere in the parse
+        # is a truncated file, and the per-row contract (S9) is ValueError
+        raise ValueError("truncated GIF") from None
+
+
+def _decode_gif_inner(payload: bytes, np):
+    packed = payload[10]  # logical-screen descriptor; frame dims win below
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer before any image descriptor
+            raise ValueError("GIF contains no image data")
+        if b == 0x21:  # extension: introducer, label, then sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block introducer 0x{b:02x}")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        ipacked = payload[pos + 9]
+        interlaced = bool(ipacked & 0x40)
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with neither global nor local color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF LZW stream ended before the frame filled")
+        rows = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+        if interlaced:
+            # rows arrive in pass order (every 8th from 0, every 8th
+            # from 4, every 4th from 2, every 2nd from 1); scatter them
+            # back to their display positions
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            img = np.zeros_like(rows)
+            img[order] = rows
+        else:
+            img = rows
+        if int(img.max(initial=0)) >= len(ct):
+            raise ValueError("GIF pixel index outside color table")
+        rgb = ct[img].astype(np.float64)
+        gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        return w, h, gray
+    raise ValueError("truncated GIF: no trailer, no image")
 
 
 def resize_gray(gray, out_h: int = 8, out_w: int = 8):

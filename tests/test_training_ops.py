@@ -669,3 +669,126 @@ def test_redact_pii_national_phone(spark):
     c = pii_counts("text")
     r = df.select(redact_pii("text").alias("red"), c["n_phone"].alias("np")).collect()[0]
     assert r["red"] == "appelez le <PHONE> ce soir" and r["np"] == 1
+
+
+def _gif_encode(idx, palette, min_code_size, interlaced=False, animated_junk=False):
+    """From-scratch GIF89a encoder for round-trip testing the decoder:
+    real variable-width LZW (dictionary growth, width bumps synchronized
+    with the decoder's table-size rule, stop-adding at 4096 = deferred
+    clear), optional 4-pass interlace row order, optional trailing junk
+    frame to prove the decoder reads only the first image."""
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    assert n & (n - 1) == 0 and 2 <= n <= 256
+    gct_bits = max(1, (n - 1).bit_length()) - 1 if n > 1 else 0
+    gct_bits = (n.bit_length() - 1) - 1  # 2<<gct_bits == n
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | gct_bits, 0, 0])
+    out += bytes(np.asarray(palette, np.uint8).reshape(-1))
+    # a graphic-control extension, to exercise the extension skipper
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
+    rows = idx
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    pixels = bytes(rows.reshape(-1))
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits, width
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # giflib convention: the code that fills the table still goes out
+        # at the OLD width; the bump takes effect for the following code
+        # (checked at emit time against the pre-insert next_code)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    wseq = b""
+    for c in pixels:
+        wc = wseq + bytes([c])
+        if wc in table:
+            wseq = wc
+            continue
+        emit(table[wseq])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        wseq = bytes([c])
+    if wseq:
+        emit(table[wseq])
+    emit(eoi)
+    if nbits:
+        bits.append(acc & 0xFF)
+    out += bytes([min_code_size])
+    for i in range(0, len(bits), 255):
+        blk = bits[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00"
+    if animated_junk:
+        # a second 1x1 frame of garbage the decoder must never reach
+        out += b"\x2c" + b"\x00" * 4 + (1).to_bytes(2, "little") * 2 + b"\x00"
+        out += bytes([min_code_size, 1, 0xFF, 0x00])
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip(spark):
+    """Library-free GIF decode (round-5 codec off the seam list): LZW
+    with dictionary growth + width bumps, interlace, extension skipping,
+    first-frame-only on animated files — all round-tripped against the
+    from-scratch encoder above, pixel-exact vs the palette-applied
+    truth."""
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    for (h, w), n_colors, interlaced, junk in [
+        ((13, 9), 256, False, False),
+        ((16, 7), 256, True, False),     # interlace scatter
+        ((40, 31), 16, False, True),     # dict growth + first-frame-only
+        ((9, 5), 4, True, True),
+        ((64, 48), 256, False, False),   # enough pixels for width bumps
+    ]:
+        palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+        # low-entropy band so LZW actually builds long dictionary runs
+        idx[: h // 2] = idx[0]
+        mcs = max(2, (n_colors - 1).bit_length())
+        gif = _gif_encode(idx, palette, mcs, interlaced, junk)
+        dw, dh, gray = decode_image(gif)
+        assert (dw, dh) == (w, h)
+        rgb = palette[idx].astype(np.float64)
+        want = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        assert np.allclose(gray, want)
+    # corrupt/truncated GIFs fail row-local (the S9 contract), not batch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 7 + b"\x3b")
+    palette = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    whole = _gif_encode(np.zeros((6, 6), np.uint8), palette, 2)
+    with _pytest.raises(ValueError, match="truncated|ended"):
+        decode_image(whole[:-8])
