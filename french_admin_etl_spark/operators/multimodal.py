@@ -17,8 +17,10 @@ delineated (this container has no PIL/ffmpeg):
   SOF0/SOF1/SOF2, any chroma sampling, restart markers, multi-scan
   non-interleaved files, spectral selection + successive approximation;
   round-trip tested against from-scratch sequential AND progressive
-  encoders — round 4 closed the progressive seam), and PCM WAV audio
-  (stdlib ``wave``). Real nearest-neighbor RESIZE to an 8×8 grayscale
+  encoders — round 4 closed the progressive seam), PCM WAV audio
+  (stdlib ``wave``), and **IMA ADPCM compressed WAV** (from-scratch
+  4-bit differential decode, mono+stereo, bit-exact round-trip — round 5
+  closed this seam). Real nearest-neighbor RESIZE to an 8×8 grayscale
   thumbnail is the image feature; per-segment RMS energy is the audio
   feature. Rows whose codec still needs an external library
   (arithmetic-coded/12-bit/lossless JPEG, MP3/…) get a per-row ``err``
@@ -468,8 +470,107 @@ def extract_image_features(
     return imgs.mapInPandas(process, schema=IMAGE_FEATURES_SCHEMA)
 
 
+# IMA/DVI ADPCM tables (IMA Recommended Practices rev 1.06 / RFC 3551
+# §4.5.1 G.726-family step adaptation)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _decode_ima_adpcm_wav(payload: bytes):
+    """REAL IMA ADPCM (WAV format tag 0x11) decode, stdlib+numpy only —
+    the 4-bit differential codec used by the classic compressed-WAV
+    family (the stdlib ``wave`` module refuses anything but PCM). Parses
+    the RIFF chunks directly, then per block and channel: a 4-byte
+    header carrying the int16 predictor (which IS sample 0 of the
+    block) and the step index, followed by channel-interleaved 4-byte
+    nibble words, low nibble first. Per nibble the standard bitwise
+    reconstruction ``diff = step>>3 (+step if b2) (+step>>1 if b1)
+    (+step>>2 if b0)``, sign from b3, predictor clamped to int16, step
+    index walked through the 89-entry table. Round-trip tested bit-exact
+    against a from-scratch encoder's own reconstruction
+    (tests/test_training_ops.py). Returns (nch, rate, n_frames, mono
+    float64 in [-1,1)). Raises ValueError on anything malformed — the
+    caller keeps it per-row (S9)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE")
+    pos, fmt, data, n_total = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks pad to even offsets
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            n_total = int.from_bytes(body[:4], "little")
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    tag, nch, rate = struct.unpack("<HHI", fmt[:8])
+    block_align = struct.unpack("<H", fmt[12:14])[0]
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if tag != 0x11:
+        raise ValueError(f"WAVE format tag {tag} is not IMA ADPCM")
+    if bits != 4 or nch not in (1, 2) or block_align <= 4 * nch:
+        raise ValueError(f"IMA ADPCM bits={bits} channels={nch} unsupported")
+    step_t, index_t = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    for off in range(0, len(data) - block_align + 1, block_align):
+        block = data[off : off + block_align]
+        preds, idxs = [], []
+        for c in range(nch):
+            p, i = struct.unpack_from("<hBx", block, 4 * c)
+            if i > 88:
+                raise ValueError("bad IMA ADPCM step index")
+            preds.append(p)
+            idxs.append(i)
+            chans[c].append(p)  # the header predictor IS sample 0
+        body = block[4 * nch :]
+        for g in range(0, len(body) - 4 * nch + 1, 4 * nch):
+            for c in range(nch):
+                pred, index = preds[c], idxs[c]
+                out = chans[c]
+                for b in body[g + 4 * c : g + 4 * c + 4]:
+                    for n in (b & 0xF, b >> 4):
+                        step = step_t[index]
+                        diff = step >> 3
+                        if n & 4:
+                            diff += step
+                        if n & 2:
+                            diff += step >> 1
+                        if n & 1:
+                            diff += step >> 2
+                        pred = pred - diff if n & 8 else pred + diff
+                        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+                        index += index_t[n]
+                        index = 0 if index < 0 else (88 if index > 88 else index)
+                        out.append(pred)
+                preds[c], idxs[c] = pred, index
+    n = min(len(ch) for ch in chans)
+    if n_total is not None:
+        n = min(n, n_total)  # fact chunk trims the tail block's padding
+    if n == 0:
+        raise ValueError("IMA ADPCM data holds no complete block")
+    x = np.array([ch[:n] for ch in chans], dtype=np.float64) / 32768.0
+    return nch, rate, n, x.mean(axis=0)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """REAL audio decode (PCM WAV via the stdlib ``wave`` module — no
+    """REAL audio decode (PCM WAV via the stdlib ``wave`` module, IMA
+    ADPCM compressed WAV via the from-scratch decoder above — no
     external libraries) + featurize: channel/rate/length metadata and an
     8-segment RMS-energy profile (the coarse loudness contour). Non-WAV
     or compressed payloads get a per-row ``err`` (S9 isolation) — the
@@ -483,6 +584,15 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
         import numpy as np
 
+        def featurize(nch, rate, n, x):
+            segs = np.array_split(x, 8) if len(x) else []
+            rms = [
+                round(float(np.sqrt((s**2).mean())) if len(s) else 0.0, 6)
+                for s in segs
+            ]
+            dur = round(n / rate, 6) if rate else None
+            return (nch, rate, n, dur, rms, None)
+
         try:
             with wave.open(io.BytesIO(p)) as wf:
                 nch = wf.getnchannels()
@@ -495,18 +605,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
             if nch > 1:
                 x = x.reshape(-1, nch).mean(axis=1)
-            segs = np.array_split(x, 8) if len(x) else []
-            rms = [
-                round(float(np.sqrt((s**2).mean())) if len(s) else 0.0, 6)
-                for s in segs
-            ]
-            dur = round(n / rate, 6) if rate else None
-            return (nch, rate, n, dur, rms, None)
+            return featurize(nch, rate, n, x)
         except Exception as e:  # noqa: BLE001
             # wave.Error on non-WAV, but truncated/empty payloads raise
             # EOFError (chunk header) or struct.error (reviewer finding)
-            # — all must stay per-row, never fail the task
-            return (None, None, None, None, None, f"not a PCM WAV: {type(e).__name__}: {e}")
+            # — all must stay per-row, never fail the task. IMA ADPCM
+            # compressed WAVs land here (stdlib wave is PCM-only) and get
+            # the real from-scratch decode
+            try:
+                return featurize(*_decode_ima_adpcm_wav(p))
+            except Exception:  # noqa: BLE001
+                return (None, None, None, None, None, f"not a PCM WAV: {type(e).__name__}: {e}")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
