@@ -10,7 +10,12 @@ selection, successive approximation (DC arithmetic-shift + AC
 magnitude-shift refinement passes), EOB run-lengths, per T.81 annex G;
 coefficients accumulate across scans and the IDCT runs once at EOI, so a
 complete progressive file decodes exactly like its sequential twin.
-Arithmetic coding, 12-bit, lossless, and hierarchical modes raise
+LOSSLESS (SOF3) files decode too (round 5): predictor DPCM per T.81
+annex H — all 7 predictors, 2–16-bit precision, point transform Pt,
+interleaved or one-scan-per-component, restart markers (prediction
+resets to the default 2^(P−Pt−1) after each RSTn, H.2.2) — for the
+common non-subsampled (1×1) case; subsampled lossless, arithmetic
+coding, 12-bit DCT, and hierarchical modes raise
 ``NotImplementedError`` — per-row err isolation upstream (S9) turns
 those into dead-letter rows, same as every other codec gap.
 
@@ -368,6 +373,72 @@ def _decode_scan_progressive(
     return end
 
 
+def _decode_scan_lossless(
+    payload, dpos, frame, scomps, hdc, dri, planes, predictor, pt
+) -> int:
+    """Decode ONE lossless (SOF3) scan per T.81 annex H into ``planes``
+    (flat Python int lists keyed by component id); returns the payload
+    position just past the scan's entropy data.
+
+    Sample reconstruction: Huffman-decode the difference CATEGORY with
+    the component's DC table (SSSS 0..16; 16 means diff = 32768 with no
+    extra bits, H.2.3), extend SSSS magnitude bits to a signed diff,
+    add the prediction modulo 2^16 (H.1.2.1). Prediction rules (H.1.2.2):
+    the very first sample — and the first sample of each component after
+    every restart marker (H.2.2) — predicts from the default
+    2^(P−Pt−1); the rest of line 0 predicts from Ra (left); column 0
+    predicts from Rb (above); everywhere else the scan-header-selected
+    predictor 1–7 over (Ra, Rb, Rc) applies. Only 1×1 sampling is
+    supported (checked at SOF), so an interleaved MCU is exactly one
+    sample per component and a scan covers w×h MCUs."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} (Ss must be 1-7)")
+    segs, nd = _split_entropy(payload, dpos)
+    w, h, prec = frame["w"], frame["h"], frame["prec"]
+    default = 1 << (prec - pt - 1)
+    mcu, total = 0, w * h
+    for seg_i, seg in enumerate(segs):
+        bits = _Bits(seg)
+        fresh = {s["id"]: True for s in scomps}  # reset after RSTn (H.2.2)
+        end = min(total, mcu + dri) if dri else total
+        while mcu < end:
+            y, x = divmod(mcu, w)
+            for s in scomps:
+                plane = planes[s["id"]]
+                ssss = bits.huff(hdc[s["td"]])
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(bits.read(ssss), ssss) if ssss else 0
+                if fresh[s["id"]]:
+                    px = default
+                    fresh[s["id"]] = False
+                elif y == 0:
+                    px = plane[mcu - 1]  # Ra only on line 0
+                elif x == 0:
+                    px = plane[mcu - w]  # Rb only on column 0
+                else:
+                    ra = plane[mcu - 1]
+                    rb = plane[mcu - w]
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = plane[mcu - w - 1]
+                    elif predictor == 4:
+                        px = ra + rb - plane[mcu - w - 1]
+                    elif predictor == 5:
+                        px = ra + ((rb - plane[mcu - w - 1]) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - plane[mcu - w - 1]) >> 1)
+                    else:  # predictor == 7 (range checked at scan entry)
+                        px = (ra + rb) >> 1
+                plane[mcu] = (px + diff) & 0xFFFF  # mod 2^16 (H.1.2.1)
+            mcu += 1
+    return nd
+
+
 def _idct_all(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Dequantize + de-zigzag + IDCT a (by, bx, 64) zigzag-coefficient
     array into a (by*8, bx*8) pixel plane (vectorized over blocks)."""
@@ -453,9 +524,13 @@ def decode_jpeg(payload: bytes):
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (hdc if tc == 0 else hac)[th] = huff_table(counts, vals)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
             prec = seg[0]
-            if prec != 8:
+            lossless = m == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"lossless JPEG precision {prec}")
+            elif prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -466,7 +541,18 @@ def decode_jpeg(payload: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps, "progressive": m == 0xC2}
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": m == 0xC2, "lossless": lossless, "prec": prec,
+            }
+            if lossless:
+                # exact sample grid, no DCT-block padding; flat int lists
+                # because the DPCM loop is bit-serial anyway
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise NotImplementedError("subsampled lossless JPEG")
+                for c in comps:
+                    planes[c["id"]] = [0] * (w * h)
+                continue  # no DCT-block allocation below
             # allocate at MCU-grid padding — covers both interleaved and
             # per-component scan geometry
             hmax = max(c["h"] for c in comps)
@@ -480,9 +566,9 @@ def decode_jpeg(payload: bytes):
                     coefs[c["id"]] = np.zeros((by, bx, 64), dtype=np.int64)
                 else:
                     planes[c["id"]] = np.zeros((by * 8, bx * 8))
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{m:02x} (lossless/arithmetic/hierarchical)"
+                f"JPEG SOF marker 0x{m:02x} (arithmetic/hierarchical/differential)"
             )
         elif m == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
@@ -494,7 +580,15 @@ def decode_jpeg(payload: bytes):
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scomps.append({"id": cid, "td": tt >> 4, "ta": tt & 15})
-            if frame["progressive"]:
+            if frame.get("lossless"):
+                # lossless scan header: Ss = predictor 1-7, Al = Pt (H.2.1)
+                ss, ahal = seg[1 + 2 * ns], seg[3 + 2 * ns]
+                frame["pt"] = ahal & 15
+                i = _decode_scan_lossless(
+                    payload, i, frame, scomps, hdc, dri, planes, ss, ahal & 15
+                )
+                covered.update(s["id"] for s in scomps)
+            elif frame["progressive"]:
                 ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
                 i = _decode_scan_progressive(
                     payload, i, frame, scomps, hdc, hac, dri, coefs,
@@ -511,13 +605,22 @@ def decode_jpeg(payload: bytes):
     missing = [c["id"] for c in frame["comps"] if c["id"] not in covered]
     if missing:
         raise ValueError(f"no scan covered component id(s) {missing} (truncated file)")
+    comps = frame["comps"]
+    w, hgt = frame["w"], frame["h"]
+    if frame.get("lossless"):
+        # exact DPCM samples: reshape the flat lists; undo the point
+        # transform by shifting left Pt (annex H output convention) —
+        # no clamp, reconstruction is bit-exact for valid files
+        shift = 1 << frame.get("pt", 0)
+        return w, hgt, [
+            np.asarray(planes[c["id"]], dtype=np.float64).reshape(hgt, w) * shift
+            for c in comps
+        ]
     if frame["progressive"]:
         # all scans received: dequantize + IDCT the accumulated
         # coefficients once (vectorized over blocks)
         for c in frame["comps"]:
             planes[c["id"]] = _idct_all(coefs[c["id"]], qt[c["tq"]])
-    comps = frame["comps"]
-    w, hgt = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     out = []

@@ -258,8 +258,13 @@ def test_unsupported_modes_and_garbage_rejected():
     img = _img(8, 8)
     payload = bytearray(encode_jpeg([img], 8, 8, [(1, 1)], [0], {0: np.ones((8, 8))}))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless): still unsupported
+    payload[i + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic): unsupported
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # SOF0 → SOF3 makes a MALFORMED lossless file (its baseline scan
+    # header has Ss=0, not a predictor 1-7) — rejected loudly
+    payload[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(payload))
     # SOF0 → SOF2 marker alone makes a MALFORMED progressive file (its one
     # scan is a baseline Ss=0..Se=63 interleave, illegal for progressive
@@ -725,3 +730,163 @@ def test_progressive_partial_ac_is_legal_preview():
             assert float(np.ptp(tile)) <= 1e-9
             src = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             assert abs(float(tile[0, 0]) - float(np.mean(src))) <= 1.0
+
+
+# ------------------------------------------------------- lossless encoder
+
+
+def encode_jpeg_lossless(
+    planes, w, h, predictor, prec=8, pt=0, dri=0, per_component=False
+):
+    """Lossless (SOF3) encoder per T.81 annex H: predictor DPCM, Huffman
+    category coding with the DC table machinery (SSSS 0..16, 16 = diff
+    32768 with no magnitude bits), restart markers resetting prediction
+    to 2^(P-Pt-1). ``planes``: int arrays (h, w) of ALREADY
+    point-transformed samples (< 2**prec). One shared Huffman table id 0.
+    ``per_component=True`` emits one SOS per component (restarts only
+    supported in the interleaved shape here)."""
+    nc = len(planes)
+    flat = [np.asarray(p, dtype=np.int64).reshape(-1) for p in planes]
+    default = 1 << (prec - pt - 1)
+
+    def diffs_for(order):
+        """order: list of component indices per MCU (interleaved) or a
+        single component (per-component scan). Yields (comp, token)."""
+        toks = []
+        fresh = [True] * nc
+        for m in range(w * h):
+            if dri and m and m % dri == 0:
+                toks.append(("rst", None, None, None))
+                for ci in order:
+                    fresh[ci] = True
+            y, x = divmod(m, w)
+            for ci in order:
+                p = flat[ci]
+                if fresh[ci]:
+                    px = default
+                    fresh[ci] = False
+                elif y == 0:
+                    px = int(p[m - 1])
+                elif x == 0:
+                    px = int(p[m - w])
+                else:
+                    ra, rb = int(p[m - 1]), int(p[m - w])
+                    rc = int(p[m - w - 1])
+                    px = {
+                        1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1,
+                    }[predictor]
+                d = (int(p[m]) - px) & 0xFFFF
+                if d == 32768:
+                    toks.append((ci, 16, 0, 0))
+                else:
+                    if d > 32768:
+                        d -= 65536
+                    s = _cat(d)
+                    toks.append((ci, s, _mag(d, s), s))
+        return toks
+
+    scans = (
+        [diffs_for([ci]) for ci in range(nc)]
+        if per_component
+        else [diffs_for(list(range(nc)))]
+    )
+    counts, syms, codes = _canonical(
+        [t[1] for toks in scans for t in toks if t[0] != "rst"]
+    )
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])  # 1x1 sampling, Tq=0 (unused in lossless)
+    seg(0xC3, sof)
+    seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms))
+    if dri:
+        seg(0xDD, dri.to_bytes(2, "big"))
+    for si, toks in enumerate(scans):
+        comp_ids = sorted({t[0] + 1 for t in toks if t[0] != "rst"})
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, AhAl=Pt
+        seg(0xDA, sos)
+        bw = _BitWriter()
+        rst = 0
+        for t in toks:
+            if t[0] == "rst":
+                bw.align()
+                out.extend(bw.out)
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                bw = _BitWriter()
+                continue
+            _ci, sym, mb, nb = t
+            code, ln = codes[sym]
+            bw.write(code, ln)
+            if nb:
+                bw.write(mb, nb)
+        bw.align()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_lossless_roundtrip_all_predictors():
+    """Every predictor 1-7 reconstructs a full-range 8-bit image
+    BIT-EXACTLY (lossless means lossless, not RMSE-bounded)."""
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (13, 19))
+    for pred in range(1, 8):
+        payload = encode_jpeg_lossless([img], 19, 13, pred)
+        w, h, planes = decode_jpeg(payload)
+        assert (w, h) == (19, 13)
+        assert np.array_equal(planes[0].astype(np.int64), img), f"pred {pred}"
+
+
+def test_lossless_interleaved_color_restarts_and_per_component():
+    """3-component 12-bit file: interleaved with restart markers AND the
+    one-scan-per-component shape both reconstruct exactly (restarts reset
+    prediction per H.2.2 — a decoder that keeps predicting across RSTn
+    desyncs immediately on full-range data)."""
+    rng = np.random.RandomState(7)
+    comps = [rng.randint(0, 4096, (9, 11)) for _ in range(3)]
+    with_rst = encode_jpeg_lossless(comps, 11, 9, 4, prec=12, dri=5)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    w, h, planes = decode_jpeg(with_rst)
+    assert (w, h) == (11, 9)
+    for got, src in zip(planes, comps):
+        assert np.array_equal(got.astype(np.int64), src)
+    per_comp = encode_jpeg_lossless(comps, 11, 9, 4, prec=12, per_component=True)
+    for got, src in zip(decode_jpeg(per_comp)[2], comps):
+        assert np.array_equal(got.astype(np.int64), src)
+
+
+def test_lossless_16bit_and_point_transform():
+    """prec=16 exercises the mod-2^16 difference arithmetic (diff 32768
+    → the SSSS=16 no-magnitude-bits special case); Pt>0 output shifts
+    left so the decode equals the original quantized to Pt bits."""
+    rng = np.random.RandomState(3)
+    img16 = rng.randint(0, 65536, (6, 7))
+    payload = encode_jpeg_lossless([img16], 7, 6, 1, prec=16)
+    assert np.array_equal(decode_jpeg(payload)[2][0].astype(np.int64), img16)
+    img8 = rng.randint(0, 256, (8, 8))
+    payload = encode_jpeg_lossless([img8 >> 2], 8, 8, 2, prec=8, pt=2)
+    got = decode_jpeg(payload)[2][0].astype(np.int64)
+    assert np.array_equal(got, (img8 >> 2) << 2)
+
+
+def test_lossless_subsampled_raises():
+    """Subsampled lossless is a declared seam — NotImplementedError, so
+    mapInPandas err isolation dead-letters the row instead of garbling."""
+    img = np.zeros((8, 8), dtype=np.int64)
+    payload = bytearray(encode_jpeg_lossless([img], 8, 8, 1))
+    i = payload.index(b"\xff\xc3")
+    # component 1's h|v byte sits 10 bytes into the SOF segment payload
+    payload[i + 2 + 2 + 7] = 0x21  # 2x1 sampling
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        decode_jpeg(bytes(payload))
