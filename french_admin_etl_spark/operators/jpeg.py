@@ -14,8 +14,11 @@ LOSSLESS (SOF3) files decode too (round 5): predictor DPCM per T.81
 annex H — all 7 predictors, 2–16-bit precision, point transform Pt,
 interleaved or one-scan-per-component, restart markers (prediction
 resets to the default 2^(P−Pt−1) after each RSTn, H.2.2) — for the
-common non-subsampled (1×1) case; subsampled lossless, arithmetic
-coding, 12-bit DCT, and hierarchical modes raise
+common non-subsampled (1×1) case. 12-BIT samples decode in extended
+sequential (SOF1) and progressive (SOF2) frames (round 5): level shift
+2048, clamp to [0, 4095], 16-bit (Pq=1) quantization tables — baseline
+SOF0 stays 8-bit-only as T.81 B.2.2 requires. Subsampled lossless,
+arithmetic coding, and hierarchical modes raise
 ``NotImplementedError`` — per-row err isolation upstream (S9) turns
 those into dead-letter rows, same as every other codec gap.
 
@@ -157,6 +160,7 @@ def _decode_scan(payload, dpos, frame, scomps, qt, hdc, hac, dri, planes) -> int
     DC predictors reset at scan start and at every restart (T.81 E.2.4 /
     F.2.1.3.1)."""
     segs, end = _split_entropy(payload, dpos)
+    level = float(1 << (frame.get("prec", 8) - 1))  # 128 @8-bit, 2048 @12
     comps = frame["comps"]
     w, hgt = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
@@ -217,7 +221,7 @@ def _decode_scan(payload, dpos, frame, scomps, qt, hdc, hac, dri, planes) -> int
                         k += 1
                     nat = np.zeros(64)
                     nat[ZIGZAG] = zig
-                    px = _idct2(nat.reshape(8, 8) * q) + 128.0
+                    px = _idct2(nat.reshape(8, 8) * q) + level
                     y0 = (my * vu + v) * 8
                     x0 = (mx * hu + hh) * 8
                     planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
@@ -439,14 +443,14 @@ def _decode_scan_lossless(
     return nd
 
 
-def _idct_all(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _idct_all(coefs: np.ndarray, q: np.ndarray, level: float = 128.0) -> np.ndarray:
     """Dequantize + de-zigzag + IDCT a (by, bx, 64) zigzag-coefficient
     array into a (by*8, bx*8) pixel plane (vectorized over blocks)."""
     by, bx, _ = coefs.shape
     nat = np.zeros((by, bx, 64))
     nat[:, :, ZIGZAG] = coefs
     blocks = nat.reshape(by, bx, 8, 8) * q
-    px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+    px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + level
     return px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
 
@@ -471,8 +475,8 @@ def decode_jpeg(payload: bytes):
     runs once at EOI over the final coefficients — so a fully-received
     progressive file decodes EXACTLY like its sequential twin. Coverage
     rule for progressive: every component needs a DC scan (AC-less
-    previews are legal); arithmetic coding, 12-bit, and hierarchical
-    modes still raise."""
+    previews are legal); arithmetic coding and hierarchical modes still
+    raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -530,7 +534,9 @@ def decode_jpeg(payload: bytes):
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"lossless JPEG precision {prec}")
-            elif prec != 8:
+            elif prec != 8 and not (prec == 12 and m in (0xC1, 0xC2)):
+                # 12-bit samples are legal in EXTENDED sequential (SOF1)
+                # and progressive (SOF2), never baseline SOF0 (T.81 B.2.2)
                 raise NotImplementedError(f"JPEG precision {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -620,14 +626,17 @@ def decode_jpeg(payload: bytes):
         # all scans received: dequantize + IDCT the accumulated
         # coefficients once (vectorized over blocks)
         for c in frame["comps"]:
-            planes[c["id"]] = _idct_all(coefs[c["id"]], qt[c["tq"]])
+            planes[c["id"]] = _idct_all(
+                coefs[c["id"]], qt[c["tq"]], float(1 << (frame["prec"] - 1))
+            )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    maxval = float((1 << frame["prec"]) - 1)  # 255 @8-bit, 4095 @12-bit
     out = []
     for c in comps:
         cw = -(-(w * c["h"]) // hmax)
         ch = -(-(hgt * c["v"]) // vmax)
-        out.append(np.clip(planes[c["id"]][:ch, :cw], 0.0, 255.0))
+        out.append(np.clip(planes[c["id"]][:ch, :cw], 0.0, maxval))
     return w, hgt, out
 
 

@@ -20,11 +20,12 @@ delineated (this container has no PIL/ffmpeg):
   encoders — round 4 closed the progressive seam), PCM WAV audio
   (stdlib ``wave``), and **IMA ADPCM compressed WAV** (from-scratch
   4-bit differential decode, mono+stereo, bit-exact round-trip — round 5
-  closed this seam), plus LOSSLESS JPEG (SOF3 predictor DPCM, round 5).
+  closed this seam), plus LOSSLESS (SOF3 predictor DPCM) and 12-BIT
+  extended-sequential/progressive JPEG (both round 5).
   Real nearest-neighbor RESIZE to an 8×8 grayscale
   thumbnail is the image feature; per-segment RMS energy is the audio
   feature. Rows whose codec still needs an external library
-  (arithmetic-coded/12-bit JPEG, MP3/…) get a per-row ``err``
+  (arithmetic-coded/hierarchical JPEG, MP3/…) get a per-row ``err``
   instead of failing the batch — the engine's S9 dead-letter philosophy
   applied to media.
 - **STUBBED**: compressed codecs and video frame iteration

@@ -98,12 +98,15 @@ def _canonical(symbols):
     return counts, syms, codes
 
 
-def encode_jpeg(planes, w, h, factors, qt_of, qtabs, dri=0):
+def encode_jpeg(planes, w, h, factors, qt_of, qtabs, dri=0, prec=8):
     """Minimal baseline encoder. ``planes``: coded-resolution float
     arrays [0,255]; ``factors``: [(h_i, v_i)]; ``qt_of``: quant-table id
     per component; ``qtabs``: {id: 8x8 natural-order array}. Component
-    0 uses Huffman tables 0, the rest table 1 (JFIF convention)."""
+    0 uses Huffman tables 0, the rest table 1 (JFIF convention).
+    ``prec=12`` emits EXTENDED sequential (SOF1, level shift 2048,
+    16-bit DQT when a table value exceeds 255)."""
     nc = len(planes)
+    level = float(1 << (prec - 1))
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     if nc > 1:
@@ -132,7 +135,7 @@ def encode_jpeg(planes, w, h, factors, qt_of, qtabs, dri=0):
                 for hh in range(hu):
                     y0, x0 = (my * vu + v) * 8, (mx * hu + hh) * 8
                     blk = padded[ui][y0 : y0 + 8, x0 : x0 + 8]
-                    x = C @ (blk - 128.0) @ C.T
+                    x = C @ (blk - level) @ C.T
                     qzig = _zig(np.round(x / q).astype(np.int64).reshape(64).copy())
                     toks, dc = _block_tokens(qzig, pred[i])
                     pred[i] = dc
@@ -155,11 +158,14 @@ def encode_jpeg(planes, w, h, factors, qt_of, qtabs, dri=0):
 
     for tid, q in qtabs.items():
         qz = q.reshape(64)[ZIGZAG].astype(int)
-        seg(0xDB, bytes([tid]) + bytes(int(x) for x in qz))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+        if int(qz.max()) > 255:  # Pq=1: 16-bit table (12-bit precision only)
+            seg(0xDB, bytes([0x10 | tid]) + b"".join(int(x).to_bytes(2, "big") for x in qz))
+        else:
+            seg(0xDB, bytes([tid]) + bytes(int(x) for x in qz))
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for i in range(nc):
         sof += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], qt_of[i]])
-    seg(0xC0, sof)
+    seg(0xC0 if prec == 8 else 0xC1, sof)
     for (cls, tid), (counts, syms, _codes) in sorted(tables.items()):
         tc = 0 if cls == "dc" else 1
         seg(0xC4, bytes([(tc << 4) | tid]) + bytes(counts) + bytes(syms))
@@ -426,8 +432,9 @@ def test_component_missing_scan_raises():
 # ------------------------------------------------------ progressive encoder
 
 
-def _quantize_blocks(planes, w, h, factors, qt_of, qtabs):
+def _quantize_blocks(planes, w, h, factors, qt_of, qtabs, prec=8):
     """Per-component MCU-grid-padded quantized zigzag blocks (int64[by,bx,64])."""
+    level = float(1 << (prec - 1))
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -440,7 +447,7 @@ def _quantize_blocks(planes, w, h, factors, qt_of, qtabs):
         for yy in range(by):
             for xx in range(bx):
                 blk = padded[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8]
-                x = C @ (blk - 128.0) @ C.T
+                x = C @ (blk - level) @ C.T
                 arr[yy, xx] = _zig(np.round(x / q).astype(np.int64).reshape(64).copy())
         out.append(arr)
     return out, mcus_x, mcus_y
@@ -591,13 +598,13 @@ def _scan_ops_ac_refine(qb, bys, bxs, ss, se, al):
     return ops
 
 
-def encode_jpeg_progressive(planes, w, h, factors, qt_of, qtabs, script=None):
+def encode_jpeg_progressive(planes, w, h, factors, qt_of, qtabs, script=None, prec=8):
     """Progressive (SOF2) encoder: spectral selection + successive
     approximation, per-scan DHT redefinition, EOB run-lengths — the wire
     shapes of T.81 annex G, built from scratch so the decoder round-trip
     pins the format, not a library."""
     nc = len(planes)
-    qblocks, mcus_x, mcus_y = _quantize_blocks(planes, w, h, factors, qt_of, qtabs)
+    qblocks, mcus_x, mcus_y = _quantize_blocks(planes, w, h, factors, qt_of, qtabs, prec)
     if script is None:
         if nc == 1:
             script = [
@@ -620,7 +627,7 @@ def encode_jpeg_progressive(planes, w, h, factors, qt_of, qtabs, script=None):
     for tid, q in qtabs.items():
         qz = q.reshape(64)[ZIGZAG].astype(int)
         seg(0xDB, bytes([tid]) + bytes(int(x) for x in qz))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for i in range(nc):
         sof += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], qt_of[i]])
     seg(0xC2, sof)
@@ -890,3 +897,52 @@ def test_lossless_subsampled_raises():
     payload[i + 2 + 2 + 7] = 0x21  # 2x1 sampling
     with pytest.raises(NotImplementedError, match="subsampled lossless"):
         decode_jpeg(bytes(payload))
+
+
+def test_extended_sequential_12bit():
+    """SOF1 12-bit: level shift 2048, 16-bit DQT (Pq=1), values clamp to
+    [0, 4095] — reconstruction within the quantization-error bound at
+    12-bit scale. SOF0 (baseline) with precision 12 stays rejected
+    (T.81 B.2.2 allows 12-bit only in extended/progressive frames)."""
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.clip(
+        1800 + 900 * np.sin(xx / 5.0) + 600 * np.cos(yy / 7.0)
+        + rng.randint(-160, 161, (16, 24)),
+        600, 3400,
+    ).astype(np.float64)
+    q = {0: np.full((8, 8), 300.0)}  # >255 forces the 16-bit DQT shape
+    payload = encode_jpeg([img], 24, 16, [(1, 1)], [0], q, prec=12)
+    assert payload[payload.index(b"\xff\xc1") + 4] == 12  # SOF1, P=12
+    w, h, planes = decode_jpeg(payload)
+    assert (w, h) == (24, 16)
+    rmse = float(np.sqrt(np.mean((planes[0] - img) ** 2)))
+    assert rmse <= 300.0 / 2 + 2.0, rmse
+    # near-lossless at q=1: 12-bit values round-trip to DCT rounding noise
+    exact = encode_jpeg([img], 24, 16, [(1, 1)], [0], {0: np.ones((8, 8))}, prec=12)
+    assert float(np.max(np.abs(decode_jpeg(exact)[2][0] - img))) <= 2.0
+    # baseline SOF0 must NOT accept 12-bit samples
+    bad = bytearray(exact)
+    bad[bad.index(b"\xff\xc1") + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="precision 12"):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_12bit_matches_sequential():
+    """12-bit progressive (SOF2, P=12) decodes bit-identically to the
+    extended-sequential encoding of the same quantized source — the
+    annex-G path is precision-agnostic except level shift and clamp."""
+    rng = np.random.RandomState(12)
+    img = np.clip(
+        2048.0 + rng.randint(-1400, 1401, (16, 16)), 0, 4095
+    ).astype(np.float64)
+    q = {0: np.full((8, 8), 5.0)}
+    seq = encode_jpeg([img], 16, 16, [(1, 1)], [0], q, prec=12)
+    prog = encode_jpeg_progressive([img], 16, 16, [(1, 1)], [0], q, prec=12)
+    a = decode_jpeg(seq)[2][0]
+    b = decode_jpeg(prog)[2][0]
+    # identical integer coefficients; the only difference is FP summation
+    # order (per-block matmul IDCT vs the progressive path's vectorized
+    # einsum) — last-ulp at 12-bit magnitudes, so assert to 1e-9
+    assert float(np.max(np.abs(a - b))) <= 1e-9
+    assert float(a.max()) > 255.0  # actually exercised the 12-bit range
