@@ -15,7 +15,10 @@ and they are the standard interchange formats for UNCOMPRESSED video
   4-byte-row-padded BGR frame (same pixel layout as BMP, which
   ``multimodal.decode_image`` already decodes).
 
-Compressed codecs inside AVI (``biCompression != 0``) raise
+**MJPEG AVI** (``biCompression == 'MJPG'``) decodes too (round 5):
+each movi chunk is a standalone JPEG handed to the in-house T.81
+decoder, so the only compressed-video codec that needs no external
+library is real. Other compressed codecs inside AVI raise
 ``NotImplementedError`` — the honest ffmpeg seam, dead-lettered per row
 by the caller (S9). Frames are yielded lazily so sampling every Nth
 frame of a long clip never materializes the rest.
@@ -115,7 +118,13 @@ def _iter_avi(payload: bytes):
     h = int.from_bytes(strf[8:12], "little", signed=True)
     bpp = int.from_bytes(strf[14:16], "little")
     compression = int.from_bytes(strf[16:20], "little")
-    if compression != 0 or bpp != 24:
+    # MJPEG (biCompression fourcc 'MJPG'): every movi chunk is one
+    # standalone JPEG — the in-house T.81 decoder handles it (round 5).
+    # Frames must carry their own DHT (as compliant encoders emit); the
+    # OpenDML no-DHT shorthand that assumes annex-K default tables is
+    # not filled in.
+    mjpeg = strf[16:20] in (b"MJPG", b"mjpg", b"dmb1")
+    if not mjpeg and (compression != 0 or bpp != 24):
         raise NotImplementedError(
             f"AVI codec biCompression={compression} bpp={bpp} needs ffmpeg"
         )
@@ -126,6 +135,13 @@ def _iter_avi(payload: bytes):
     for fourcc, start, size in _riff_chunks(payload, movi[0], movi[1]):
         if fourcc[2:4] not in (b"db", b"dc"):
             continue  # index/audio chunks
+        if mjpeg:
+            from .jpeg import decode_jpeg_gray
+
+            fw, fh, gray = decode_jpeg_gray(bytes(payload[start : start + size]))
+            yield idx, fw, fh, gray
+            idx += 1
+            continue
         if size < stride * h:
             raise ValueError(f"AVI frame {idx}: truncated")
         rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=start)

@@ -126,3 +126,51 @@ def test_sample_video_frames_real_decode_e2e(spark):
     bad = [r for r in out if r["media_id"] == 2]
     assert len(bad) == 1 and bad[0]["err"] is not None
     assert not [r for r in out if r["media_id"] == 3]  # kind filter
+
+
+def _avi_mjpeg(jpegs, w, h):
+    """MJPEG AVI: same RIFF skeleton as _avi but biCompression='MJPG' and
+    each 00dc chunk is one standalone JPEG."""
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + bytes(20)
+    )
+    strh = b"vids" + bytes(52)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", bytes(56))
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_mjpeg_frames_decode_via_jpeg():
+    """MJPEG: every movi chunk is a standalone JPEG decoded by the
+    in-house T.81 decoder — near-lossless at q=1, per-frame dims from the
+    frame itself; a corrupt frame raises (caller dead-letters the row)."""
+    from test_jpeg import encode_jpeg
+
+    h, w = 16, 24
+    ys = _frames(3, h, w, seed=11)
+    q1 = np.ones((8, 8))
+    jpegs = [encode_jpeg([y], w, h, [(1, 1)], [0], {0: q1}) for y in ys]
+    got = list(decode_video_frames(_avi_mjpeg(jpegs, w, h)))
+    assert [g[0] for g in got] == [0, 1, 2]
+    for (_i, gw, gh, gray), src in zip(got, ys):
+        assert (gw, gh) == (w, h)
+        assert float(np.max(np.abs(gray - src))) <= 2.0
+    # corrupt middle frame: iteration reaches it then raises (S9 isolates
+    # per ROW upstream — one bad clip kills only that clip's row)
+    bad = list(jpegs)
+    bad[1] = b"\xff\xd8garbage"
+    it = decode_video_frames(_avi_mjpeg(bad, w, h))
+    assert next(it)[0] == 0
+    with pytest.raises(ValueError):
+        list(it)
