@@ -96,10 +96,12 @@ def decode_image(payload: bytes):
     where ``gray`` is a float64 HxW numpy array in [0, 255].
 
     Supported: binary PPM (``P6``, RGB) / PGM (``P5``, gray) with
-    comment-tolerant headers, and 24-bit uncompressed BMP
-    (BITMAPINFOHEADER; handles the bottom-up row order and 4-byte row
-    padding). Compressed codecs raise ``NotImplementedError`` — the
-    declared seam where PIL plugs in."""
+    comment-tolerant headers at 8-bit AND 16-bit maxval (2-byte
+    big-endian samples rescaled to [0, 255] — round 5), and uncompressed
+    BMP (BITMAPINFOHEADER; bottom-up row order, 4-byte row padding) at
+    24-bit or 8-bit palette (BGRA color table — round 5). Compressed
+    codecs raise ``NotImplementedError`` — the declared seam where PIL
+    plugs in."""
     import numpy as np
 
     if payload[:2] in (b"P6", b"P5"):
@@ -121,15 +123,26 @@ def decode_image(payload: bytes):
             i = j
         i += 1  # single whitespace after maxval
         w, h, maxval = tokens
-        if maxval > 255:
-            raise NotImplementedError("16-bit PNM needs wide decode")
         ch = 3 if payload[:2] == b"P6" else 1
-        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+        if maxval > 255:
+            # wide PNM (round 5): 2-byte big-endian samples (Netpbm
+            # spec), rescaled so the gray contract stays [0, 255]
+            if maxval > 65535:
+                raise ValueError(f"PNM maxval {maxval} out of spec")
+            px = (
+                np.frombuffer(payload, dtype=">u2", count=w * h * ch, offset=i)
+                .astype(np.float64)
+                * (255.0 / maxval)
+            )
+        else:
+            px = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h * ch, offset=i
+            ).astype(np.float64)
         if ch == 3:
-            rgb = px.reshape(h, w, 3).astype(np.float64)
+            rgb = px.reshape(h, w, 3)
             gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
         else:
-            gray = px.reshape(h, w).astype(np.float64)
+            gray = px.reshape(h, w)
         return w, h, gray
     if payload[:2] == b"BM":
         off = int.from_bytes(payload[10:14], "little")
@@ -137,15 +150,34 @@ def decode_image(payload: bytes):
         h = int.from_bytes(payload[22:26], "little", signed=True)
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
-        if bpp != 24 or compression != 0:
+        if bpp not in (8, 24) or compression != 0:
             raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
         import numpy as np
 
         bottom_up = h > 0
         h = abs(h)
-        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
-        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
-        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+        if bpp == 8:
+            # palette BMP (round 5): BGRA quads follow the info header;
+            # biClrUsed 0 means a full 256-entry table
+            hdr_size = int.from_bytes(payload[14:18], "little")
+            n_colors = int.from_bytes(payload[46:50], "little") or 256
+            pal = (
+                np.frombuffer(
+                    payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+                )
+                .reshape(n_colors, 4)
+                .astype(np.float64)
+            )
+            stride = (w + 3) & ~3
+            rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+            idx = rows.reshape(h, stride)[:, :w]
+            if int(idx.max()) >= n_colors:
+                raise ValueError("BMP palette index out of range")
+            bgr = pal[idx][:, :, :3]
+        else:
+            stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+            rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+            bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
         if bottom_up:
             bgr = bgr[::-1]
         gray = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
@@ -165,18 +197,111 @@ def decode_image(payload: bytes):
     )
 
 
+def _png_unfilter(raw: bytes, offset: int, stride: int, height: int, bpp: int):
+    """Unfilter ``height`` PNG scanlines of ``stride`` bytes each starting
+    at ``offset`` in the inflated stream. PNG filters operate on BYTES at
+    pixel distance ``bpp`` (RFC 2083 §6) — so this is shared verbatim by
+    every depth: 16-bit rows filter with bpp = channels*2, sub-byte rows
+    with bpp = 1. Returns ((height, stride) uint8, next offset).
+
+    none/up/sub are fully vectorized (sub is a mod-256 prefix sum per
+    byte lane); only average/paeth have a genuine serial pixel
+    dependency, and those loop per PIXEL with vector ops across lanes —
+    not per byte (a 2000x2000 photo would otherwise cost ~12M
+    interpreter iterations, reviewer finding)."""
+    import numpy as np
+
+    need = height * (stride + 1)
+    if len(raw) < offset + need:
+        raise ValueError("malformed PNG: truncated IDAT")
+    lanes = stride // bpp  # exact: stride is a whole number of pixels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zeros_px = np.zeros(bpp, np.int32)
+    for y in range(height):
+        base = offset + y * (stride + 1)
+        f = raw[base]
+        line = (
+            np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1)
+            .astype(np.int32)
+            .reshape(lanes, bpp)
+        )
+        prev = (
+            out[y - 1].astype(np.int32).reshape(lanes, bpp)
+            if y
+            else np.zeros((lanes, bpp), np.int32)
+        )
+        if f == 0:
+            cur = line
+        elif f == 1:  # sub: recon[x] = sum(line[0..x]) mod 256 per lane
+            cur = np.cumsum(line, axis=0) & 0xFF
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):
+            cur = np.zeros((lanes, bpp), np.int32)
+            for x in range(lanes):
+                a = cur[x - 1] if x else zeros_px
+                b = prev[x]
+                if f == 3:  # average
+                    v = line[x] + ((a + b) >> 1)
+                else:  # paeth
+                    c = prev[x - 1] if x else zeros_px
+                    pp = a + b - c
+                    pa, pb, pc = np.abs(pp - a), np.abs(pp - b), np.abs(pp - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.reshape(stride).astype(np.uint8)
+    return out, offset + need
+
+
+def _png_samples(rows, w: int, channels: int, depth: int):
+    """(h, stride) reconstructed bytes → (h, w, channels) int32 samples
+    at native depth: 8-bit passthrough, 16-bit big-endian pairs, 1/2/4
+    MSB-first packed fields (RFC 2083 §7.2)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    spp = w * channels
+    if depth == 8:
+        return rows[:, :spp].astype(np.int32).reshape(h, w, channels)
+    if depth == 16:
+        b = rows.reshape(h, -1, 2).astype(np.int32)
+        return ((b[:, :spp, 0] << 8) | b[:, :spp, 1]).reshape(h, w, channels)
+    bits = np.unpackbits(rows, axis=1)
+    nf = rows.shape[1] * 8 // depth
+    fields = bits[:, : nf * depth].reshape(h, nf, depth).astype(np.int32)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (fields * weights).sum(axis=2)[:, :spp]
+    return vals.reshape(h, w, channels)
+
+
+# Adam7 pass origins/strides (x0, y0, dx, dy), RFC 2083 §8.2 — the union
+# of the 7 lattices tiles the full grid exactly once
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _decode_png(payload: bytes):
     """REAL PNG decode, stdlib-only (zlib inflate + numpy unfiltering):
-    8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    6 (RGBA), non-interlaced. All five scanline filters (none/sub/up/
-    average/paeth) are implemented; alpha is ignored for the grayscale
-    feature. Interlaced or exotic-depth PNGs raise NotImplementedError
-    (per-row err isolation upstream, S9)."""
+    bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette,
+    PLTE lookup), 4 (gray+alpha), 6 (RGBA), non-interlaced AND Adam7
+    interlaced (7 independently-filtered reduced images scattered onto
+    the pixel grid — round 5; previously a declared seam). All five
+    scanline filters; alpha/tRNS ignored for the grayscale feature;
+    16-bit samples scale by 255/65535 so the gray contract stays
+    [0, 255]. Malformed files raise ValueError (per-row err isolation
+    upstream, S9)."""
     import zlib
 
     import numpy as np
 
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         typ = payload[pos + 4 : pos + 8]
@@ -184,6 +309,8 @@ def _decode_png(payload: bytes):
         pos += 12 + ln  # len + type + data + crc
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -193,67 +320,42 @@ def _decode_png(payload: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, _comp, _filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    legal_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(ctype, (8, 16))
+    if channels is None or depth not in legal_depths or interlace > 1:
         raise NotImplementedError(
             f"PNG depth={depth} colortype={ctype} interlace={interlace}"
         )
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("malformed PNG: palette image missing/bad PLTE")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("malformed PNG: truncated IDAT")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    zeros_px = np.zeros(bpp, np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        # channel-lane shape (w, bpp): none/up/sub are fully vectorized
-        # (sub is a mod-256 prefix sum per lane); only average/paeth have
-        # a genuine serial pixel dependency, and those loop per PIXEL
-        # with vector ops across channels — not per byte (a 2000x2000
-        # photo would otherwise cost ~12M interpreter iterations,
-        # reviewer finding)
-        line = (
-            np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-            )
-            .astype(np.int32)
-            .reshape(w, bpp)
-        )
-        prev = (
-            out[y - 1].astype(np.int32).reshape(w, bpp)
-            if y
-            else np.zeros((w, bpp), np.int32)
-        )
-        if f == 0:
-            cur = line
-        elif f == 1:  # sub: recon[x] = sum(line[0..x]) mod 256 per lane
-            cur = np.cumsum(line, axis=0) & 0xFF
-        elif f == 2:  # up
-            cur = (line + prev) & 0xFF
-        elif f in (3, 4):
-            cur = np.zeros((w, bpp), np.int32)
-            for x in range(w):
-                a = cur[x - 1] if x else zeros_px
-                b = prev[x]
-                if f == 3:  # average
-                    v = line[x] + ((a + b) >> 1)
-                else:  # paeth
-                    c = prev[x - 1] if x else zeros_px
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                    v = line[x] + pred
-                cur[x] = v & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[y] = cur.reshape(stride).astype(np.uint8)
-    px = out.reshape(h, w, channels).astype(np.float64)
-    if ctype == 0:
-        gray = px[:, :, 0]
-    elif ctype == 4:
+    bpp = max(1, (channels * depth) // 8)  # filter byte distance
+
+    def stride_for(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
+    img = np.zeros((h, w, channels), dtype=np.int32)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, stride_for(w), h, bpp)
+        img = _png_samples(rows, w, channels, depth)
+    else:
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass at small dims (no scanlines at all)
+            rows, off = _png_unfilter(raw, off, stride_for(pw), ph, bpp)
+            img[y0::dy, x0::dx] = _png_samples(rows, pw, channels, depth)
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.float64)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("malformed PNG: palette index out of range")
+        rgb = pal[idx]
+        return w, h, 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    px = img.astype(np.float64) * (255.0 / ((1 << depth) - 1))
+    if ctype in (0, 4):
         gray = px[:, :, 0]  # alpha ignored
     else:  # 2 or 6: RGB(+A)
         gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]

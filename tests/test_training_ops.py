@@ -633,17 +633,16 @@ def test_png_decode_all_filters(spark):
     ppm = b"P6\n5 7\n255\n" + rgb.tobytes()
     _, _, gray_ppm = decode_image(ppm)
     assert np.allclose(gray_ppm, want)
-    # interlaced is a declared NotImplementedError seam
-    import pytest as _pytest
-
-    bad_ihdr = struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 1)
-    bad = (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
-        + chunk(b"IDAT", zlib.compress(b"\x00" * (7 * 16)))
+    # an all-zero Adam7 stream decodes to black (interlace was a seam
+    # until round 5; the real round-trip lives in test_png_depths_palette_adam7)
+    z_ihdr = struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 1)
+    zeros = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", z_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (7 * 20)))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="interlace"):
-        decode_image(bad)
+    wz, hz, gz = decode_image(zeros)
+    assert (wz, hz) == (5, 7) and float(np.abs(gz).max()) == 0.0
 
 
 def test_dedup_lines_literal_separator(spark):
@@ -929,3 +928,187 @@ def test_ima_adpcm_decode_roundtrip(spark):
         assert len(out[mid]["rms_segments"]) == 8
         assert all(0.3 < v < 0.6 for v in out[mid]["rms_segments"])
     assert out[3]["err"] is not None and out[3]["rms_segments"] is None
+
+
+def test_png_depths_palette_adam7():
+    """Round 5 PNG surface: 16-bit samples, sub-byte gray depths,
+    palette (PLTE) images, and Adam7 interlace — each encoded by hand
+    (the 7-pass splitter built HERE pins RFC 2083 §8.2, not a library)
+    and decoded back exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def pack_rows(px, depth):
+        """(h, w, ch) int → filtered-as-0 scanline bytes at depth."""
+        h, w, ch = px.shape
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)  # filter none
+            if depth == 8:
+                raw.extend(px[y].astype(np.uint8).tobytes())
+            elif depth == 16:
+                raw.extend(px[y].astype(">u2").tobytes())
+            else:
+                bits = []
+                for v in px[y].reshape(-1):
+                    bits.extend(int(b) for b in f"{int(v):0{depth}b}")
+                while len(bits) % 8:
+                    bits.append(0)
+                raw.extend(
+                    int("".join(map(str, bits[i : i + 8])), 2)
+                    for i in range(0, len(bits), 8)
+                )
+        return bytes(raw)
+
+    def encode(px, ctype, depth, interlace=0, plte=None):
+        h, w, ch = px.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        if interlace == 0:
+            raw = pack_rows(px, depth)
+        else:  # Adam7: 7 independently-filtered reduced images
+            passes = [
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ]
+            raw = b""
+            for x0, y0, dx, dy in passes:
+                sub = px[y0::dy, x0::dx]
+                if sub.size:
+                    raw += pack_rows(sub, depth)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(17)
+
+    # 16-bit gray: scaling is 255/65535, exact in float64
+    g16 = rng.integers(0, 65536, (6, 9, 1))
+    _, _, gray = decode_image(encode(g16, 0, 16))
+    assert np.allclose(gray, g16[:, :, 0] * (255.0 / 65535.0))
+
+    # 16-bit RGB
+    rgb16 = rng.integers(0, 65536, (5, 4, 3))
+    _, _, gray = decode_image(encode(rgb16, 2, 16))
+    want = (
+        0.299 * rgb16[:, :, 0] + 0.587 * rgb16[:, :, 1] + 0.114 * rgb16[:, :, 2]
+    ) * (255.0 / 65535.0)
+    assert np.allclose(gray, want)
+
+    # sub-byte gray depths (w=11 exercises partial trailing byte)
+    for depth in (1, 2, 4):
+        gd = rng.integers(0, 1 << depth, (7, 11, 1))
+        _, _, gray = decode_image(encode(gd, 0, depth))
+        assert np.allclose(gray, gd[:, :, 0] * (255.0 / ((1 << depth) - 1))), depth
+
+    # palette: indices → PLTE RGB → BT.601 gray
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (6, 7, 1))
+    _, _, gray = decode_image(encode(idx, 3, 8, plte=pal.tobytes()))
+    prgb = pal[idx[:, :, 0]].astype(np.float64)
+    assert np.allclose(
+        gray, 0.299 * prgb[..., 0] + 0.587 * prgb[..., 1] + 0.114 * prgb[..., 2]
+    )
+    # 4-bit palette indices (packed two per byte)
+    _, _, gray4 = decode_image(encode(idx, 3, 4, plte=pal.tobytes()))
+    assert np.allclose(gray4, gray)
+
+    # Adam7 == sequential, on dims that exercise every pass incl. empty
+    # tails (10x9) and a sub-8 image where passes 1-4 shrink to slivers
+    for (h, w) in ((9, 10), (5, 3)):
+        rgb = rng.integers(0, 256, (h, w, 3))
+        seq = decode_image(encode(rgb, 2, 8))
+        i7 = decode_image(encode(rgb, 2, 8, interlace=1))
+        assert seq[:2] == (w, h) and i7[:2] == (w, h)
+        assert np.array_equal(seq[2], i7[2]), (h, w)
+    # interlaced 16-bit palette-free gray too (depth x interlace cross)
+    g = rng.integers(0, 65536, (9, 10, 1))
+    assert np.array_equal(
+        decode_image(encode(g, 0, 16))[2], decode_image(encode(g, 0, 16, 1))[2]
+    )
+
+    # malformed: truncated interlaced stream + out-of-range palette index
+    import pytest as _pytest
+
+    full = encode(rgb16, 2, 16, interlace=1)
+    i = full.index(b"IDAT") - 4
+    short = zlib.compress(zlib.decompress(full[i + 8 : -12 - 4])[:-30])
+    bad = full[:i] + chunk(b"IDAT", short) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(bad)
+    with _pytest.raises(ValueError, match="palette"):
+        decode_image(encode(np.full((2, 2, 1), 15), 3, 8, plte=bytes(9)))
+
+
+def test_pnm_16bit_and_bmp_palette():
+    """Round 5: wide PNM (maxval > 255, 2-byte big-endian samples,
+    rescaled to [0,255]) and 8-bit palette BMP (BGRA color table,
+    biClrUsed=0 → 256 entries) decode; out-of-range palette index and
+    out-of-spec maxval raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(23)
+
+    # P5 gray at maxval 65535 and P6 RGB at a non-power maxval
+    g16 = rng.integers(0, 65536, (5, 7))
+    pgm = b"P5\n7 5\n65535\n" + g16.astype(">u2").tobytes()
+    w, h, gray = decode_image(pgm)
+    assert (w, h) == (7, 5)
+    assert np.allclose(gray, g16 * (255.0 / 65535.0))
+    rgb = rng.integers(0, 1001, (4, 3, 3))
+    ppm = b"P6\n# wide\n3 4\n1000\n" + rgb.astype(">u2").tobytes()
+    _, _, gray = decode_image(ppm)
+    want = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    ) * (255.0 / 1000.0)
+    assert np.allclose(gray, want)
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P5\n2 2\n70000\n" + bytes(16))
+
+    # palette BMP, bottom-up, w=5 exercises row padding (stride 8)
+    pal = rng.integers(0, 256, (16, 4)).astype(np.uint8)  # BGRA quads
+    idx = rng.integers(0, 16, (4, 5)).astype(np.uint8)
+    stride = (5 + 3) & ~3
+    pixdata = b"".join(
+        idx[y].tobytes() + bytes(stride - 5) for y in range(3, -1, -1)
+    )
+    off = 14 + 40 + 16 * 4
+    header = (
+        b"BM" + (off + len(pixdata)).to_bytes(4, "little") + bytes(4)
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (5).to_bytes(4, "little", signed=True)
+        + (4).to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + bytes(4)  # BI_RGB
+        + bytes(12)
+        + (16).to_bytes(4, "little")  # biClrUsed
+        + bytes(4)
+    )
+    bmp = header + pal.tobytes() + pixdata
+    w, h, gray = decode_image(bmp)
+    assert (w, h) == (5, 4)
+    c = pal[idx].astype(np.float64)
+    want = 0.299 * c[:, :, 2] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 0]
+    assert np.allclose(gray, want)
+    # palette index beyond biClrUsed is malformed, not garbage pixels
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 99
+    bad_pix = b"".join(
+        bad_idx[y].tobytes() + bytes(stride - 5) for y in range(3, -1, -1)
+    )
+    with _pytest.raises(ValueError, match="palette"):
+        decode_image(header + pal.tobytes() + bad_pix)
