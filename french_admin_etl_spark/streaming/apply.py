@@ -404,10 +404,25 @@ class CDCApplyJob:
             )
         results = []
         hi_all = log.max_lsn() + 1
-        while state["next_lsn"] < hi_all:
+        while state["next_lsn"] < hi_all or "pending_hi" in state:
             if max_batches is not None and len(results) >= max_batches:
                 break
-            lo, hi = state["next_lsn"], state["next_lsn"] + batch_lsns
+            lo = state["next_lsn"]
+            if "pending_hi" in state:
+                # crash replay: reuse the exact window that was planned
+                hi = state["pending_hi"]
+            else:
+                # clamp to the log's current end AND pin the planned
+                # window before applying: without both, a crash between
+                # apply and checkpoint plus log growth replays a WIDER
+                # window under the same batch_id — the fence no-ops it
+                # and the newly-arrived tail events are silently lost
+                # (round-5 self-review; same pending-window protocol as
+                # the DAG/cascade drivers and the balanced driver's
+                # persisted bounds)
+                hi = min(lo + batch_lsns, hi_all)
+                state = dict(state, pending_hi=hi)
+                checkpoint.save(state)
             res = self.apply_batch(log.lsn_range(lo, hi), state["batch_id"])
             results.append(res)
             state = {"batch_id": state["batch_id"] + 1, "next_lsn": hi}

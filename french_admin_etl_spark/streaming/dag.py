@@ -917,14 +917,16 @@ class DagApplyJob:
         per GROUP instead of once per window. A caught-up stream (one
         pending window) behaves exactly like ``group_commit=1``; latency
         is only traded where there was already a backlog. Fence safety
-        under regrouping: the planned group's upper bound is PINNED into
-        the checkpoint BEFORE the apply (``pending_hi`` — the same
-        pending-window protocol as ``CascadeJob``), so a crash mid-group
-        replays the IDENTICAL window under the same batch_id and the
-        per-table fences hold. Without the pin, a rerun that grouped
-        wider (the log grew) would reuse the fenced batch_id and
-        silently skip the never-applied tail — the exact data-loss trap
-        the CDC resume contract documents for re-windowed replays."""
+        under regrouping: EVERY planned window's upper bound — clamped
+        to the log's current end — is PINNED into the checkpoint BEFORE
+        the apply (``pending_hi``, the same pending-window protocol as
+        ``CascadeJob``), so a crash mid-window replays the IDENTICAL
+        window under the same batch_id and the per-table fences hold.
+        Without the pin+clamp, a rerun that windowed wider (different
+        group_commit, or the log grew past a planned bound) would reuse
+        the fenced batch_id and silently skip the never-applied tail —
+        the exact data-loss trap the CDC resume contract documents for
+        re-windowed replays."""
         if group_commit < 1:
             raise ValueError("group_commit must be >= 1")
         state = checkpoint.load()
@@ -944,15 +946,23 @@ class DagApplyJob:
                 break
             lo = state["next_lsn"]
             if "pending_hi" in state:
-                # crash replay: reuse the exact grouping that was planned
+                # crash replay: reuse the exact window that was planned
                 hi = state["pending_hi"]
             else:
                 pending = -(-(hi_all - lo) // batch_lsns)  # ceil
                 n = max(1, min(group_commit, pending))
-                hi = lo + n * batch_lsns
-                if n > 1:
-                    state = dict(state, pending_hi=hi)
-                    checkpoint.save(state)
+                # clamp to the log's CURRENT end: a recorded bound past
+                # hi_all would fold events that ARRIVE LATER into an
+                # already-planned (and possibly already-fenced) window —
+                # on a crash+growth replay, fenced tables would skip them
+                # while unfenced ones applied them (round-5 self-review).
+                # Clamped, growth lands at lsn >= hi_all in its own window.
+                hi = min(lo + n * batch_lsns, hi_all)
+                # pin EVERY planned window, not just groups: the same
+                # crash+growth replay must see the IDENTICAL window under
+                # the same batch_id for the per-table fences to hold
+                state = dict(state, pending_hi=hi)
+                checkpoint.save(state)
             window = log.lsn_range(lo, hi)
             results.append(self.apply_window(window, state["batch_id"], lo, hi))
             state = {"batch_id": state["batch_id"] + 1, "next_lsn": hi}

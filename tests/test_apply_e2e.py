@@ -485,3 +485,44 @@ def test_stream_after_incremental_applies_fresh_events(spark, tmp_root, events):
         .collect()
     )
     assert row and row[0]["content"] == "SWITCHED"
+
+
+def test_crash_plus_grown_log_replays_pinned_window(spark, tmp_root):
+    """The corner the pending-window pin + clamp exist for (round-5
+    self-review): the final window is planned over a log that ends at
+    lsn 800 with batch_lsns=1000, the table commit lands, the process
+    dies BEFORE the checkpoint advances, and the log then grows past
+    800. The rerun must replay the PINNED [0, 801) window (fenced
+    no-op) and apply the new tail in its own window. The old
+    unpinned/unclamped planner would re-window [0, 1000) — the fence
+    no-ops it, folding the newly-arrived lsn 801..999 into the skip,
+    and next_lsn=1000 then buries them forever."""
+    import pandas as pd
+
+    ev1 = gen_change_events(
+        n_events=800, n_keys=200, seed=31, duplicate_rate=0.03,
+        delete_rate=0.05, shuffle_window=40,
+    )
+    log_dir = os.path.join(tmp_root, "grow_events")
+    spark.createDataFrame(ev1, schema=EVENT_SCHEMA).write.mode("overwrite").parquet(log_dir)
+    log = EventLog(spark, log_dir)
+    table, job = _mk(spark, tmp_root, name="grow_t")
+    ckpt = CheckpointStore(os.path.join(tmp_root, "grow.ck"))
+    job.run_incremental(log, ckpt, batch_lsns=1000)
+    # the planner clamps to the log's end — next_lsn never overshoots
+    assert ckpt.load()["next_lsn"] == 801
+    # crash between table commit and checkpoint advance: the on-disk
+    # state is exactly the pre-apply pin
+    ckpt.save({"batch_id": 0, "next_lsn": 0, "pending_hi": 801})
+    ev2 = gen_change_events(
+        n_events=600, n_keys=200, seed=32, duplicate_rate=0.03,
+        delete_rate=0.05, shuffle_window=40,
+    )
+    ev2["lsn"] = ev2["lsn"] + 800
+    spark.createDataFrame(ev2, schema=EVENT_SCHEMA).write.mode("append").parquet(log_dir)
+    results = job.run_incremental(log, ckpt, batch_lsns=1000)
+    # pinned window replays as a fenced no-op, then the tail applies
+    assert results[0].merge is not None and results[0].merge.fenced
+    assert len(results) == 2
+    allev = pd.concat([ev1, ev2], ignore_index=True)
+    assert _sha_state(table) == _oracle_state(allev)

@@ -1082,7 +1082,8 @@ def test_dag_group_commit_pinned_window_survives_regrouping(spark, tmp_root, cog
 
 def test_dag_group_commit_one_is_identity(spark, tmp_root, cog_events):
     """group_commit=1 must behave exactly like the ungrouped driver —
-    same window count, no pending_hi ever written."""
+    same window count; the per-window pin is cleaned up by each
+    post-apply checkpoint, so none is left behind."""
     log = _write_log(spark, tmp_root, cog_events)
     jobs, dag = _mk_dag(spark, tmp_root)
     ckpt = CheckpointStore(os.path.join(tmp_root, "id.json"))
