@@ -18,7 +18,10 @@ and they are the standard interchange formats for UNCOMPRESSED video
 **MJPEG AVI** (``biCompression == 'MJPG'``) decodes too (round 5):
 each movi chunk is a standalone JPEG handed to the in-house T.81
 decoder, so the only compressed-video codec that needs no external
-library is real. Other compressed codecs inside AVI raise
+library is real. **Animated GIF** iterates as a video too (round 5):
+frames composite onto the logical-screen canvas with disposal,
+transparency, local palettes, and sub-rectangle deltas — the GIF89a
+animation model in full. Other compressed codecs inside AVI raise
 ``NotImplementedError`` — the honest ffmpeg seam, dead-lettered per row
 by the caller (S9). Frames are yielded lazily so sampling every Nth
 frame of a long clip never materializes the rest.
@@ -153,6 +156,120 @@ def _iter_avi(payload: bytes):
         idx += 1
 
 
+def _iter_gif(payload: bytes):
+    """Animated-GIF frame iteration (round 5): composites every image
+    block onto the logical-screen canvas per the GIF89a animation model —
+    graphic-control DISPOSAL (0/1 leave, 2 restore-to-background, 3
+    restore-to-previous), TRANSPARENCY (transparent pixels leave the
+    canvas untouched — that's how animation deltas work), per-frame
+    local palettes, sub-rectangle frames, interlace — and yields the
+    full composed canvas per frame as BT.601 gray.
+    ``multimodal.decode_image``'s GIF branch stays first-frame-only (the
+    still-image feature); this is the video-shaped view of the same
+    container, so Nth-frame sampling works on animation too."""
+    # lazy import: multimodal imports this module's decode_video_frames
+    from .multimodal import _gif_lzw_decode
+
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    bg = (
+        gct[bg_idx].astype(np.float64)
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3)
+    )
+    canvas = np.tile(bg, (sh, sw, 1))
+    trans_idx: int | None = None
+    disposal = 0
+    frame_i = 0
+    try:
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:  # trailer
+                return
+            if b == 0x21:  # extension
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9 and payload[pos] >= 4:
+                    gp = payload[pos + 1]
+                    disposal = (gp >> 2) & 7
+                    trans_idx = payload[pos + 4] if (gp & 1) else None
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                raise ValueError(f"bad GIF block introducer 0x{b:02x}")
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame with neither global nor local color table")
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame rectangle outside the logical screen")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF LZW stream ended before the frame filled")
+            rows = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: scatter pass rows back
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                img = np.zeros_like(rows)
+                img[order] = rows
+                rows = img
+            if int(rows.max(initial=0)) >= len(ct):
+                raise ValueError("GIF pixel index outside color table")
+            prev_region = canvas[top : top + h, left : left + w].copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            rgb = ct[rows].astype(np.float64)
+            if trans_idx is not None:
+                mask = rows != trans_idx
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            gray = (
+                0.299 * canvas[:, :, 0]
+                + 0.587 * canvas[:, :, 1]
+                + 0.114 * canvas[:, :, 2]
+            )
+            yield frame_i, sw, sh, gray
+            frame_i += 1
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg
+            elif disposal == 3 and prev_region is not None:
+                canvas[top : top + h, left : left + w] = prev_region
+            disposal = 0
+            trans_idx = None
+        raise ValueError("truncated GIF: missing trailer")
+    except IndexError:
+        raise ValueError("truncated GIF") from None
+
+
 def decode_video_frames(payload: bytes):
     """Lazily yield (frame_idx, width, height, gray float64 HxW) for a
     library-free container; NotImplementedError marks the ffmpeg seam."""
@@ -160,6 +277,8 @@ def decode_video_frames(payload: bytes):
         return _iter_y4m(payload)
     if payload[:4] == b"RIFF":
         return _iter_avi(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _iter_gif(payload)
     raise NotImplementedError(
         f"video container not decodable without ffmpeg (magic {payload[:4]!r})"
     )

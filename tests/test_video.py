@@ -174,3 +174,130 @@ def test_avi_mjpeg_frames_decode_via_jpeg():
     assert next(it)[0] == 0
     with pytest.raises(ValueError):
         list(it)
+
+
+def _gif_lzw_blocks(pixels: bytes, mcs: int) -> bytes:
+    """LZW-compress pixels into GIF sub-blocks (same emit loop the GIF
+    round-trip test pins: width bumps at the giflib convention)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits, width
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    wseq = b""
+    for c in pixels:
+        wc = wseq + bytes([c])
+        if wc in table:
+            wseq = wc
+            continue
+        emit(table[wseq])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        wseq = bytes([c])
+    if wseq:
+        emit(table[wseq])
+    emit(eoi)
+    if nbits:
+        bits.append(acc & 0xFF)
+    out = bytearray([mcs])
+    for i in range(0, len(bits), 255):
+        blk = bits[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _gif_animated(sw, sh, palette, frames, bg_idx=0):
+    """Multi-frame GIF89a: ``frames`` = [(idx_array, left, top, disposal,
+    transparent_index_or_None)], global palette only."""
+    import numpy as np
+
+    n = len(palette)
+    gct_bits = (n.bit_length() - 1) - 1
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | gct_bits, bg_idx, 0])
+    out += bytes(np.asarray(palette, np.uint8).reshape(-1))
+    mcs = max(2, (n - 1).bit_length())
+    for idx, left, top, disposal, trans in frames:
+        h, w = idx.shape
+        gp = (disposal & 7) << 2 | (1 if trans is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gp, 0, 0, trans if trans is not None else 0, 0])
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += _gif_lzw_blocks(bytes(idx.reshape(-1)), mcs)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing():
+    """Animated GIF through decode_video_frames: delta frames composite
+    onto the canvas (transparent pixels keep the prior content), a
+    sub-rectangle only repaints its rect, disposal 2 restores the
+    background after the frame shows, disposal 3 restores the previous
+    canvas — each frame checked against a plain-numpy oracle composite."""
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+
+    def g(canvas_idxless_rgb):
+        c = canvas_idxless_rgb
+        return 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
+
+    sw, sh = 10, 6
+    f0 = rng.randint(1, 8, (sh, sw)).astype(np.uint8)      # full opaque base
+    f1 = rng.randint(1, 8, (3, 4)).astype(np.uint8)        # delta at (2,1)
+    f1[1, 1:3] = 0                                          # transparent holes
+    f2 = rng.randint(1, 8, (2, 2)).astype(np.uint8)        # disposal-3 flash
+
+    gif = _gif_animated(
+        sw, sh, pal,
+        [
+            (f0, 0, 0, 1, None),      # draw, leave
+            (f1, 2, 1, 2, 0),         # draw w/ transparency, then restore bg
+            (f2, 7, 3, 3, None),      # draw, then restore previous
+            (f0, 0, 0, 0, None),      # full redraw (proves state survived)
+        ],
+    )
+    got = list(decode_video_frames(gif))
+    assert [x[0] for x in got] == [0, 1, 2, 3]
+    assert all((x[1], x[2]) == (sw, sh) for x in got)
+
+    palf = pal.astype(np.float64)
+    c0 = palf[f0]
+    assert np.allclose(got[0][3], g(c0))
+
+    c1 = c0.copy()
+    patch = c1[1:4, 2:6]
+    mask = f1 != 0
+    patch[mask] = palf[f1][mask]
+    assert np.allclose(got[1][3], g(c1))
+
+    # disposal 2 after frame 1: its rect restores to background (pal[0])
+    c2 = c1.copy()
+    c2[1:4, 2:6] = palf[0]
+    c2[3:5, 7:9] = palf[f2]
+    assert np.allclose(got[2][3], g(c2))
+
+    # disposal 3 after frame 2: its rect restores to pre-frame-2 state,
+    # then frame 3 repaints everything with f0
+    assert np.allclose(got[3][3], g(c0))
+
+    # truncation mid-frame is a row-local ValueError
+    with pytest.raises(ValueError):
+        list(decode_video_frames(gif[: len(gif) // 2]))
