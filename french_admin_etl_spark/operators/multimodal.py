@@ -20,7 +20,9 @@ delineated (this container has no PIL/ffmpeg):
   encoders — round 4 closed the progressive seam), PCM WAV audio
   (stdlib ``wave``), and **IMA ADPCM compressed WAV** (from-scratch
   4-bit differential decode, mono+stereo, bit-exact round-trip — round 5
-  closed this seam), plus LOSSLESS (SOF3 predictor DPCM) and 12-BIT
+  closed this seam), the full WAV tag family (8/24/32-bit PCM, IEEE
+  float, G.711 A-law/µ-law, extensible headers — round 5), plus
+  LOSSLESS (SOF3 predictor DPCM) and 12-BIT
   extended-sequential/progressive JPEG (both round 5).
   Real nearest-neighbor RESIZE to an 8×8 grayscale
   thumbnail is the image feature; per-segment RMS energy is the audio
@@ -588,6 +590,111 @@ _IMA_STEP_TABLE = (
 _IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
 
+def _wave_chunks(payload: bytes):
+    """RIFF WAVE chunk walk shared by the non-stdlib WAV decoders:
+    returns (fmt chunk bytes, data chunk bytes, fact-chunk frame count or
+    None). Raises ValueError on non-WAVE / missing chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE")
+    pos, fmt, data, n_total = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks pad to even offsets
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            n_total = int.from_bytes(body[:4], "little")
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    return fmt, data, n_total
+
+
+def _decode_wav_generic(payload: bytes):
+    """REAL decode for the WAV format tags the stdlib ``wave`` module
+    refuses or the fast path skips (round 5): PCM at 8/24/32-bit sample
+    widths, IEEE float (tag 3, 32/64-bit), G.711 A-law (tag 6) and µ-law
+    (tag 7) via their standard segment-expansion formulas, IMA ADPCM
+    (tag 0x11, delegated to the dedicated block decoder), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE, real tag read from the SubFormat
+    GUID). Returns (nch, rate, n_frames, mono float64 in [-1, 1]);
+    ValueError on anything malformed (per-row S9 upstream)."""
+    import struct
+
+    import numpy as np
+
+    fmt, data, n_total = _wave_chunks(payload)
+    tag, nch, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0] if len(fmt) >= 16 else 0
+    if tag == 0xFFFE:  # extensible: the real tag leads the SubFormat GUID
+        if len(fmt) < 26:
+            raise ValueError("extensible WAVE fmt chunk too short")
+        tag = int.from_bytes(fmt[24:26], "little")
+    if tag == 0x11:
+        return _decode_ima_adpcm_wav(payload)
+    if nch < 1:
+        raise ValueError("WAVE with zero channels")
+    if tag == 1:  # PCM
+        if bits == 8:
+            x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            n = len(data) // 2
+            x = np.frombuffer(data, "<i2", count=n).astype(np.float64) / 32768.0
+        elif bits == 24:
+            n = len(data) // 3
+            b = np.frombuffer(data, np.uint8, count=n * 3).reshape(n, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            n = len(data) // 4
+            x = np.frombuffer(data, "<i4", count=n).astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"PCM WAVE width {bits} unsupported")
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, "<f4", count=len(data) // 4).astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, "<f8", count=len(data) // 8).copy()
+        else:
+            raise ValueError(f"float WAVE width {bits} unsupported")
+    elif tag in (6, 7):  # G.711 A-law / µ-law: expand via a 256-code table
+        codes = np.arange(256, dtype=np.int64)
+        if tag == 6:
+            # A-law (G.711): toggle the even bits, segment-expand; the
+            # sign bit SET means POSITIVE (0xD5 → +8, 0x55 → −8)
+            c = codes ^ 0x55
+            sign = (c & 0x80) != 0
+            exp = (c >> 4) & 0x07
+            mant = c & 0x0F
+            mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+            table = np.where(sign, mag, -mag).astype(np.float64) / 32768.0
+        else:
+            # µ-law (G.711): complement, biased segment-expand; the sign
+            # bit of the COMPLEMENT set means NEGATIVE (0xFF → 0, 0x00 →
+            # −32124, 0x80 → +32124)
+            c = ~codes & 0xFF
+            sign = (c & 0x80) != 0
+            exp = (c >> 4) & 0x07
+            mant = c & 0x0F
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            table = np.where(sign, -mag, mag).astype(np.float64) / 32768.0
+        x = table[np.frombuffer(data, np.uint8)]
+    else:
+        raise ValueError(f"WAVE format tag {tag} unsupported")
+    n = len(x) // nch
+    if n == 0:
+        raise ValueError("WAVE data holds no complete frame")
+    x = x[: n * nch].reshape(n, nch).mean(axis=1)
+    if n_total is not None:
+        n = min(n, n_total)
+        x = x[:n]
+    return nch, rate, n, x
+
+
 def _decode_ima_adpcm_wav(payload: bytes):
     """REAL IMA ADPCM (WAV format tag 0x11) decode, stdlib+numpy only —
     the 4-bit differential codec used by the classic compressed-WAV
@@ -607,22 +714,7 @@ def _decode_ima_adpcm_wav(payload: bytes):
 
     import numpy as np
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF WAVE")
-    pos, fmt, data, n_total = 12, None, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        body = payload[pos + 8 : pos + 8 + ln]
-        pos += 8 + ln + (ln & 1)  # chunks pad to even offsets
-        if cid == b"fmt ":
-            fmt = body
-        elif cid == b"fact":
-            n_total = int.from_bytes(body[:4], "little")
-        elif cid == b"data":
-            data = body
-    if fmt is None or data is None:
-        raise ValueError("WAVE missing fmt/data chunk")
+    fmt, data, n_total = _wave_chunks(payload)
     tag, nch, rate = struct.unpack("<HHI", fmt[:8])
     block_align = struct.unpack("<H", fmt[12:14])[0]
     bits = struct.unpack("<H", fmt[14:16])[0]
@@ -705,7 +797,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 width = wf.getsampwidth()
                 raw = wf.readframes(n)
             if width != 2:
-                return (nch, rate, n, None, None, f"sample width {width} unsupported")
+                # 8/24/32-bit PCM: the generic decoder path below
+                raise ValueError(f"sample width {width}: generic path")
             x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
             if nch > 1:
                 x = x.reshape(-1, nch).mean(axis=1)
@@ -713,11 +806,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         except Exception as e:  # noqa: BLE001
             # wave.Error on non-WAV, but truncated/empty payloads raise
             # EOFError (chunk header) or struct.error (reviewer finding)
-            # — all must stay per-row, never fail the task. IMA ADPCM
-            # compressed WAVs land here (stdlib wave is PCM-only) and get
-            # the real from-scratch decode
+            # — all must stay per-row, never fail the task. Everything the
+            # stdlib module refuses lands here and gets the real
+            # from-scratch decode: IMA ADPCM, A-law/µ-law, IEEE float,
+            # 8/24/32-bit PCM, extensible headers (round 5)
             try:
-                return featurize(*_decode_ima_adpcm_wav(p))
+                return featurize(*_decode_wav_generic(p))
             except Exception:  # noqa: BLE001
                 return (None, None, None, None, None, f"not a PCM WAV: {type(e).__name__}: {e}")
 

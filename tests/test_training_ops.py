@@ -1112,3 +1112,130 @@ def test_pnm_16bit_and_bmp_palette():
     )
     with _pytest.raises(ValueError, match="palette"):
         decode_image(header + pal.tobytes() + bad_pix)
+
+
+def _wav(tag, nch, rate, bits, data, fact=None, extensible=False):
+    """Minimal RIFF WAVE with one fmt/data chunk pair (fact optional)."""
+    import struct
+
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE: real tag leads the SubFormat GUID
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, nch, rate, rate * nch * bits // 8,
+            nch * bits // 8, bits,
+        ) + struct.pack("<HHI", 22, bits, 0) + tag.to_bytes(2, "little") + bytes(14)
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, nch, rate, rate * nch * bits // 8,
+            nch * bits // 8, bits,
+        )
+    out = bytearray(b"RIFF\x00\x00\x00\x00WAVE")
+    out += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if fact is not None:
+        out += b"fact\x04\x00\x00\x00" + fact.to_bytes(4, "little")
+    out += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        out += b"\x00"
+    return bytes(out)
+
+
+def test_wav_generic_formats():
+    """Round 5 audio surface: PCM 8/24/32-bit, IEEE float, G.711
+    A-law/µ-law (sign conventions pinned to the standard's anchor
+    values), extensible headers — all through _decode_wav_generic and
+    the extract_audio_features fallback chain."""
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import _decode_wav_generic
+
+    rng = np.random.RandomState(9)
+
+    # 24-bit PCM stereo: exact reconstruction incl. negatives
+    v = rng.randint(-(1 << 23), 1 << 23, (50, 2))
+    raw = b"".join(
+        int(x).to_bytes(3, "little", signed=True) for fr in v for x in fr
+    )
+    nch, rate, n, x = _decode_wav_generic(_wav(1, 2, 16000, 24, raw))
+    assert (nch, rate, n) == (2, 16000, 50)
+    assert np.allclose(x, v.mean(axis=1) / (1 << 23))
+
+    # 8-bit PCM (unsigned, midpoint 128) and 32-bit PCM
+    b8 = rng.randint(0, 256, 40).astype(np.uint8)
+    _, _, n, x = _decode_wav_generic(_wav(1, 1, 8000, 8, b8.tobytes()))
+    assert n == 40 and np.allclose(x, (b8.astype(np.float64) - 128) / 128)
+    v32 = rng.randint(-(1 << 31), 1 << 31 - 1, 30, dtype=np.int64).astype("<i4")
+    _, _, n, x = _decode_wav_generic(_wav(1, 1, 8000, 32, v32.tobytes()))
+    assert n == 30 and np.allclose(x, v32.astype(np.float64) / (1 << 31))
+
+    # IEEE float32, via an EXTENSIBLE header
+    f32 = (rng.rand(25) * 2 - 1).astype("<f4")
+    _, _, n, x = _decode_wav_generic(
+        _wav(3, 1, 44100, 32, f32.tobytes(), extensible=True)
+    )
+    assert n == 25 and np.allclose(x, f32.astype(np.float64))
+
+    # µ-law anchor values (G.711): 0xFF and 0x7F are zero, 0x00 is the
+    # negative extreme -32124, 0x80 the positive extreme
+    _, _, _, x = _decode_wav_generic(
+        _wav(7, 1, 8000, 8, bytes([0xFF, 0x7F, 0x00, 0x80]))
+    )
+    assert np.allclose(x * 32768, [0, 0, -32124, 32124])
+
+    # A-law anchors: 0xD5 -> +8, 0x55 -> -8, 0xAA/0x2A are the extremes
+    _, _, _, x = _decode_wav_generic(
+        _wav(6, 1, 8000, 8, bytes([0xD5, 0x55, 0xAA, 0x2A]))
+    )
+    assert np.allclose(x * 32768, [8, -8, 32256, -32256])
+
+    # G.711 companding is useful: a µ-law-coded sine (nearest-code
+    # encoding against the decoder-independent expand values) decodes to
+    # within ~1% RMS of the 16-bit original
+    t = np.arange(800)
+    sine = (20000 * np.sin(2 * np.pi * t / 80)).astype(np.int64)
+    _, _, _, full_table = _decode_wav_generic(
+        _wav(7, 1, 8000, 8, bytes(range(256)))
+    )
+    table16 = full_table * 32768
+    codes = np.abs(sine[:, None] - table16[None, :]).argmin(axis=1).astype(np.uint8)
+    _, _, n, x = _decode_wav_generic(_wav(7, 1, 8000, 8, codes.tobytes()))
+    rms_in = np.sqrt(np.mean((sine / 32768.0) ** 2))
+    rms_out = np.sqrt(np.mean(x**2))
+    assert abs(rms_out - rms_in) / rms_in < 0.01
+
+    # fact-chunk trim and malformed tags stay loud
+    _, _, n, _ = _decode_wav_generic(_wav(1, 1, 8000, 8, bytes(20), fact=15))
+    assert n == 15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tag"):
+        _decode_wav_generic(_wav(2, 1, 8000, 8, bytes(8)))  # MS ADPCM: honest seam
+
+
+def test_wav_generic_through_audio_features(spark):
+    """e2e: a µ-law clip and a 24-bit PCM clip flow through
+    extract_audio_features' fallback chain next to a plain PCM16 one;
+    a garbage row dead-letters alone (S9)."""
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import extract_audio_features
+
+    rng = np.random.RandomState(4)
+    pcm16 = (rng.randint(-30000, 30000, 400)).astype("<i2")
+    import struct as _s
+    wav16 = _wav(1, 1, 8000, 16, pcm16.tobytes())
+    v24 = rng.randint(-(1 << 23), 1 << 23, 300)
+    wav24 = _wav(1, 1, 8000, 24, b"".join(int(q).to_bytes(3, "little", signed=True) for q in v24))
+    ulaw = _wav(7, 1, 8000, 8, rng.randint(0, 256, 200).astype(np.uint8).tobytes())
+    rows = [
+        (1, "audio", bytearray(wav16)),
+        (2, "audio", bytearray(wav24)),
+        (3, "audio", bytearray(ulaw)),
+        (4, "audio", bytearray(b"RIFFjunk")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["err"] is None and got[1]["n_frames"] == 400
+    assert got[2]["err"] is None and got[2]["n_frames"] == 300
+    assert got[3]["err"] is None and got[3]["n_frames"] == 200
+    assert all(got[i]["rms_segments"] is not None for i in (1, 2, 3))
+    assert got[4]["err"] is not None
