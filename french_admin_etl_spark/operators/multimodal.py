@@ -21,7 +21,8 @@ delineated (this container has no PIL/ffmpeg):
   (stdlib ``wave``), and **IMA ADPCM compressed WAV** (from-scratch
   4-bit differential decode, mono+stereo, bit-exact round-trip — round 5
   closed this seam), the full WAV tag family (8/24/32-bit PCM, IEEE
-  float, G.711 A-law/µ-law, extensible headers — round 5), plus
+  float, G.711 A-law/µ-law, MS ADPCM, extensible headers — round 5),
+  plus
   LOSSLESS (SOF3 predictor DPCM) and 12-BIT
   extended-sequential/progressive JPEG (both round 5).
   Real nearest-neighbor RESIZE to an 8×8 grayscale
@@ -635,6 +636,8 @@ def _decode_wav_generic(payload: bytes):
         tag = int.from_bytes(fmt[24:26], "little")
     if tag == 0x11:
         return _decode_ima_adpcm_wav(payload)
+    if tag == 0x02:
+        return _decode_ms_adpcm(fmt, data, n_total)
     if nch < 1:
         raise ValueError("WAVE with zero channels")
     if tag == 1:  # PCM
@@ -693,6 +696,73 @@ def _decode_wav_generic(payload: bytes):
         n = min(n, n_total)
         x = x[:n]
     return nch, rate, n, x
+
+
+# MS ADPCM (WAV tag 2) fixed predictor-coefficient pairs and the 4-bit
+# delta adaptation table (Microsoft WAVE spec / RFC 2361 registry codec)
+_MS_ADPCM_COEFFS = [(256, 0), (512, -256), (0, 64), (192, 64), (240, 0), (460, -208), (392, -232)]
+_MS_ADPCM_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _decode_ms_adpcm(fmt: bytes, data: bytes, n_total: int | None):
+    """REAL MS ADPCM (WAV format tag 0x02) decode (round 5): per block
+    and channel a 7-byte header (predictor index into the fixed
+    coefficient table, initial delta, history samples s1/s2 — which ARE
+    the block's first two output samples), then channel-interleaved
+    4-bit nibbles: ``pred = (s1*c1 + s2*c2) >> 8 + signed_nibble*delta``
+    clamped to int16, delta adapted by the 16-entry table with floor 16.
+    Mono+stereo. Returns the same (nch, rate, n, mono float64) shape as
+    the other WAV decoders; ValueError on malformed blocks (S9)."""
+    import struct
+
+    import numpy as np
+
+    _, nch, rate = struct.unpack("<HHI", fmt[:8])
+    block_align = struct.unpack("<H", fmt[12:14])[0]
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if bits != 4 or nch not in (1, 2) or block_align < 7 * nch + 1:
+        raise ValueError(f"MS ADPCM bits={bits} channels={nch} unsupported")
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    for off in range(0, len(data) - block_align + 1, block_align):
+        block = data[off : off + block_align]
+        pred_i, delta, s1, s2 = [], [], [], []
+        for c in range(nch):
+            pi = block[c]
+            if pi >= len(_MS_ADPCM_COEFFS):
+                raise ValueError("bad MS ADPCM predictor index")
+            pred_i.append(pi)
+        p = nch
+        for c in range(nch):
+            delta.append(struct.unpack_from("<h", block, p + 2 * c)[0])
+        p += 2 * nch
+        for c in range(nch):
+            s1.append(struct.unpack_from("<h", block, p + 2 * c)[0])
+        p += 2 * nch
+        for c in range(nch):
+            s2.append(struct.unpack_from("<h", block, p + 2 * c)[0])
+        p += 2 * nch
+        for c in range(nch):
+            chans[c].extend((s2[c], s1[c]))  # history = first two samples
+        ci = 0  # channel of the NEXT nibble (high nibble first per byte)
+        for b in block[p:]:
+            for nib in (b >> 4, b & 0xF):
+                c = ci % nch
+                ci += 1
+                signed = nib - 16 if nib >= 8 else nib
+                c1, c2 = _MS_ADPCM_COEFFS[pred_i[c]]
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                smp = pred + signed * delta[c]
+                smp = -32768 if smp < -32768 else (32767 if smp > 32767 else smp)
+                chans[c].append(smp)
+                s2[c], s1[c] = s1[c], smp
+                delta[c] = max(16, (_MS_ADPCM_ADAPT[nib] * delta[c]) >> 8)
+    n = min(len(ch) for ch in chans)
+    if n_total is not None:
+        n = min(n, n_total)
+    if n == 0:
+        raise ValueError("MS ADPCM data holds no complete block")
+    x = np.array([ch[:n] for ch in chans], dtype=np.float64) / 32768.0
+    return nch, rate, n, x.mean(axis=0)
 
 
 def _decode_ima_adpcm_wav(payload: bytes):

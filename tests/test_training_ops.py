@@ -1208,7 +1208,7 @@ def test_wav_generic_formats():
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="tag"):
-        _decode_wav_generic(_wav(2, 1, 8000, 8, bytes(8)))  # MS ADPCM: honest seam
+        _decode_wav_generic(_wav(0x55, 1, 8000, 0, bytes(8)))  # MP3: honest seam
 
 
 def test_wav_generic_through_audio_features(spark):
@@ -1239,3 +1239,107 @@ def test_wav_generic_through_audio_features(spark):
     assert got[3]["err"] is None and got[3]["n_frames"] == 200
     assert all(got[i]["rms_segments"] is not None for i in (1, 2, 3))
     assert got[4]["err"] is not None
+
+
+def _ms_adpcm_encode(x, rate, nch, block_align=256):
+    """From-scratch MS ADPCM encoder for round-trip testing: per block
+    pick a predictor index (rotating, to exercise the whole coefficient
+    table), quantize nibbles against the SAME reconstruction the decoder
+    runs, return (wav_bytes, the encoder's own reconstruction) — the
+    codec is lossy, so bit-exactness is against the reconstruction."""
+    import struct
+
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import (
+        _MS_ADPCM_ADAPT,
+        _MS_ADPCM_COEFFS,
+    )
+
+    x = np.asarray(x, dtype=np.int64).reshape(-1, nch)
+    spb = 2 + (block_align - 7 * nch) * 2 // nch  # samples per block per channel
+    data = bytearray()
+    recon = []
+    for b0 in range(0, len(x), spb):
+        blk = x[b0 : b0 + spb]
+        if len(blk) < 2:
+            break
+        pi = (b0 // spb) % len(_MS_ADPCM_COEFFS)
+        c1, c2 = _MS_ADPCM_COEFFS[pi]
+        delta = [64] * nch
+        s2 = [int(blk[0][c]) for c in range(nch)]
+        s1 = [int(blk[1][c]) for c in range(nch)]
+        out = bytearray(bytes([pi] * nch))
+        for c in range(nch):
+            out += struct.pack("<h", delta[c])
+        for c in range(nch):
+            out += struct.pack("<h", s1[c])
+        for c in range(nch):
+            out += struct.pack("<h", s2[c])
+        rec_blk = [[s2[c], s1[c]] for c in range(nch)]
+        nibs = []
+        for i in range(2, spb):
+            row = blk[i] if i < len(blk) else blk[-1]  # pad tail w/ last
+            for c in range(nch):
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                q = int(round((int(row[c]) - pred) / delta[c]))
+                q = max(-8, min(7, q))
+                nib = q + 16 if q < 0 else q
+                smp = pred + q * delta[c]
+                smp = max(-32768, min(32767, smp))
+                rec_blk[c].append(smp)
+                s2[c], s1[c] = s1[c], smp
+                delta[c] = max(16, (_MS_ADPCM_ADAPT[nib] * delta[c]) >> 8)
+                nibs.append(nib)
+        for j in range(0, len(nibs), 2):
+            hi = nibs[j]
+            lo = nibs[j + 1] if j + 1 < len(nibs) else 0
+            out.append((hi << 4) | lo)
+        assert len(out) == block_align, (len(out), block_align)
+        data += out
+        recon.append(np.array(rec_blk).T)  # (spb, nch)
+    import numpy as np
+
+    recon = np.concatenate(recon)
+    wav = _wav(2, nch, rate, 4, bytes(data), fact=len(recon))
+    # patch block_align into the fmt chunk (bytes 12-14 of its body)
+    i = wav.index(b"fmt ") + 8
+    wav = wav[: i + 12] + block_align.to_bytes(2, "little") + wav[i + 14 :]
+    return wav, recon
+
+
+def test_ms_adpcm_roundtrip():
+    """MS ADPCM (WAV tag 2, round 5): mono and stereo decode bit-exactly
+    against the test encoder's own reconstruction across multiple blocks
+    (rotating predictor indices exercise all 7 coefficient pairs);
+    malformed predictor index raises."""
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import _decode_wav_generic
+
+    rng = np.random.RandomState(6)
+    t = np.arange(3000)
+    mono = (
+        9000 * np.sin(2 * np.pi * t / 50) + rng.randint(-800, 800, len(t))
+    ).astype(np.int64)
+    wav, recon = _ms_adpcm_encode(mono, 8000, 1, block_align=128)
+    nch, rate, n, got = _decode_wav_generic(wav)
+    assert (nch, rate) == (1, 8000) and n == len(recon)
+    assert np.array_equal((got * 32768).astype(np.int64), recon[:, 0])
+    # companding quality sanity: reconstruction tracks the source
+    assert np.sqrt(np.mean((recon[: len(mono), 0] - mono[:n]) ** 2)) < 600
+
+    stereo = np.stack(
+        [mono, (7000 * np.cos(2 * np.pi * t / 37)).astype(np.int64)], axis=1
+    )
+    wav2, recon2 = _ms_adpcm_encode(stereo.reshape(-1), 16000, 2, block_align=256)
+    nch, rate, n, got = _decode_wav_generic(wav2)
+    assert (nch, rate) == (2, 16000) and n == len(recon2)
+    assert np.allclose(got, recon2.mean(axis=1) / 32768.0)
+
+    import pytest as _pytest
+
+    bad = bytearray(wav)
+    bad[bad.index(b"data") + 8] = 9  # predictor index 9 > 6
+    with _pytest.raises(ValueError, match="predictor"):
+        _decode_wav_generic(bytes(bad))
