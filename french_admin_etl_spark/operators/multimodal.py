@@ -153,17 +153,20 @@ def decode_image(payload: bytes):
         h = int.from_bytes(payload[22:26], "little", signed=True)
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
-        if bpp not in (8, 24) or compression != 0:
+        if bpp not in (1, 4, 8, 24) or compression not in (0, 1) or (
+            compression == 1 and bpp != 8
+        ):
             raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
         import numpy as np
 
         bottom_up = h > 0
         h = abs(h)
-        if bpp == 8:
+        if bpp != 24:
             # palette BMP (round 5): BGRA quads follow the info header;
-            # biClrUsed 0 means a full 256-entry table
+            # biClrUsed 0 means a full-size table; 1/4-bit rows pack
+            # MSB-first; BI_RLE8 (compression 1) run-length decodes
             hdr_size = int.from_bytes(payload[14:18], "little")
-            n_colors = int.from_bytes(payload[46:50], "little") or 256
+            n_colors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
             pal = (
                 np.frombuffer(
                     payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
@@ -171,9 +174,49 @@ def decode_image(payload: bytes):
                 .reshape(n_colors, 4)
                 .astype(np.float64)
             )
-            stride = (w + 3) & ~3
-            rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
-            idx = rows.reshape(h, stride)[:, :w]
+            if compression == 1:  # BI_RLE8: runs / escapes / absolute mode
+                idx = np.zeros((h, w), np.uint8)
+                x = y = 0
+                i2 = off
+                while i2 + 1 < len(payload):
+                    a, b = payload[i2], payload[i2 + 1]
+                    i2 += 2
+                    if a:  # run of a pixels of value b
+                        if y >= h or x + a > w:
+                            raise ValueError("BMP RLE run out of bounds")
+                        idx[y, x : x + a] = b
+                        x += a
+                    elif b == 0:  # end of line
+                        x, y = 0, y + 1
+                    elif b == 1:  # end of bitmap
+                        break
+                    elif b == 2:  # delta: skipped cells stay color 0
+                        x += payload[i2]
+                        y += payload[i2 + 1]
+                        i2 += 2
+                        if y >= h or x > w:
+                            raise ValueError("BMP RLE delta out of bounds")
+                    else:  # absolute mode: b literal bytes, padded to even
+                        if y >= h or x + b > w or i2 + b > len(payload):
+                            raise ValueError("BMP RLE absolute out of bounds")
+                        idx[y, x : x + b] = np.frombuffer(payload, np.uint8, b, i2)
+                        x += b
+                        i2 += b + (b & 1)
+                else:
+                    raise ValueError("truncated BMP RLE stream")
+            else:
+                stride = (((w * bpp + 7) // 8) + 3) & ~3
+                rows = np.frombuffer(
+                    payload, np.uint8, count=stride * h, offset=off
+                ).reshape(h, stride)
+                if bpp == 8:
+                    idx = rows[:, :w]
+                else:  # 1/4-bit: MSB-first packed fields
+                    bits_arr = np.unpackbits(rows, axis=1)
+                    nf = stride * 8 // bpp
+                    fields = bits_arr[:, : nf * bpp].reshape(h, nf, bpp).astype(np.int64)
+                    weights = 1 << np.arange(bpp - 1, -1, -1)
+                    idx = (fields * weights).sum(axis=2)[:, :w]
             if int(idx.max()) >= n_colors:
                 raise ValueError("BMP palette index out of range")
             bgr = pal[idx][:, :, :3]

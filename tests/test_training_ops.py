@@ -1343,3 +1343,85 @@ def test_ms_adpcm_roundtrip():
     bad[bad.index(b"data") + 8] = 9  # predictor index 9 > 6
     with _pytest.raises(ValueError, match="predictor"):
         _decode_wav_generic(bytes(bad))
+
+
+def test_bmp_subbyte_palette_and_rle8():
+    """Round 5 BMP surface: 1/4-bit palette rows (MSB-first packing) and
+    BI_RLE8 compression (runs, end-of-line, delta skip, absolute mode,
+    end-of-bitmap) — decoded against hand-built expected grids."""
+    import numpy as np
+    import pytest as _pytest
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(12)
+
+    def hdr(w, h, bpp, compression, n_colors, pal):
+        off = 14 + 40 + n_colors * 4
+        return (
+            b"BM" + (off + 64).to_bytes(4, "little") + bytes(4)
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+            + compression.to_bytes(4, "little")
+            + bytes(12)
+            + n_colors.to_bytes(4, "little")
+            + bytes(4)
+            + pal.tobytes()
+        )
+
+    def gray_of(pal, idx):
+        c = pal[idx].astype(np.float64)
+        return 0.299 * c[:, :, 2] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 0]
+
+    # 4-bit palette, w=5 (odd: trailing nibble pad), bottom-up
+    pal = rng.randint(0, 256, (16, 4)).astype(np.uint8)
+    idx = rng.randint(0, 16, (3, 5)).astype(np.uint8)
+    stride = (((5 * 4 + 7) // 8) + 3) & ~3
+    rows = bytearray()
+    for y in range(2, -1, -1):  # bottom-up
+        packed = bytearray()
+        row = list(idx[y]) + [0]  # pad to even count
+        for i in range(0, 6, 2):
+            packed.append((row[i] << 4) | row[i + 1])
+        rows += packed + bytes(stride - len(packed))
+    w, h, gray = decode_image(hdr(5, 3, 4, 0, 16, pal) + bytes(rows))
+    assert (w, h) == (5, 3)
+    assert np.allclose(gray, gray_of(pal, idx))
+
+    # 1-bit: 9 px wide → 2 bytes of bits per row
+    pal1 = rng.randint(0, 256, (2, 4)).astype(np.uint8)
+    idx1 = rng.randint(0, 2, (2, 9)).astype(np.uint8)
+    stride = (((9 + 7) // 8) + 3) & ~3
+    rows = bytearray()
+    for y in (1, 0):
+        bits = "".join(str(v) for v in idx1[y]) + "0" * 7
+        packed = bytes(int(bits[i : i + 8], 2) for i in range(0, 16, 8))
+        rows += packed + bytes(stride - len(packed))
+    w, h, gray = decode_image(hdr(9, 2, 1, 0, 2, pal1) + bytes(rows))
+    assert (w, h) == (9, 2)
+    assert np.allclose(gray, gray_of(pal1, idx1))
+
+    # BI_RLE8 exercising every escape. Stored rows are bottom-up, so
+    # stored row 0 is display row 2 of a 3-row image (w=8).
+    pal8 = rng.randint(0, 256, (256, 4)).astype(np.uint8)
+    # run(3x7) | absolute(3 literals + even pad) | run(2x9) | EOL
+    rle = bytes([3, 7]) + bytes([0, 3, 5, 6, 2, 0]) + bytes([2, 9]) + bytes([0, 0])
+    rle += bytes([0, 2, 1, 1])   # delta: skip 1 right, 1 row up (stored)
+    rle += bytes([4, 1])         # run of 4 color 1
+    rle += bytes([0, 1])         # end of bitmap
+    expect = np.zeros((3, 8), np.uint8)
+    expect[0, 0:3] = 7                      # run
+    expect[0, 3:6] = [5, 6, 2]              # absolute
+    expect[0, 6:8] = 9                      # run to EOL
+    # delta from (row 1, x 0) to (row 2, x 1); skipped cells stay 0
+    expect[2, 1:5] = 1
+    w, h, gray = decode_image(hdr(8, 3, 8, 1, 256, pal8) + rle)
+    assert (w, h) == (8, 3)
+    assert np.allclose(gray, gray_of(pal8, expect[::-1]))  # bottom-up flip
+
+    # truncated RLE (no end-of-bitmap) raises
+    with _pytest.raises(ValueError, match="truncated|bounds"):
+        decode_image(hdr(8, 3, 8, 1, 256, pal8) + bytes([3, 7]))
