@@ -387,14 +387,18 @@ def _decode_scan_lossless(
     Sample reconstruction: Huffman-decode the difference CATEGORY with
     the component's DC table (SSSS 0..16; 16 means diff = 32768 with no
     extra bits, H.2.3), extend SSSS magnitude bits to a signed diff,
-    add the prediction modulo 2^16 (H.1.2.1). Prediction rules (H.1.2.2):
-    the very first sample — and the first sample of each component after
-    every restart marker (H.2.2) — predicts from the default
-    2^(P−Pt−1); the rest of line 0 predicts from Ra (left); column 0
-    predicts from Rb (above); everywhere else the scan-header-selected
-    predictor 1–7 over (Ra, Rb, Rc) applies. Only 1×1 sampling is
-    supported (checked at SOF), so an interleaved MCU is exactly one
-    sample per component and a scan covers w×h MCUs."""
+    add the prediction modulo 2^16 (H.1.2.1). Prediction rules (H.1.2.2)
+    treat each RESTART INTERVAL like the start of the scan: the
+    interval's first sample predicts from the default 2^(P−Pt−1); the
+    remainder of the interval's FIRST sample row predicts from Ra (left)
+    — the 1-D predictor, NOT the scan-selected one, even mid-image
+    (round-5 review finding: keying this off absolute y==0 desynced
+    from spec-compliant encoders after every mid-image RSTn); the first
+    sample of every later row (column 0) predicts from Rb (above);
+    everywhere else the scan-header-selected predictor 1–7 over
+    (Ra, Rb, Rc) applies. Only 1×1 sampling is supported (checked at
+    SOF), so an interleaved MCU is exactly one sample per component and
+    a scan covers w×h MCUs."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"lossless predictor {predictor} (Ss must be 1-7)")
     segs, nd = _split_entropy(payload, dpos)
@@ -403,7 +407,8 @@ def _decode_scan_lossless(
     mcu, total = 0, w * h
     for seg_i, seg in enumerate(segs):
         bits = _Bits(seg)
-        fresh = {s["id"]: True for s in scomps}  # reset after RSTn (H.2.2)
+        seg_start = mcu  # each restart interval restarts the DPCM chain
+        y0 = seg_start // w  # the interval's first sample row
         end = min(total, mcu + dri) if dri else total
         while mcu < end:
             y, x = divmod(mcu, w)
@@ -414,11 +419,10 @@ def _decode_scan_lossless(
                     diff = 32768
                 else:
                     diff = _extend(bits.read(ssss), ssss) if ssss else 0
-                if fresh[s["id"]]:
-                    px = default
-                    fresh[s["id"]] = False
-                elif y == 0:
-                    px = plane[mcu - 1]  # Ra only on line 0
+                if mcu == seg_start:
+                    px = default  # interval's first sample (H.2.2)
+                elif y == y0:
+                    px = plane[mcu - 1]  # Ra on the interval's first row
                 elif x == 0:
                     px = plane[mcu - w]  # Rb only on column 0
                 else:
@@ -454,12 +458,16 @@ def _idct_all(coefs: np.ndarray, q: np.ndarray, level: float = 128.0) -> np.ndar
     return px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
 
-def decode_jpeg(payload: bytes):
+def decode_jpeg(payload: bytes, with_precision: bool = False):
     """Decode a baseline OR progressive JPEG → (width, height, [planes]).
 
-    Planes are float64 arrays in [0, 255] at each component's CODED
-    resolution (chroma stays subsampled — callers upsample if they need
-    RGB; the gray path needs only plane 0).
+    Planes are float64 arrays in the frame's NATIVE sample range
+    ([0, 2^P − 1]: 255 for 8-bit, 4095 for 12-bit, up to 65535 for
+    lossless) at each component's CODED resolution (chroma stays
+    subsampled — callers upsample if they need RGB; the gray path needs
+    only plane 0). Native range keeps round-trips bit-exact; the
+    [0, 255] gray contract is applied by :func:`decode_jpeg_gray`.
+    ``with_precision=True`` appends the frame precision P to the tuple.
 
     Handles MULTIPLE scans: a baseline file may code its components as
     one interleaved scan OR as one scan per component (plus new DHT/DRI
@@ -618,10 +626,13 @@ def decode_jpeg(payload: bytes):
         # transform by shifting left Pt (annex H output convention) —
         # no clamp, reconstruction is bit-exact for valid files
         shift = 1 << frame.get("pt", 0)
-        return w, hgt, [
+        lossless_out = [
             np.asarray(planes[c["id"]], dtype=np.float64).reshape(hgt, w) * shift
             for c in comps
         ]
+        if with_precision:
+            return w, hgt, lossless_out, frame["prec"]
+        return w, hgt, lossless_out
     if frame["progressive"]:
         # all scans received: dequantize + IDCT the accumulated
         # coefficients once (vectorized over blocks)
@@ -637,11 +648,25 @@ def decode_jpeg(payload: bytes):
         cw = -(-(w * c["h"]) // hmax)
         ch = -(-(hgt * c["v"]) // vmax)
         out.append(np.clip(planes[c["id"]][:ch, :cw], 0.0, maxval))
+    if with_precision:
+        return w, hgt, out, frame["prec"]
     return w, hgt, out
 
 
 def decode_jpeg_gray(payload: bytes):
     """(width, height, gray) — the luma plane, which for JFIF YCbCr is
-    exactly the BT.601 gray the other decoders compute from RGB."""
-    w, h, planes = decode_jpeg(payload)
-    return w, h, planes[0]
+    exactly the BT.601 gray the other decoders compute from RGB.
+
+    This wrapper is the [0, 255] GRAY-CONTRACT boundary: frames coded at
+    precision ≠ 8 (12-bit SOF1/SOF2, 2–16-bit lossless SOF3) rescale by
+    255/(2^P − 1) so downstream feature code (thumbnails divide by 255,
+    video frame sampling casts to uint8) sees the same range every other
+    decoder produces. ``decode_jpeg`` itself stays in native range for
+    bit-exact round-trips (round-5 review finding: 12-bit frames leaked
+    [0, 4095] into thumbnail features and wrapped modulo 256 in frame
+    hashes)."""
+    w, h, planes, prec = decode_jpeg(payload, with_precision=True)
+    gray = planes[0]
+    if prec != 8:
+        gray = gray * (255.0 / ((1 << prec) - 1))
+    return w, h, gray

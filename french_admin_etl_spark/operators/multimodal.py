@@ -128,19 +128,23 @@ def decode_image(payload: bytes):
         w, h, maxval = tokens
         ch = 3 if payload[:2] == b"P6" else 1
         if maxval > 255:
-            # wide PNM (round 5): 2-byte big-endian samples (Netpbm
-            # spec), rescaled so the gray contract stays [0, 255]
+            # wide PNM (round 5): 2-byte big-endian samples (Netpbm spec)
             if maxval > 65535:
                 raise ValueError(f"PNM maxval {maxval} out of spec")
-            px = (
-                np.frombuffer(payload, dtype=">u2", count=w * h * ch, offset=i)
-                .astype(np.float64)
-                * (255.0 / maxval)
-            )
+            px = np.frombuffer(
+                payload, dtype=">u2", count=w * h * ch, offset=i
+            ).astype(np.float64)
         else:
             px = np.frombuffer(
                 payload, dtype=np.uint8, count=w * h * ch, offset=i
             ).astype(np.float64)
+        if maxval != 255:
+            # the gray contract stays [0, 255] for EVERY maxval — sub-255
+            # 8-bit files (e.g. maxval 100) rescale exactly like wide
+            # ones, so two renderings of the same image at different
+            # maxvals produce the same plane (round-5 review finding: the
+            # rescale was only applied to the >255 case)
+            px *= 255.0 / maxval
         if ch == 3:
             rgb = px.reshape(h, w, 3)
             gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
@@ -478,6 +482,60 @@ def _decode_gif(payload: bytes):
         raise ValueError("truncated GIF") from None
 
 
+def _gif_read_frame(payload: bytes, pos: int, gct, np):
+    """Parse ONE GIF image block (``payload[pos]`` must be the 0x2C
+    introducer): image descriptor, optional local color table, LZW
+    sub-blocks, de-interlace, palette bounds check. Returns
+    ``(left, top, w, h, ct, rows, next_pos)`` with ``rows`` the (h, w)
+    uint8 palette-index array in display order and ``next_pos`` just past
+    the block terminator. ONE implementation of the wire format, shared
+    by the still-image branch (:func:`_decode_gif_inner`) and the
+    animation iterator (``video._iter_gif``) — a fix to the interlace
+    lattice, the bounds check, or the sub-block walk lands in both
+    (round-5 review finding: the ~40 lines were duplicated)."""
+    left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+    top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+    w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+    h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    ipacked = payload[pos + 9]
+    pos += 10
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF image with neither global nor local color table")
+    min_code_size = payload[pos]
+    pos += 1
+    chunks = []
+    while payload[pos] != 0:
+        ln = payload[pos]
+        chunks.append(payload[pos + 1 : pos + 1 + ln])
+        pos += 1 + ln
+    pos += 1  # block terminator
+    idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+    if len(idx) < w * h:
+        raise ValueError("GIF LZW stream ended before the frame filled")
+    rows = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+    if ipacked & 0x40:
+        # interlaced: rows arrive in pass order (every 8th from 0, every
+        # 8th from 4, every 4th from 2, every 2nd from 1); scatter them
+        # back to their display positions
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        img = np.zeros_like(rows)
+        img[order] = rows
+        rows = img
+    if int(rows.max(initial=0)) >= len(ct):
+        raise ValueError("GIF pixel index outside color table")
+    return left, top, w, h, ct, rows, pos
+
+
 def _decode_gif_inner(payload: bytes, np):
     packed = payload[10]  # logical-screen descriptor; frame dims win below
     pos = 13
@@ -498,45 +556,7 @@ def _decode_gif_inner(payload: bytes, np):
             continue
         if b != 0x2C:
             raise ValueError(f"bad GIF block introducer 0x{b:02x}")
-        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
-        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
-        ipacked = payload[pos + 9]
-        interlaced = bool(ipacked & 0x40)
-        pos += 10
-        ct = gct
-        if ipacked & 0x80:
-            n = 2 << (ipacked & 0x07)
-            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
-            pos += 3 * n
-        if ct is None:
-            raise ValueError("GIF image with neither global nor local color table")
-        min_code_size = payload[pos]
-        pos += 1
-        chunks = []
-        while payload[pos] != 0:
-            ln = payload[pos]
-            chunks.append(payload[pos + 1 : pos + 1 + ln])
-            pos += 1 + ln
-        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
-        if len(idx) < w * h:
-            raise ValueError("GIF LZW stream ended before the frame filled")
-        rows = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
-        if interlaced:
-            # rows arrive in pass order (every 8th from 0, every 8th
-            # from 4, every 4th from 2, every 2nd from 1); scatter them
-            # back to their display positions
-            order = (
-                list(range(0, h, 8))
-                + list(range(4, h, 8))
-                + list(range(2, h, 4))
-                + list(range(1, h, 2))
-            )
-            img = np.zeros_like(rows)
-            img[order] = rows
-        else:
-            img = rows
-        if int(img.max(initial=0)) >= len(ct):
-            raise ValueError("GIF pixel index outside color table")
+        _left, _top, w, h, ct, img, pos = _gif_read_frame(payload, pos, gct, np)
         rgb = ct[img].astype(np.float64)
         gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
         return w, h, gray
@@ -793,7 +813,14 @@ def _decode_ms_adpcm(fmt: bytes, data: bytes, n_total: int | None):
                 ci += 1
                 signed = nib - 16 if nib >= 8 else nib
                 c1, c2 = _MS_ADPCM_COEFFS[pred_i[c]]
-                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                acc = s1[c] * c1 + s2[c] * c2
+                # the Microsoft reference decode divides by 256 C-style —
+                # truncating toward ZERO. Python's >> 8 floors, off by one
+                # whenever the coefficient sum is negative and not a
+                # multiple of 256; the error feeds back through s1/s2 and
+                # drifts from every standard decoder (round-5 review
+                # finding — the anchor test pins the trunc semantics)
+                pred = acc // 256 if acc >= 0 else -((-acc) // 256)
                 smp = pred + signed * delta[c]
                 smp = -32768 if smp < -32768 else (32767 if smp > 32767 else smp)
                 chans[c].append(smp)
@@ -831,6 +858,15 @@ def _decode_ima_adpcm_wav(payload: bytes):
     tag, nch, rate = struct.unpack("<HHI", fmt[:8])
     block_align = struct.unpack("<H", fmt[12:14])[0]
     bits = struct.unpack("<H", fmt[14:16])[0]
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE wrapping: the real tag leads the
+        # SubFormat GUID — resolved here too, not only in
+        # _decode_wav_generic, because this decoder re-parses the fmt
+        # chunk (round-5 review finding: extensible-wrapped IMA ADPCM
+        # was rejected after the generic path had already resolved it)
+        if len(fmt) < 26:
+            raise ValueError("extensible WAVE fmt chunk too short")
+        tag = int.from_bytes(fmt[24:26], "little")
     if tag != 0x11:
         raise ValueError(f"WAVE format tag {tag} is not IMA ADPCM")
     if bits != 4 or nch not in (1, 2) or block_align <= 4 * nch:

@@ -168,7 +168,7 @@ def _iter_gif(payload: bytes):
     still-image feature); this is the video-shaped view of the same
     container, so Nth-frame sampling works on animation too."""
     # lazy import: multimodal imports this module's decode_video_frames
-    from .multimodal import _gif_lzw_decode
+    from .multimodal import _gif_read_frame
 
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
@@ -207,43 +207,9 @@ def _iter_gif(payload: bytes):
                 continue
             if b != 0x2C:
                 raise ValueError(f"bad GIF block introducer 0x{b:02x}")
-            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
-            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
-            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
-            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
-            ipacked = payload[pos + 9]
-            pos += 10
-            ct = gct
-            if ipacked & 0x80:
-                n = 2 << (ipacked & 0x07)
-                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
-                pos += 3 * n
-            if ct is None:
-                raise ValueError("GIF frame with neither global nor local color table")
+            left, top, w, h, ct, rows, pos = _gif_read_frame(payload, pos, gct, np)
             if left + w > sw or top + h > sh:
                 raise ValueError("GIF frame rectangle outside the logical screen")
-            mcs = payload[pos]
-            pos += 1
-            chunks = []
-            while payload[pos] != 0:
-                ln = payload[pos]
-                chunks.append(payload[pos + 1 : pos + 1 + ln])
-                pos += 1 + ln
-            pos += 1  # block terminator
-            idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h)
-            if len(idx) < w * h:
-                raise ValueError("GIF LZW stream ended before the frame filled")
-            rows = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
-            if ipacked & 0x40:  # interlaced: scatter pass rows back
-                order = (
-                    list(range(0, h, 8)) + list(range(4, h, 8))
-                    + list(range(2, h, 4)) + list(range(1, h, 2))
-                )
-                img = np.zeros_like(rows)
-                img[order] = rows
-                rows = img
-            if int(rows.max(initial=0)) >= len(ct):
-                raise ValueError("GIF pixel index outside color table")
             prev_region = canvas[top : top + h, left : left + w].copy() if disposal == 3 else None
             region = canvas[top : top + h, left : left + w]
             rgb = ct[rows].astype(np.float64)

@@ -833,15 +833,21 @@ class DagApplyJob:
           it is false are DROPPED from the replay — the operator's
           explicit decision to shed the poison rows.
 
-        Fence bump: requeued windows commit under the ``<writer_id>.rq``
-        namespace with their original batch_id — the main stream's fences
-        have long advanced past the quarantined id, so replaying under the
-        main namespace would fence the whole window out as a no-op
-        (silently losing it); a separate namespace keeps the requeue
-        exactly-once on ITS OWN sequence (a crashed drain re-runs and
-        fences to no-ops). A clean re-apply deletes the record; a window
-        that still violates keeps it (and re-records under
-        ``on_violation='record'``)."""
+        Fence bump: each requeued window commits under its OWN
+        ``<writer_id>.rq<batch_id>`` namespace with its original batch_id
+        — the main stream's fences have long advanced past the quarantined
+        id, so replaying under the main namespace would fence the whole
+        window out as a no-op (silently losing it). The namespace is
+        per-WINDOW, not one shared ``.rq``: windows need not drain in
+        batch order (a later window's poison can be repaired before an
+        earlier one's), and under a shared monotonic namespace an
+        out-of-order drain would fence the earlier window's eventual
+        replay to no-ops while this method still deleted its record —
+        silent loss (round-5 review finding). Per-window namespaces keep
+        every drain exactly-once on its own sequence (a crashed drain
+        re-runs the same namespace and fences to no-ops). A clean re-apply
+        deletes the record; a window that still violates keeps it (and
+        re-records under ``on_violation='record'``)."""
         import os
 
         results: list[WindowResult] = []
@@ -854,7 +860,7 @@ class DagApplyJob:
                 rec["batch_id"],
                 rec["lo"],
                 rec["hi"],
-                fence_ns=f"{self.writer_id}.rq",
+                fence_ns=f"{self.writer_id}.rq{rec['batch_id']}",
             )
             results.append(res)
             if not res.violations:

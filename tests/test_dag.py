@@ -1191,3 +1191,64 @@ def test_dag_requeue_with_repair_predicate(spark, tmp_root):
     got = {r["code"] for r in jobs["commune"].table.read().collect()}
     assert got == {"C2"}  # poison shed, good row recovered
     assert set(dag.deep_fk_check().values()) == {0}
+
+
+def test_dag_requeue_out_of_order_drain_loses_nothing(spark, tmp_root):
+    """Round-5 review regression: TWO quarantined windows whose repairs
+    arrive out of batch order. Drain 1: the EARLIER window still violates
+    (record kept) while the LATER one applies cleanly. Drain 2: the
+    earlier window is repaired and must ACTUALLY LAND — under a shared
+    monotonic ``.rq`` fence namespace the later window's drain had already
+    advanced the fence past the earlier batch_id, so its replay fenced to
+    no-ops, the empty-violations result deleted the record, and the
+    window's events were silently lost. Per-window ``.rq<batch_id>``
+    namespaces keep each drain on its own fence sequence."""
+    ev = _envelope(
+        [
+            # window [0,3): consistent bootstrap (lsn 1..2)
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            # window [3,6) = batch 1: poison A (D998 never arrives) + good CA
+            ("I", "commune", {"code": "C1", "department_code": "D998", "name": "X", "population": 1}),
+            ("I", "commune", {"code": "CA", "department_code": "D000", "name": "A", "population": 7}),
+            ("U", "region", {"code": "REG00", "name": "R"}),
+            # window [6,9) = batch 2: poison B (D999 arrives later)
+            ("I", "commune", {"code": "C2", "department_code": "D999", "name": "Y", "population": 2}),
+            ("U", "region", {"code": "REG00", "name": "R"}),
+            ("U", "region", {"code": "REG00", "name": "R"}),
+            # window [9,12) = batch 3: D999 arrives -> repairs B, not A
+            ("I", "department", {"code": "D999", "region_code": "REG00", "name": "L"}),
+            ("U", "region", {"code": "REG00", "name": "R"}),
+            ("U", "region", {"code": "REG00", "name": "R"}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag_q(spark, tmp_root)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "c.json"))
+    results = dag.run_incremental(log, ckpt, batch_lsns=3)
+    assert sum(1 for r in results if r.violations) == 2
+    assert [(r["lo"], r["hi"]) for r in dag.quarantined()] == [(3, 6), (6, 9)]
+
+    # drain 1: A (batch 1) still violates, B (batch 2) applies cleanly
+    drained = dag.requeue_quarantined(log)
+    assert [bool(r.violations) for r in drained] == [True, False]
+    assert [(r["lo"], r["hi"]) for r in dag.quarantined()] == [(3, 6)]
+    assert {r["code"] for r in jobs["commune"].table.read().collect()} == {"C2"}
+
+    # drain 2: A repaired by shedding its poison row; its surviving good
+    # row CA must land even though a LATER-batch window drained first
+    drained = dag.requeue_quarantined(
+        log,
+        repair_where=(
+            "not (table = 'commune' "
+            "and get_json_object(payload, '$.department_code') = 'D998')"
+        ),
+    )
+    assert len(drained) == 1 and not drained[0].violations
+    assert dag.quarantined() == []
+    got = {
+        r["code"]: (r["department_code"], r["population"])
+        for r in jobs["commune"].table.read().collect()
+    }
+    assert got == {"CA": ("D000", 7), "C2": ("D999", 2)}
+    assert set(dag.deep_fk_check().values()) == {0}

@@ -760,20 +760,19 @@ def encode_jpeg_lossless(
         """order: list of component indices per MCU (interleaved) or a
         single component (per-component scan). Yields (comp, token)."""
         toks = []
-        fresh = [True] * nc
+        seg_start = 0  # restart intervals restart the chain (H.1.2.2)
         for m in range(w * h):
             if dri and m and m % dri == 0:
                 toks.append(("rst", None, None, None))
-                for ci in order:
-                    fresh[ci] = True
+                seg_start = m
             y, x = divmod(m, w)
+            y0 = seg_start // w
             for ci in order:
                 p = flat[ci]
-                if fresh[ci]:
+                if m == seg_start:
                     px = default
-                    fresh[ci] = False
-                elif y == 0:
-                    px = int(p[m - 1])
+                elif y == y0:
+                    px = int(p[m - 1])  # Ra on the interval's first row
                 elif x == 0:
                     px = int(p[m - w])
                 else:
@@ -946,3 +945,90 @@ def test_progressive_12bit_matches_sequential():
     # einsum) — last-ulp at 12-bit magnitudes, so assert to 1e-9
     assert float(np.max(np.abs(a - b))) <= 1e-9
     assert float(a.max()) > 255.0  # actually exercised the 12-bit range
+
+
+def test_high_precision_gray_contract_rescales():
+    """Round-5 review regression: decode_jpeg_gray is the [0,255]
+    gray-contract boundary — 12-bit SOF1 and 16-bit lossless frames
+    rescale by 255/(2^P-1), while decode_jpeg itself stays in native
+    range (bit-exact round-trips). 8-bit output is untouched (factor
+    exactly 1)."""
+    rng = np.random.RandomState(3)
+    img12 = rng.randint(0, 4096, (16, 16)).astype(np.float64)
+    p12 = encode_jpeg([img12], 16, 16, [(1, 1)], [0], {0: np.ones((8, 8))}, prec=12)
+    w, h, native = decode_jpeg(p12)
+    assert float(np.max(native[0])) > 255.0  # native stays 12-bit range
+    gw, gh, gray = decode_jpeg_gray(p12)
+    assert (gw, gh) == (w, h) == (16, 16)
+    assert float(gray.max()) <= 255.0
+    assert np.allclose(gray, native[0] * (255.0 / 4095.0))
+    # with_precision exposes P on both frame kinds
+    assert decode_jpeg(p12, with_precision=True)[3] == 12
+
+    img16 = rng.randint(0, 65536, (8, 10)).astype(np.int64)
+    p16 = encode_jpeg_lossless([img16], 10, 8, 1, prec=16)
+    wl, hl, nat, prec = decode_jpeg(p16, with_precision=True)
+    assert prec == 16 and np.array_equal(nat[0], img16)  # native bit-exact
+    gl = decode_jpeg_gray(p16)[2]
+    assert float(gl.max()) <= 255.0
+    assert np.allclose(gl, img16 * (255.0 / 65535.0))
+
+    img8 = rng.randint(0, 256, (8, 8)).astype(np.float64)
+    p8 = encode_jpeg([img8], 8, 8, [(1, 1)], [0], {0: np.ones((8, 8))})
+    assert np.array_equal(decode_jpeg_gray(p8)[2], decode_jpeg(p8)[2][0])
+
+
+def test_lossless_restart_interval_predicts_per_spec():
+    """Round-5 review regression (T.81 H.1.2.2): a restart interval
+    restarts the prediction like a new scan — first sample predicts the
+    default 2^(P-Pt-1) and the REST of the interval's first sample row
+    predicts Ra (the 1-D predictor), even mid-image and even when the
+    scan selects a 2-D predictor. The bitstream here is assembled from
+    HAND-DERIVED diffs (spec wording transcribed by hand), so the
+    decoder is pinned to the spec, not to the shared test encoder."""
+    img = np.array([[10, 20, 30, 40], [50, 60, 70, 80]], dtype=np.int64)
+    # predictor 4, dri=3 -> intervals [0..2], [3..5], [6..7]; per H.1.2.2:
+    #   m0 default(128): 10-128=-118   m1 Ra(10): +10      m2 Ra(20): +10
+    #   m3 default(128): 40-128=-88    m4 Rb(10): +40
+    #   m5 pred4 ra+rb-rc = 50+20-10=60: +0
+    #   m6 default(128): 70-128=-58    m7 Ra(70): +10  <- the old absolute
+    #      (y,x) rule used pred4 = 70+40-30 = 80 here (diff 0) and desynced
+    diffs = [[-118, 10, 10], [-88, 40, 0], [-58, 10]]
+    toks = [(d & 0xFFFF) if (d & 0xFFFF) == 32768 else d for seg in diffs for d in seg]
+    counts, syms, codes = _canonical([_cat(d) for d in toks])
+    out = bytearray(b"\xff\xd8")
+
+    def seg_m(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    seg_m(0xC3, bytes([8]) + (2).to_bytes(2, "big") + (4).to_bytes(2, "big")
+          + bytes([1, 1, 0x11, 0]))
+    seg_m(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms))
+    seg_m(0xDD, (3).to_bytes(2, "big"))
+    seg_m(0xDA, bytes([1, 1, 0x00, 4, 0, 0]))  # Ss=4 (2-D predictor)
+    for i, seg_d in enumerate(diffs):
+        bw = _BitWriter()
+        for d in seg_d:
+            s = _cat(d)
+            code, ln = codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(_mag(d, s), s)
+        bw.align()
+        out.extend(bw.out)
+        if i < len(diffs) - 1:
+            out.extend(bytes([0xFF, 0xD0 + i]))
+    out.extend(b"\xff\xd9")
+    w, h, planes = decode_jpeg(bytes(out))
+    assert (w, h) == (4, 2)
+    assert np.array_equal(planes[0].astype(np.int64), img)
+
+    # and the shared encoder round-trips mid-row restarts for every
+    # predictor (dri=3 is NOT row-aligned at w=5)
+    rng = np.random.RandomState(7)
+    big = rng.randint(0, 256, (4, 5))
+    for pred in range(1, 8):
+        payload = encode_jpeg_lossless([big], 5, 4, pred, dri=3)
+        assert np.array_equal(
+            decode_jpeg(payload)[2][0].astype(np.int64), big
+        ), f"pred {pred}"

@@ -1281,7 +1281,8 @@ def _ms_adpcm_encode(x, rate, nch, block_align=256):
         for i in range(2, spb):
             row = blk[i] if i < len(blk) else blk[-1]  # pad tail w/ last
             for c in range(nch):
-                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                acc = s1[c] * c1 + s2[c] * c2
+                pred = acc // 256 if acc >= 0 else -((-acc) // 256)  # C trunc
                 q = int(round((int(row[c]) - pred) / delta[c]))
                 q = max(-8, min(7, q))
                 nib = q + 16 if q < 0 else q
@@ -1425,3 +1426,81 @@ def test_bmp_subbyte_palette_and_rle8():
     # truncated RLE (no end-of-bitmap) raises
     with _pytest.raises(ValueError, match="truncated|bounds"):
         decode_image(hdr(8, 3, 8, 1, 256, pal8) + bytes([3, 7]))
+
+
+def test_ms_adpcm_predictor_truncates_toward_zero():
+    """Round-5 review regression: the MS ADPCM predictor divides the
+    coefficient sum by 256 C-style (truncation toward zero, per the
+    Microsoft reference decode), not Python floor. Anchor block:
+    predictor 4 (c1=240, c2=0) with s1=-1 gives acc=-240 — truncation
+    predicts 0 where floor predicted -1, and the error would feed back
+    through the history."""
+    import struct
+
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import _decode_wav_generic
+
+    block = bytes([4]) + struct.pack("<hhh", 16, -1, 0) + b"\x00"  # 8 bytes
+    wav = _wav(2, 1, 8000, 4, block)
+    i = wav.index(b"fmt ") + 8
+    wav = wav[: i + 12] + (8).to_bytes(2, "little") + wav[i + 14 :]
+    nch, rate, n, mono = _decode_wav_generic(wav)
+    assert (nch, rate, n) == (1, 8000, 4)
+    # samples: s2=0, s1=-1, then two zero nibbles -> trunc predicts 0, 0
+    assert np.allclose(mono * 32768.0, [0.0, -1.0, 0.0, 0.0])
+
+
+def test_ima_adpcm_extensible_header():
+    """Round-5 review regression: WAVE_FORMAT_EXTENSIBLE-wrapped IMA
+    ADPCM decodes — the dedicated block decoder resolves the real tag
+    from the SubFormat GUID itself instead of rejecting tag 0xFFFE after
+    the generic path already resolved it."""
+    import struct
+
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import _decode_wav_generic
+
+    rng = np.random.default_rng(9)
+    base = np.clip(
+        6000 * np.sin(np.arange(1200) / 11.0) + rng.integers(-500, 500, 1200),
+        -32768, 32767,
+    ).astype(np.int64)
+    wav, recon = _ima_adpcm_encode(base.reshape(-1, 1), 8000, 1)
+    plain = _decode_wav_generic(wav)
+
+    # re-wrap the fmt chunk body as extensible: tag 0xFFFE + cbSize 22 +
+    # valid-bits/channel-mask + SubFormat GUID led by the real tag
+    i = wav.index(b"fmt ")
+    ln = int.from_bytes(wav[i + 4 : i + 8], "little")
+    body = wav[i + 8 : i + 8 + ln]
+    ext = (
+        struct.pack("<H", 0xFFFE) + body[2:16]
+        + struct.pack("<HHI", 22, 4, 0)
+        + (0x11).to_bytes(2, "little") + bytes(14)
+    )
+    wrapped = (
+        wav[:i] + b"fmt " + len(ext).to_bytes(4, "little") + ext
+        + wav[i + 8 + ln :]
+    )
+    got = _decode_wav_generic(wrapped)
+    assert got[:3] == plain[:3]
+    assert np.array_equal(got[3], plain[3])
+
+
+def test_pnm_sub255_maxval_rescales():
+    """Round-5 review regression: the [0,255] gray contract applies to
+    EVERY PNM maxval — an 8-bit P5 with maxval=100 rescales so white is
+    255.0, matching the 16-bit branch (it was passed through raw)."""
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    px = bytes([0, 25, 50, 100])
+    w, h, gray = decode_image(b"P5\n2 2\n100\n" + px)
+    assert (w, h) == (2, 2)
+    assert np.allclose(gray, np.array([[0.0, 63.75], [127.5, 255.0]]))
+    # maxval=255 stays an exact passthrough
+    _, _, g255 = decode_image(b"P5\n2 2\n255\n" + px)
+    assert np.array_equal(g255, np.array([[0.0, 25.0], [50.0, 100.0]]))
