@@ -273,7 +273,16 @@ def main() -> None:
 
     rnds = interleaved_rounds(rounds, parts, n, work, batches, wmode)
     valid = [r for r in rnds if r["valid"]] or rnds
-    best = max(valid, key=lambda r: r["efficiency"])
+    # headline: the best PHYSICAL round — weak-scaling efficiency above
+    # 1.0 is measurement artifact (the N half ran in a slightly slower
+    # sub-window than the 4N half), so a >1 round never headlines when a
+    # ≤1 round exists; among ≤1 rounds, highest wins
+    physical = [r for r in valid if r["efficiency"] <= 1.0]
+    best = (
+        max(physical, key=lambda r: r["efficiency"])
+        if physical
+        else min(valid, key=lambda r: r["efficiency"])
+    )
     lo, hi = best["N"], best["4N"]
 
     result = {
