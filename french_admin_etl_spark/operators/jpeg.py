@@ -381,68 +381,121 @@ def _decode_scan_lossless(
     payload, dpos, frame, scomps, hdc, dri, planes, predictor, pt
 ) -> int:
     """Decode ONE lossless (SOF3) scan per T.81 annex H into ``planes``
-    (flat Python int lists keyed by component id); returns the payload
-    position just past the scan's entropy data.
+    (flat Python int lists keyed by component id, row stride = the
+    component's PADDED width); returns the payload position just past
+    the scan's entropy data.
 
     Sample reconstruction: Huffman-decode the difference CATEGORY with
     the component's DC table (SSSS 0..16; 16 means diff = 32768 with no
     extra bits, H.2.3), extend SSSS magnitude bits to a signed diff,
     add the prediction modulo 2^16 (H.1.2.1). Prediction rules (H.1.2.2)
-    treat each RESTART INTERVAL like the start of the scan: the
-    interval's first sample predicts from the default 2^(P−Pt−1); the
-    remainder of the interval's FIRST sample row predicts from Ra (left)
-    — the 1-D predictor, NOT the scan-selected one, even mid-image
-    (round-5 review finding: keying this off absolute y==0 desynced
-    from spec-compliant encoders after every mid-image RSTn); the first
+    run per COMPONENT on its own sample grid and treat each RESTART
+    INTERVAL like the start of the scan: the component's first sample
+    of the interval predicts from the default 2^(P−Pt−1); the remainder
+    of that component-plane ROW predicts from Ra (left) — the 1-D
+    predictor, NOT the scan-selected one, even mid-image (round-5
+    review finding: keying this off absolute y==0 desynced from
+    spec-compliant encoders after every mid-image RSTn); the first
     sample of every later row (column 0) predicts from Rb (above);
     everywhere else the scan-header-selected predictor 1–7 over
-    (Ra, Rb, Rc) applies. Only 1×1 sampling is supported (checked at
-    SOF), so an interleaved MCU is exactly one sample per component and
-    a scan covers w×h MCUs."""
+    (Ra, Rb, Rc) applies.
+
+    Geometry (round-5 session 4 — subsampling support): a
+    single-component scan is NON-interleaved (A.2.2) — the data unit is
+    one sample and the scan covers that component's xi×yi samples in
+    raster order on its own grid, no padding, restart interval counted
+    in samples. A multi-component scan is sample-interleaved (A.2.3):
+    the MCU grid is ceil(X/Hmax) × ceil(Y/Vmax); each MCU carries, per
+    component in scan order, its Hi×Vi-sample region in raster order;
+    components whose xi/yi don't divide by Hi/Vi decode into padded
+    rows/cols that the caller crops at output. The pre-existing 1×1
+    behavior is exactly this machinery with Hi=Vi=1 (MCU grid = X×Y,
+    one sample per component per MCU)."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"lossless predictor {predictor} (Ss must be 1-7)")
     segs, nd = _split_entropy(payload, dpos)
-    w, h, prec = frame["w"], frame["h"], frame["prec"]
+    prec = frame["prec"]
     default = 1 << (prec - pt - 1)
-    mcu, total = 0, w * h
-    for seg_i, seg in enumerate(segs):
+    dims = frame["ldims"]  # cid -> (xi, yi, padded_w, padded_h)
+
+    # per-scan-component decode geometry: (plane, stride, Hi, Vi, table)
+    info = []
+    for s in scomps:
+        fc = next(c for c in frame["comps"] if c["id"] == s["id"])
+        info.append(
+            (planes[s["id"]], dims[s["id"]][2], fc["h"], fc["v"], hdc[s["td"]])
+        )
+    # each unit entry: (plane, stride, row, col, table, comp_idx, first_in_region)
+    if len(scomps) == 1:
+        # non-interleaved: one sample per MCU on the component's own
+        # (unpadded) xi×yi grid regardless of its frame sampling factors
+        plane, stride, _, _, table = info[0]
+        xi, yi = dims[scomps[0]["id"]][0], dims[scomps[0]["id"]][1]
+        units = [
+            [(plane, stride, m // xi, m % xi, table, 0, True)]
+            for m in range(xi * yi)
+        ]
+    else:
+        mcux = -(-frame["w"] // max(c["h"] for c in frame["comps"]))
+        mcuy = -(-frame["h"] // max(c["v"] for c in frame["comps"]))
+        units = []
+        for m in range(mcux * mcuy):
+            mr, mc = divmod(m, mcux)
+            unit = []
+            for k, (plane, stride, hi, vi, table) in enumerate(info):
+                for v in range(vi):
+                    for hh in range(hi):
+                        unit.append(
+                            (plane, stride, mr * vi + v, mc * hi + hh,
+                             table, k, v == 0 and hh == 0)
+                        )
+            units.append(unit)
+
+    mcu, total = 0, len(units)
+    for seg in segs:
         bits = _Bits(seg)
         seg_start = mcu  # each restart interval restarts the DPCM chain
-        y0 = seg_start // w  # the interval's first sample row
+        # the interval's first ROW per scan component: samples on that
+        # row (after the component's first) predict from Ra; lower rows
+        # of the same first MCU row already use the normal rules
+        first_row = {
+            samp[5]: samp[2]
+            for samp in (units[seg_start] if seg_start < total else [])
+            if samp[6]
+        }
         end = min(total, mcu + dri) if dri else total
         while mcu < end:
-            y, x = divmod(mcu, w)
-            for s in scomps:
-                plane = planes[s["id"]]
-                ssss = bits.huff(hdc[s["td"]])
+            for plane, stride, r, c, table, k, first_in_region in units[mcu]:
+                ssss = bits.huff(table)
                 if ssss == 16:
                     diff = 32768
                 else:
                     diff = _extend(bits.read(ssss), ssss) if ssss else 0
-                if mcu == seg_start:
-                    px = default  # interval's first sample (H.2.2)
-                elif y == y0:
-                    px = plane[mcu - 1]  # Ra on the interval's first row
-                elif x == 0:
-                    px = plane[mcu - w]  # Rb only on column 0
+                pos = r * stride + c
+                if mcu == seg_start and first_in_region:
+                    px = default  # component's first interval sample (H.2.2)
+                elif r == first_row[k]:
+                    px = plane[pos - 1]  # Ra on the interval's first row
+                elif c == 0:
+                    px = plane[pos - stride]  # Rb only on column 0
                 else:
-                    ra = plane[mcu - 1]
-                    rb = plane[mcu - w]
+                    ra = plane[pos - 1]
+                    rb = plane[pos - stride]
                     if predictor == 1:
                         px = ra
                     elif predictor == 2:
                         px = rb
                     elif predictor == 3:
-                        px = plane[mcu - w - 1]
+                        px = plane[pos - stride - 1]
                     elif predictor == 4:
-                        px = ra + rb - plane[mcu - w - 1]
+                        px = ra + rb - plane[pos - stride - 1]
                     elif predictor == 5:
-                        px = ra + ((rb - plane[mcu - w - 1]) >> 1)
+                        px = ra + ((rb - plane[pos - stride - 1]) >> 1)
                     elif predictor == 6:
-                        px = rb + ((ra - plane[mcu - w - 1]) >> 1)
+                        px = rb + ((ra - plane[pos - stride - 1]) >> 1)
                     else:  # predictor == 7 (range checked at scan entry)
                         px = (ra + rb) >> 1
-                plane[mcu] = (px + diff) & 0xFFFF  # mod 2^16 (H.1.2.1)
+                plane[pos] = (px + diff) & 0xFFFF  # mod 2^16 (H.1.2.1)
             mcu += 1
     return nd
 
@@ -560,12 +613,24 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                 "progressive": m == 0xC2, "lossless": lossless, "prec": prec,
             }
             if lossless:
-                # exact sample grid, no DCT-block padding; flat int lists
-                # because the DPCM loop is bit-serial anyway
-                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
-                    raise NotImplementedError("subsampled lossless JPEG")
+                # flat Python int lists because the DPCM loop is
+                # bit-serial anyway. Per-component sample grids follow
+                # A.1.1 (xi = ceil(X*Hi/Hmax)); rows are allocated at
+                # the MCU-padded width so an interleaved scan (A.2.3)
+                # can decode whole Hi×Vi regions without bounds logic —
+                # output crops back to xi×yi. 1×1 frames degenerate to
+                # padded == exact, the pre-round-5 behavior.
+                lhmax = max(c["h"] for c in comps)
+                lvmax = max(c["v"] for c in comps)
+                mcux = -(-w // lhmax)
+                mcuy = -(-h // lvmax)
+                frame["ldims"] = {}
                 for c in comps:
-                    planes[c["id"]] = [0] * (w * h)
+                    xi = -(-(w * c["h"]) // lhmax)
+                    yi = -(-(h * c["v"]) // lvmax)
+                    pw, ph = mcux * c["h"], mcuy * c["v"]
+                    frame["ldims"][c["id"]] = (xi, yi, pw, ph)
+                    planes[c["id"]] = [0] * (pw * ph)
                 continue  # no DCT-block allocation below
             # allocate at MCU-grid padding — covers both interleaved and
             # per-component scan geometry
@@ -626,10 +691,11 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
         # transform by shifting left Pt (annex H output convention) —
         # no clamp, reconstruction is bit-exact for valid files
         shift = 1 << frame.get("pt", 0)
-        lossless_out = [
-            np.asarray(planes[c["id"]], dtype=np.float64).reshape(hgt, w) * shift
-            for c in comps
-        ]
+        lossless_out = []
+        for c in comps:
+            xi, yi, pw, ph = frame["ldims"][c["id"]]
+            arr = np.asarray(planes[c["id"]], dtype=np.float64).reshape(ph, pw)
+            lossless_out.append(arr[:yi, :xi] * shift)
         if with_precision:
             return w, hgt, lossless_out, frame["prec"]
         return w, hgt, lossless_out

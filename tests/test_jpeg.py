@@ -743,47 +743,83 @@ def test_progressive_partial_ac_is_legal_preview():
 
 
 def encode_jpeg_lossless(
-    planes, w, h, predictor, prec=8, pt=0, dri=0, per_component=False
+    planes, w, h, predictor, prec=8, pt=0, dri=0, per_component=False,
+    sampling=None,
 ):
     """Lossless (SOF3) encoder per T.81 annex H: predictor DPCM, Huffman
     category coding with the DC table machinery (SSSS 0..16, 16 = diff
     32768 with no magnitude bits), restart markers resetting prediction
-    to 2^(P-Pt-1). ``planes``: int arrays (h, w) of ALREADY
-    point-transformed samples (< 2**prec). One shared Huffman table id 0.
-    ``per_component=True`` emits one SOS per component (restarts only
-    supported in the interleaved shape here)."""
+    to 2^(P-Pt-1). ``planes``: int arrays of ALREADY point-transformed
+    samples (< 2**prec), each sized (yi, xi) per A.1.1 for its
+    component's ``sampling`` factor (default 1x1 → (h, w)). One shared
+    Huffman table id 0. ``per_component=True`` emits one SOS per
+    component (non-interleaved: restart interval counts samples).
+    Interleaved scans pad each plane to the MCU grid by edge
+    replication; the decoder crops back."""
     nc = len(planes)
-    flat = [np.asarray(p, dtype=np.int64).reshape(-1) for p in planes]
+    sampling = sampling or [(1, 1)] * nc
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // hmax), -(-h // vmax)
+    dims, padded = [], []
+    for p, (hi, vi) in zip(planes, sampling):
+        xi, yi = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        arr = np.asarray(p, dtype=np.int64)
+        assert arr.shape == (yi, xi), (arr.shape, (yi, xi))
+        dims.append((xi, yi))
+        padded.append(
+            np.pad(arr, ((0, mcuy * vi - yi), (0, mcux * hi - xi)), "edge")
+        )
     default = 1 << (prec - pt - 1)
 
     def diffs_for(order):
         """order: list of component indices per MCU (interleaved) or a
         single component (per-component scan). Yields (comp, token)."""
+        # unit entry: (comp, row, col, first-sample-of-its-MCU-region)
+        if len(order) == 1:
+            ci = order[0]
+            xi, yi = dims[ci]
+            units = [[(ci, m // xi, m % xi, True)] for m in range(xi * yi)]
+        else:
+            units = []
+            for m in range(mcux * mcuy):
+                mr, mc = divmod(m, mcux)
+                unit = []
+                for ci in order:
+                    hi, vi = sampling[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            unit.append(
+                                (ci, mr * vi + v, mc * hi + hh,
+                                 v == 0 and hh == 0)
+                            )
+                units.append(unit)
         toks = []
-        seg_start = 0  # restart intervals restart the chain (H.1.2.2)
-        for m in range(w * h):
+        seg_start, first_row = 0, {}
+        for m, unit in enumerate(units):
             if dri and m and m % dri == 0:
                 toks.append(("rst", None, None, None))
                 seg_start = m
-            y, x = divmod(m, w)
-            y0 = seg_start // w
-            for ci in order:
-                p = flat[ci]
-                if m == seg_start:
+            if m == seg_start:
+                # each component's first sample ROW of this interval
+                first_row = {s[0]: s[1] for s in unit if s[3]}
+            for ci, r, c, first in unit:
+                p = padded[ci]
+                if m == seg_start and first:
                     px = default
-                elif y == y0:
-                    px = int(p[m - 1])  # Ra on the interval's first row
-                elif x == 0:
-                    px = int(p[m - w])
+                elif r == first_row[ci]:
+                    px = int(p[r, c - 1])  # Ra on the interval's first row
+                elif c == 0:
+                    px = int(p[r - 1, c])
                 else:
-                    ra, rb = int(p[m - 1]), int(p[m - w])
-                    rc = int(p[m - w - 1])
+                    ra, rb = int(p[r, c - 1]), int(p[r - 1, c])
+                    rc = int(p[r - 1, c - 1])
                     px = {
                         1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
                         5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
                         7: (ra + rb) >> 1,
                     }[predictor]
-                d = (int(p[m]) - px) & 0xFFFF
+                d = (int(p[r, c]) - px) & 0xFFFF
                 if d == 32768:
                     toks.append((ci, 16, 0, 0))
                 else:
@@ -809,7 +845,8 @@ def encode_jpeg_lossless(
 
     sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0])  # 1x1 sampling, Tq=0 (unused in lossless)
+        hi, vi = sampling[i]
+        sof += bytes([i + 1, (hi << 4) | vi, 0])  # Tq unused in lossless
     seg(0xC3, sof)
     seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(syms))
     if dri:
@@ -886,16 +923,45 @@ def test_lossless_16bit_and_point_transform():
     assert np.array_equal(got, (img8 >> 2) << 2)
 
 
-def test_lossless_subsampled_raises():
-    """Subsampled lossless is a declared seam — NotImplementedError, so
-    mapInPandas err isolation dead-letters the row instead of garbling."""
-    img = np.zeros((8, 8), dtype=np.int64)
-    payload = bytearray(encode_jpeg_lossless([img], 8, 8, 1))
-    i = payload.index(b"\xff\xc3")
-    # component 1's h|v byte sits 10 bytes into the SOF segment payload
-    payload[i + 2 + 2 + 7] = 0x21  # 2x1 sampling
-    with pytest.raises(NotImplementedError, match="subsampled lossless"):
-        decode_jpeg(bytes(payload))
+def test_lossless_subsampled_interleaved_roundtrip():
+    """4:2:0 interleaved lossless with odd frame dims and restarts:
+    luma decodes 11x9, chroma ceil-scaled 6x5 (A.1.1); the MCU grid pads
+    luma to 12x10 and the decoder crops back — every component
+    reconstructs BIT-EXACTLY (was a NotImplementedError seam through
+    round-5 session 3)."""
+    rng = np.random.RandomState(19)
+    y = rng.randint(0, 256, (9, 11))
+    cb = rng.randint(0, 256, (5, 6))
+    cr = rng.randint(0, 256, (5, 6))
+    for pred in (1, 4, 7):
+        payload = encode_jpeg_lossless(
+            [y, cb, cr], 11, 9, pred, dri=3,
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
+        assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+        w, h, planes = decode_jpeg(payload)
+        assert (w, h) == (11, 9)
+        assert [p.shape for p in planes] == [(9, 11), (5, 6), (5, 6)]
+        for got, src in zip(planes, (y, cb, cr)):
+            assert np.array_equal(got.astype(np.int64), src), pred
+
+
+def test_lossless_subsampled_per_component_scans():
+    """One SOS per component over a 4:2:2-sampled 12-bit frame: each
+    non-interleaved scan runs on its component's own unpadded xi x yi
+    grid (A.2.2) regardless of frame sampling factors — bit-exact."""
+    rng = np.random.RandomState(23)
+    y = rng.randint(0, 4096, (7, 13))
+    c1 = rng.randint(0, 4096, (7, 7))  # xi = ceil(13/2) = 7
+    payload = encode_jpeg_lossless(
+        [y, c1], 13, 7, 5, prec=12, per_component=True,
+        sampling=[(2, 1), (1, 1)],
+    )
+    w, h, planes = decode_jpeg(payload)
+    assert (w, h) == (13, 7)
+    assert [p.shape for p in planes] == [(7, 13), (7, 7)]
+    for got, src in zip(planes, (y, c1)):
+        assert np.array_equal(got.astype(np.int64), src)
 
 
 def test_extended_sequential_12bit():
