@@ -14,13 +14,19 @@ LOSSLESS (SOF3) files decode too (round 5): predictor DPCM per T.81
 annex H — all 7 predictors, 2–16-bit precision, point transform Pt,
 interleaved or one-scan-per-component, restart markers (prediction
 resets to the default 2^(P−Pt−1) after each RSTn, H.2.2) — for the
-common non-subsampled (1×1) case. 12-BIT samples decode in extended
-sequential (SOF1) and progressive (SOF2) frames (round 5): level shift
-2048, clamp to [0, 4095], 16-bit (Pq=1) quantization tables — baseline
-SOF0 stays 8-bit-only as T.81 B.2.2 requires. Subsampled lossless,
-arithmetic coding, and hierarchical modes raise
-``NotImplementedError`` — per-row err isolation upstream (S9) turns
-those into dead-letter rows, same as every other codec gap.
+common non-subsampled (1×1) case — round-5 session 4 extends lossless to
+SUBSAMPLED frames (A.1.1 per-component grids, MCU-interleaved Hi×Vi
+regions, non-interleaved scans on the component's own grid). 12-BIT
+samples decode in extended sequential (SOF1) and progressive (SOF2)
+frames (round 5): level shift 2048, clamp to [0, 4095], 16-bit (Pq=1)
+quantization tables — baseline SOF0 stays 8-bit-only as T.81 B.2.2
+requires. ARITHMETIC-coded sequential frames (SOF9) decode too (round-5
+session 4): a from-scratch QM coder (annex D state machine, conditional
+MPS/LPS exchange) drives the F.2.2 DC/AC decision trees with DAC
+conditioning. Progressive/lossless-arithmetic (SOF10/11) and
+hierarchical modes raise ``NotImplementedError`` — per-row err isolation
+upstream (S9) turns those into dead-letter rows, same as every other
+codec gap.
 
 The decode pipeline is the textbook one (ITU-T T.81):
 
@@ -218,6 +224,280 @@ def _decode_scan(payload, dpos, frame, scomps, qt, hdc, hac, dri, planes) -> int
                         if k > 63:
                             raise ValueError("AC index overrun")
                         zig[k] = _extend(bits.read(sz), sz)
+                        k += 1
+                    nat = np.zeros(64)
+                    nat[ZIGZAG] = zig
+                    px = _idct2(nat.reshape(8, 8) * q) + level
+                    y0 = (my * vu + v) * 8
+                    x0 = (mx * hu + hh) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    return end
+
+
+# T.81 Table D.3 — Qe values and probability-estimation state machine for
+# the QM arithmetic coder. Entry: (Qe, NMPS, NLPS, SWITCH). Index 113 is
+# the extra NON-ADAPTING state (NMPS = NLPS = itself, no switch) that
+# F.1.4.3.1 prescribes for AC sign decisions, appended after the 113
+# adaptive states exactly as common implementations do.
+_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # fixed (non-adapting) sign state
+]
+
+
+class _QMDecoder:
+    """QM arithmetic decoder (T.81 annex D decoding procedures: DECODE
+    with conditional MPS/LPS exchange per figures D.17-D.19, the Table
+    D.3 state machine above, RENORMD byte feed). Operates over ONE
+    restart segment's entropy bytes, already UN-stuffed by
+    ``_split_entropy``; past the segment's end it feeds zero bytes — the
+    marker-boundary convention of F.2.2.5, which also makes truncated
+    streams decode deterministically instead of raising mid-block.
+
+    Register conventions (documented because annex D admits several
+    equivalent layouts): ``a`` is the 16-bit interval size (renormalized
+    into [0x8000, 0x10000)), ``c`` a 32-bit window whose HIGH 16 bits
+    hold the code-value offset at ``a``'s scale; new bytes enter at bits
+    8-15 every 8 renorm shifts. The MPS sub-interval sits at the BOTTOM
+    of [0, a) and conditional exchange hands the larger part to the more
+    probable symbol when a-Qe < Qe. Each statistics bin is one byte,
+    (mps << 7) | state-index, as in Table D.3's I/MPS pairing.
+
+    Bitstream compatibility is proven by round-trip against the repo's
+    own mirror-image encoder (tests/test_jpeg.py::encode_jpeg_arith) —
+    same epistemic basis as every other from-scratch codec here; no
+    external golden files exist in this environment."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.p = 0
+        b0, b1, b2 = self._byte(), self._byte(), self._byte()
+        self.c = (b0 << 24) | (b1 << 16) | (b2 << 8)
+        self.ct = 8
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        if self.p < len(self.d):
+            b = self.d[self.p]
+            self.p += 1
+            return b
+        return 0
+
+    def decode(self, st: bytearray, k: int) -> int:
+        sv = st[k]
+        qe, nmps, nlps, switch = _QE[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if (self.c >> 16) < a:
+            if a & 0x8000:  # no renorm → no state transition (D.17)
+                self.a = a
+                return mps
+            if a < qe:  # conditional MPS exchange
+                d = 1 - mps
+                if switch:
+                    mps ^= 1
+                st[k] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[k] = (mps << 7) | nmps
+        else:
+            self.c -= a << 16
+            if a < qe:  # conditional LPS exchange
+                d = mps
+                st[k] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    mps ^= 1
+                st[k] = (mps << 7) | nlps
+            a = qe
+        while True:  # RENORMD
+            if self.ct == 0:
+                self.c |= self._byte() << 8
+                self.ct = 8
+            a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if a & 0x8000:
+                break
+        self.a = a
+        return d
+
+
+def _arith_decode_mag(dec, st, base_k, m, cap):
+    """Shared tail of the DC/AC magnitude trees (figures F.23/F.24):
+    widen the category by doubling ``m`` while the X bins say 'bigger'
+    (bins base_k, base_k+1, ...), then read the low magnitude bits from
+    the matching M bin at +14. Returns the reconstructed value v ≥ 1."""
+    k = base_k
+    while dec.decode(st, k):
+        m <<= 1
+        if m == cap:
+            raise ValueError("arithmetic magnitude overflow (corrupt scan)")
+        k += 1
+    v = m
+    k += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(st, k):
+            v |= m
+    return v + 1
+
+
+def _decode_scan_arith(
+    payload, dpos, frame, scomps, qt, dc_cond, ac_cond, dri, planes
+) -> int:
+    """Decode ONE sequential-DCT scan with ARITHMETIC entropy coding
+    (SOF9) into ``planes``, per T.81 F.2.2 — returns the payload
+    position just past the scan's entropy data.
+
+    DC differences condition on the PREVIOUS diff's classification
+    (zero / small± / large± against the DAC thresholds (1<<L)>>1 and
+    (1<<U)>>1), five 4-bin contexts at the front of a 64-bin statistics
+    area plus X/M magnitude chains at bin 20 (Table F.4 layout). AC
+    coefficients walk the EOB / zero-run / magnitude decision tree over
+    3 bins per zigzag index, with the high-magnitude X chain split at
+    Kx into low- and high-spectrum bins (189 / 217, Table F.5); AC signs
+    use the fixed non-adapting state. Statistics areas are keyed by the
+    scan's conditioning-table ids (td/ta), so components sharing a table
+    share adaptation, as the spec intends. Every restart interval
+    re-initializes the QM decoder, ALL statistics, the DC contexts and
+    the DC predictions (E.2.4).
+
+    Reference analog: the reference ingests INSEE-published assets whose
+    formats it must parse exactly as published (internal/cog/parse.go);
+    here the training-data media column gets the same treatment for
+    JPEG's arithmetic entropy option."""
+    segs, end = _split_entropy(payload, dpos)
+    level = float(1 << (frame.get("prec", 8) - 1))
+    comps = frame["comps"]
+    w, hgt = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: c for c in comps}
+    if len(scomps) > 1:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-hgt // (8 * vmax))
+        units = [
+            (by_id[s["id"]], s, by_id[s["id"]]["h"], by_id[s["id"]]["v"])
+            for s in scomps
+        ]
+    else:
+        c = by_id[scomps[0]["id"]]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(hgt * c["v"]) // vmax)
+        mcus_x = -(-cw // 8)
+        mcus_y = -(-ch // 8)
+        units = [(c, scomps[0], 1, 1)]
+
+    def fresh_state():
+        return (
+            {s["td"]: bytearray(64) for s in scomps},
+            {s["ta"]: bytearray(256) for s in scomps},
+            bytearray([113]),  # fixed sign bin
+            {c["id"]: 0 for c in comps},  # dc context per component
+            {c["id"]: 0 for c in comps},  # dc prediction per component
+        )
+
+    dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_state()
+    seg_i = 0
+    dec = _QMDecoder(segs[0])
+    for mi in range(mcus_x * mcus_y):
+        if dri and mi and mi % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            dec = _QMDecoder(segs[seg_i])
+            dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_state()
+        my, mx = divmod(mi, mcus_x)
+        for c, s, hu, vu in units:
+            q = qt[c["tq"]]
+            dst = dc_stats[s["td"]]
+            ast = ac_stats[s["ta"]]
+            u_dc, l_dc = dc_cond.get(s["td"], (1, 0))
+            kx = ac_cond.get(s["ta"], 5)
+            cid = c["id"]
+            for v in range(vu):
+                for hh in range(hu):
+                    zig = np.zeros(64)
+                    # ---- DC (F.2.2.1, Table F.4) ----
+                    ctx = dc_ctx[cid]
+                    if dec.decode(dst, ctx) == 0:
+                        dc_ctx[cid] = 0
+                    else:
+                        sign = dec.decode(dst, ctx + 1)
+                        if dec.decode(dst, ctx + 2 + sign) == 0:
+                            m, val = 0, 1
+                        else:
+                            val = _arith_decode_mag(dec, dst, 20, 1, 0x8000)
+                            # diff category = top power of two of val-1;
+                            # conditioning classifies on it (F.1.4.4.1.2)
+                            m = 1 << ((val - 1).bit_length() - 1)
+                        if m < (1 << l_dc) >> 1:
+                            dc_ctx[cid] = 0
+                        elif m > (1 << u_dc) >> 1:
+                            dc_ctx[cid] = 12 + sign * 4
+                        else:
+                            dc_ctx[cid] = 4 + sign * 4
+                        pred[cid] += -val if sign else val
+                    zig[0] = pred[cid]
+                    # ---- AC (F.2.2.2, Table F.5) ----
+                    k = 1
+                    while k <= 63:
+                        b = 3 * (k - 1)
+                        if dec.decode(ast, b):  # EOB
+                            break
+                        while dec.decode(ast, b + 1) == 0:
+                            k += 1
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            b = 3 * (k - 1)
+                        sign = dec.decode(fixed, 0)
+                        if dec.decode(ast, b + 2) == 0:
+                            val = 1
+                        elif dec.decode(ast, b + 2) == 0:
+                            val = 2
+                        else:
+                            base = 189 if k <= kx else 217
+                            val = _arith_decode_mag(dec, ast, base, 2, 0x8000)
+                        zig[k] = -val if sign else val
                         k += 1
                     nat = np.zeros(64)
                     nat[ZIGZAG] = zig
@@ -536,13 +816,17 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
     runs once at EOI over the final coefficients — so a fully-received
     progressive file decodes EXACTLY like its sequential twin. Coverage
     rule for progressive: every component needs a DC scan (AC-less
-    previews are legal); arithmetic coding and hierarchical modes still
+    previews are legal). ARITHMETIC sequential (SOF9) frames decode via
+    the QM coder (round-5 session 4; DAC conditioning honored);
+    arithmetic progressive/lossless and hierarchical modes still
     raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     hdc: dict[int, dict] = {}
     hac: dict[int, dict] = {}
+    dc_cond: dict[int, tuple] = {}  # DAC: table id -> (U, L), default (1, 0)
+    ac_cond: dict[int, int] = {}  # DAC: table id -> Kx, default 5
     frame = None
     dri = 0
     i = 2
@@ -589,15 +873,17 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (hdc if tc == 0 else hac)[th] = huff_table(counts, vals)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # SOF0/1 seq-Huffman, SOF2 prog, SOF3 lossless, SOF9 seq-arith
             prec = seg[0]
             lossless = m == 0xC3
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"lossless JPEG precision {prec}")
-            elif prec != 8 and not (prec == 12 and m in (0xC1, 0xC2)):
-                # 12-bit samples are legal in EXTENDED sequential (SOF1)
-                # and progressive (SOF2), never baseline SOF0 (T.81 B.2.2)
+            elif prec != 8 and not (prec == 12 and m in (0xC1, 0xC2, 0xC9)):
+                # 12-bit samples are legal in EXTENDED sequential (SOF1/
+                # SOF9) and progressive (SOF2), never baseline SOF0
+                # (T.81 B.2.2)
                 raise NotImplementedError(f"JPEG precision {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -611,6 +897,7 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
             frame = {
                 "w": w, "h": h, "comps": comps,
                 "progressive": m == 0xC2, "lossless": lossless, "prec": prec,
+                "arith": m == 0xC9,
             }
             if lossless:
                 # flat Python int lists because the DPCM loop is
@@ -645,10 +932,26 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                     coefs[c["id"]] = np.zeros((by, bx, 64), dtype=np.int64)
                 else:
                     planes[c["id"]] = np.zeros((by * 8, bx * 8))
-        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{m:02x} (arithmetic/hierarchical/differential)"
+                f"JPEG SOF marker 0x{m:02x} "
+                "(progressive/lossless-arithmetic, hierarchical, differential)"
             )
+        elif m == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    u, low = cs >> 4, cs & 15
+                    if low > u:
+                        raise ValueError(f"DAC DC conditioning L={low} > U={u}")
+                    dc_cond[tb] = (u, low)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"DAC AC conditioning Kx={cs}")
+                    ac_cond[tb] = cs
         elif m == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS — entropy data follows the header
@@ -675,6 +978,11 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                 )
                 if ss == 0:  # DC coverage is what makes a component decodable
                     covered.update(s["id"] for s in scomps)
+            elif frame.get("arith"):
+                i = _decode_scan_arith(
+                    payload, i, frame, scomps, qt, dc_cond, ac_cond, dri, planes
+                )
+                covered.update(s["id"] for s in scomps)
             else:
                 i = _decode_scan(payload, i, frame, scomps, qt, hdc, hac, dri, planes)
                 covered.update(s["id"] for s in scomps)

@@ -16,7 +16,12 @@ from french_admin_etl_spark.operators.multimodal import (
 )
 from french_admin_etl_spark.operators.video import decode_video_frames
 
-from test_jpeg import encode_jpeg, encode_jpeg_lossless, encode_jpeg_progressive
+from test_jpeg import (
+    encode_jpeg,
+    encode_jpeg_arith,
+    encode_jpeg_lossless,
+    encode_jpeg_progressive,
+)
 
 
 def _mutations(payload: bytes, rng, n_flips=30, n_truncs=10):
@@ -60,6 +65,7 @@ def _valid_image_payloads():
         "jpeg_lossless": encode_jpeg_lossless(
             [img.astype(np.int64)], 24, 16, 4, dri=5
         ),
+        "jpeg_arith": encode_jpeg_arith([img], 24, 16, [(1, 1)], [0], q, dri=2),
         "pgm": b"P5\n24 16\n255\n" + bytes(rng.randint(0, 256, 24 * 16, dtype=np.uint8)),
         "pgm16": b"P5\n24 16\n65535\n"
         + rng.randint(0, 65536, 24 * 16).astype(">u2").tobytes(),

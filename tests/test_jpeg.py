@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from french_admin_etl_spark.operators.jpeg import (
+    _QE,
     ZIGZAG,
     dct_matrix,
     decode_jpeg,
@@ -264,7 +265,7 @@ def test_unsupported_modes_and_garbage_rejected():
     img = _img(8, 8)
     payload = bytearray(encode_jpeg([img], 8, 8, [(1, 1)], [0], {0: np.ones((8, 8))}))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic): unsupported
+    payload[i + 1] = 0xC5  # rewrite SOF0 → SOF5 (differential): unsupported
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     # SOF0 → SOF3 makes a MALFORMED lossless file (its baseline scan
@@ -1098,3 +1099,346 @@ def test_lossless_restart_interval_predicts_per_spec():
         assert np.array_equal(
             decode_jpeg(payload)[2][0].astype(np.int64), big
         ), f"pred {pred}"
+
+
+# ------------------------------------------------- arithmetic (SOF9)
+
+
+class _QMEncoder:
+    """Mirror-image of the package's ``_QMDecoder`` (T.81 annex D encode
+    procedures: CODE with conditional MPS/LPS exchange over the Table
+    D.3 state machine, RENORME, BYTEOUT with carry ripple into already-
+    emitted bytes, CLEARBITS flush). Emits UN-stuffed bytes; callers
+    apply 0xFF00 stuffing when assembling the scan."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.raw = []
+
+    def encode(self, st, k, bit):
+        sv = st[k]
+        qe, nmps, nlps, switch = _QE[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if bit == mps:
+            if a & 0x8000:
+                self.a = a
+                return
+            if a < qe:  # conditional exchange: MPS takes the Qe-sized top
+                self.c += a
+                a = qe
+            st[k] = (mps << 7) | nmps
+        else:
+            if a >= qe:  # LPS normally takes the Qe-sized top
+                self.c += a
+                a = qe
+            if switch:
+                mps ^= 1
+            st[k] = (mps << 7) | nlps
+        while True:  # RENORME
+            a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if a & 0x8000:
+                break
+        self.a = a
+
+    def _byteout(self):
+        t = self.c >> 19
+        if t > 0xFF:
+            i = len(self.raw) - 1  # carry ripples into emitted bytes
+            while True:
+                assert i >= 0, "carry out of stream start"
+                self.raw[i] += 1
+                if self.raw[i] <= 0xFF:
+                    break
+                self.raw[i] = 0
+                i -= 1
+        self.raw.append(t & 0xFF)
+        self.c &= 0x7FFFF
+
+    def flush(self) -> bytes:
+        # CLEARBITS: largest value in [C, C+A) with 16 trailing zero bits
+        t = (self.c + self.a - 1) & ~0xFFFF
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        for _ in range(3):  # decoder primes 3 bytes and zero-feeds after
+            self._byteout()
+            self.c <<= 8
+        return bytes(self.raw)
+
+
+def _stuff(raw: bytes) -> bytes:
+    out = bytearray()
+    for b in raw:
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def _encode_mag(enc, st, base, m0, n):
+    """Mirror of jpeg._arith_decode_mag for value n >= m0: X-chain
+    widening decisions then the low magnitude bits, MSB first. Returns
+    the category m (for DC conditioning classification)."""
+    m = 1 << (n.bit_length() - 1)
+    k, mm = base, m0
+    while mm < m:
+        enc.encode(st, k, 1)
+        mm <<= 1
+        k += 1
+    enc.encode(st, k, 0)
+    k += 14
+    bit = m >> 1
+    while bit:
+        enc.encode(st, k, 1 if n & bit else 0)
+        bit >>= 1
+    return m
+
+
+def _encode_arith_scan(
+    qblocks, comp_list, factors, w, h, mcus_x, mcus_y, dri, tid, dcc, acc
+):
+    if len(comp_list) > 1:
+        gx, gy = mcus_x, mcus_y
+        units = [(i,) + tuple(factors[i]) for i in comp_list]
+    else:
+        i0 = comp_list[0]
+        gy, gx = _comp_grid(i0, w, h, factors)
+        units = [(i0, 1, 1)]
+
+    out = bytearray()
+    rst = 0
+
+    def fresh():
+        return (
+            _QMEncoder(),
+            {tid(i): bytearray(64) for i in comp_list},
+            {tid(i): bytearray(256) for i in comp_list},
+            bytearray([113]),
+            {i: 0 for i in comp_list},
+            {i: 0 for i in comp_list},
+        )
+
+    enc, dstats, astats, fixed, ctxs, preds = fresh()
+    for mi in range(gx * gy):
+        if dri and mi and mi % dri == 0:
+            out.extend(_stuff(enc.flush()))
+            out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            enc, dstats, astats, fixed, ctxs, preds = fresh()
+        my, mx = divmod(mi, gx)
+        for i, hu, vu in units:
+            dst, ast = dstats[tid(i)], astats[tid(i)]
+            u_dc, l_dc = dcc.get(tid(i), (1, 0))
+            kx = acc.get(tid(i), 5)
+            for v in range(vu):
+                for hh in range(hu):
+                    zz = qblocks[i][my * vu + v, mx * hu + hh]
+                    dc = int(zz[0])
+                    diff = dc - preds[i]
+                    preds[i] = dc
+                    ctx = ctxs[i]
+                    if diff == 0:
+                        enc.encode(dst, ctx, 0)
+                        ctxs[i] = 0
+                    else:
+                        enc.encode(dst, ctx, 1)
+                        sign = 1 if diff < 0 else 0
+                        enc.encode(dst, ctx + 1, sign)
+                        n = abs(diff) - 1
+                        if n == 0:
+                            enc.encode(dst, ctx + 2 + sign, 0)
+                            m = 0
+                        else:
+                            enc.encode(dst, ctx + 2 + sign, 1)
+                            m = _encode_mag(enc, dst, 20, 1, n)
+                        if m < (1 << l_dc) >> 1:
+                            ctxs[i] = 0
+                        elif m > (1 << u_dc) >> 1:
+                            ctxs[i] = 12 + sign * 4
+                        else:
+                            ctxs[i] = 4 + sign * 4
+                    nz = np.nonzero(zz[1:])[0]
+                    eob = (int(nz[-1]) + 2) if len(nz) else 1
+                    k = 1
+                    while k <= 63:
+                        b = 3 * (k - 1)
+                        if k >= eob:
+                            enc.encode(ast, b, 1)  # EOB
+                            break
+                        enc.encode(ast, b, 0)
+                        while int(zz[k]) == 0:
+                            enc.encode(ast, b + 1, 0)
+                            k += 1
+                            b = 3 * (k - 1)
+                        enc.encode(ast, b + 1, 1)
+                        val = int(zz[k])
+                        sign = 1 if val < 0 else 0
+                        enc.encode(fixed, 0, sign)
+                        n = abs(val) - 1
+                        if n == 0:
+                            enc.encode(ast, b + 2, 0)
+                        elif n == 1:
+                            enc.encode(ast, b + 2, 1)
+                            enc.encode(ast, b + 2, 0)
+                        else:
+                            enc.encode(ast, b + 2, 1)
+                            enc.encode(ast, b + 2, 1)
+                            _encode_mag(enc, ast, 189 if k <= kx else 217, 2, n)
+                        k += 1
+    out.extend(_stuff(enc.flush()))
+    return bytes(out)
+
+
+def encode_jpeg_arith(
+    planes, w, h, factors, qt_of, qtabs, prec=8, dri=0,
+    per_component=False, conditioning=None,
+):
+    """Sequential ARITHMETIC (SOF9) encoder: the same DCT/quant front
+    end as ``encode_jpeg``, with the F.2.2 decision trees driven through
+    ``_QMEncoder`` instead of Huffman tokens. Component 0 uses
+    conditioning tables 0, the rest table 1. ``conditioning``:
+    {"dc": {tid: (U, L)}, "ac": {tid: Kx}} emitted as a DAC segment."""
+    nc = len(planes)
+    qblocks, mcus_x, mcus_y = _quantize_blocks(
+        planes, w, h, factors, qt_of, qtabs, prec
+    )
+    cond = conditioning or {}
+    dcc, acc = cond.get("dc", {}), cond.get("ac", {})
+
+    def tid(i):
+        return 0 if i == 0 else 1
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    for t, q in qtabs.items():
+        qz = q.reshape(64)[ZIGZAG].astype(int)
+        if int(qz.max()) > 255:
+            seg(0xDB, bytes([0x10 | t]) + b"".join(int(x).to_bytes(2, "big") for x in qz))
+        else:
+            seg(0xDB, bytes([t]) + bytes(int(x) for x in qz))
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], qt_of[i]])
+    seg(0xC9, sof)
+    if dcc or acc:
+        body = b""
+        for t, (u, low) in sorted(dcc.items()):
+            body += bytes([t, (u << 4) | low])
+        for t, kx in sorted(acc.items()):
+            body += bytes([0x10 | t, kx])
+        seg(0xCC, body)
+    if dri:
+        seg(0xDD, dri.to_bytes(2, "big"))
+    scans = [[i] for i in range(nc)] if per_component else [list(range(nc))]
+    for comp_list in scans:
+        sos = bytes([len(comp_list)])
+        for i in comp_list:
+            sos += bytes([i + 1, (tid(i) << 4) | tid(i)])
+        sos += bytes([0, 63, 0])
+        seg(0xDA, sos)
+        out.extend(
+            _encode_arith_scan(
+                qblocks, comp_list, factors, w, h, mcus_x, mcus_y, dri,
+                tid, dcc, acc,
+            )
+        )
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_arith_gray_equals_huffman_twin():
+    """The SOF9 decode of an image must be BIT-IDENTICAL to the SOF0
+    decode of its Huffman twin (same planes, same quant tables): the two
+    entropy coders carry the same quantized coefficients, so any decoder
+    drift shows up as a plane mismatch — a cross-check between two
+    independent wire formats, not just a self-round-trip."""
+    img = _img(24, 31, seed=5)
+    q = {0: np.ones((8, 8))}
+    ar = encode_jpeg_arith([img], 31, 24, [(1, 1)], [0], q)
+    hu = encode_jpeg([img], 31, 24, [(1, 1)], [0], q)
+    wa, ha, pa = decode_jpeg(ar)
+    wh, hh, ph = decode_jpeg(hu)
+    assert (wa, ha) == (wh, hh) == (31, 24)
+    assert np.array_equal(pa[0], ph[0])
+
+
+def test_arith_color_420_restarts_equals_huffman():
+    """3-component 4:2:0 with restart markers: every plane identical to
+    the Huffman twin's (restarts re-initialize the QM coder, ALL
+    statistics areas, DC contexts and predictions per E.2.4 — a decoder
+    that carries any of them across RSTn desyncs immediately)."""
+    y, cb, cr = _img(21, 37, 1), _img(11, 19, 2), _img(11, 19, 3)
+    factors = [(2, 2), (1, 1), (1, 1)]
+    q = {0: np.full((8, 8), 3.0), 1: np.full((8, 8), 5.0)}
+    ar = encode_jpeg_arith([y, cb, cr], 37, 21, factors, [0, 1, 1], q, dri=2)
+    assert b"\xff\xd0" in ar or b"\xff\xd1" in ar
+    hu = encode_jpeg([y, cb, cr], 37, 21, factors, [0, 1, 1], q, dri=2)
+    pa = decode_jpeg(ar)[2]
+    ph = decode_jpeg(hu)[2]
+    for a, b in zip(pa, ph):
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
+
+
+def test_arith_12bit_with_dac_conditioning():
+    """12-bit SOF9 with a DAC segment selecting non-default conditioning
+    (DC U=3/L=1, AC Kx=9) round-trips against the Huffman twin — the
+    conditioning changes the context classification and the AC X-chain
+    split, so a decoder ignoring DAC desyncs its statistics."""
+    rng = np.random.RandomState(17)
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.clip(
+        1800 + 900 * np.sin(xx / 5.0) + 600 * np.cos(yy / 7.0)
+        + rng.randint(-160, 161, (16, 24)),
+        600, 3400,
+    ).astype(np.float64)
+    q = {0: np.full((8, 8), 4.0)}
+    cond = {"dc": {0: (3, 1)}, "ac": {0: 9}}
+    ar = encode_jpeg_arith(
+        [img], 24, 16, [(1, 1)], [0], q, prec=12, conditioning=cond
+    )
+    assert b"\xff\xcc" in ar  # DAC present
+    hu = encode_jpeg([img], 24, 16, [(1, 1)], [0], q, prec=12)
+    assert np.array_equal(decode_jpeg(ar)[2][0], decode_jpeg(hu)[2][0])
+
+
+def test_arith_per_component_scans():
+    """One SOS per component (non-interleaved SOF9): each scan gets its
+    own QM coder lifetime; planes equal the interleaved arithmetic
+    encode's."""
+    y, cb = _img(13, 17, 4), _img(13, 17, 9)
+    q = {0: np.full((8, 8), 2.0), 1: np.full((8, 8), 2.0)}
+    pc = encode_jpeg_arith(
+        [y, cb], 17, 13, [(1, 1), (1, 1)], [0, 1], q, per_component=True
+    )
+    il = encode_jpeg_arith([y, cb], 17, 13, [(1, 1), (1, 1)], [0, 1], q)
+    pp = decode_jpeg(pc)[2]
+    pi = decode_jpeg(il)[2]
+    for a, b in zip(pp, pi):
+        assert np.array_equal(a, b)
+
+
+def test_arith_compresses_high_entropy_legally():
+    """Full-range noise (worst case for the adaptive states) still
+    round-trips, and the progressive/lossless ARITHMETIC SOFs stay
+    rejected as declared seams."""
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (16, 16)).astype(np.float64)
+    q = {0: np.ones((8, 8))}
+    ar = encode_jpeg_arith([img], 16, 16, [(1, 1)], [0], q)
+    hu = encode_jpeg([img], 16, 16, [(1, 1)], [0], q)
+    assert np.array_equal(decode_jpeg(ar)[2][0], decode_jpeg(hu)[2][0])
+    bad = bytearray(ar)
+    bad[bad.index(b"\xff\xc9") + 1] = 0xCA  # SOF10: progressive arithmetic
+    with pytest.raises(NotImplementedError, match="0xca"):
+        decode_jpeg(bytes(bad))
