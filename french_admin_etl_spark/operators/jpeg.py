@@ -20,13 +20,21 @@ regions, non-interleaved scans on the component's own grid). 12-BIT
 samples decode in extended sequential (SOF1) and progressive (SOF2)
 frames (round 5): level shift 2048, clamp to [0, 4095], 16-bit (Pq=1)
 quantization tables — baseline SOF0 stays 8-bit-only as T.81 B.2.2
-requires. ARITHMETIC-coded sequential frames (SOF9) decode too (round-5
-session 4): a from-scratch QM coder (annex D state machine, conditional
-MPS/LPS exchange) drives the F.2.2 DC/AC decision trees with DAC
-conditioning. Progressive/lossless-arithmetic (SOF10/11) and
-hierarchical modes raise ``NotImplementedError`` — per-row err isolation
-upstream (S9) turns those into dead-letter rows, same as every other
-codec gap.
+requires. ARITHMETIC-coded frames decode too (round-5 session 4): a
+from-scratch QM coder (annex D state machine, conditional MPS/LPS
+exchange) drives the F.2.2 DC/AC decision trees with DAC conditioning
+for sequential (SOF9) frames, and the annex-G progressive variants of
+those trees for PROGRESSIVE-arithmetic (SOF10) frames — per-block
+adaptive EOB decisions instead of Huffman EOB run-lengths, fixed-state
+DC/AC refinement bits, statistics fresh per scan — and the H.1.2.3
+two-dimensional conditioning model for LOSSLESS-arithmetic (SOF11)
+frames (25 Da/Db-classified contexts, dual X/M chains, 158-bin area).
+HIERARCHICAL streams (annex J) decode too: DHP progression header, EXP
+reference expansion (J.1.1.2 sample-doubling interpolation), and every
+differential frame type (SOF5/6/7 Huffman, SOF13/14/15 arithmetic) —
+differences decode level-shift-free and fold into integer reference
+planes, clamped for DCT frames, modulo 2^16 for lossless ones. With
+that, EVERY T.81 coding process decodes; no JPEG seam remains.
 
 The decode pipeline is the textbook one (ITU-T T.81):
 
@@ -166,7 +174,9 @@ def _decode_scan(payload, dpos, frame, scomps, qt, hdc, hac, dri, planes) -> int
     DC predictors reset at scan start and at every restart (T.81 E.2.4 /
     F.2.1.3.1)."""
     segs, end = _split_entropy(payload, dpos)
-    level = float(1 << (frame.get("prec", 8) - 1))  # 128 @8-bit, 2048 @12
+    # differential (hierarchical) frames code signed DIFFERENCES: no
+    # level shift (J.2); 128 @8-bit, 2048 @12 otherwise
+    level = 0.0 if frame.get("differential") else float(1 << (frame.get("prec", 8) - 1))
     comps = frame["comps"]
     w, hgt = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
@@ -381,6 +391,45 @@ def _arith_decode_mag(dec, st, base_k, m, cap):
     return v + 1
 
 
+def _arith_dc_diff(dec, dst, ctx, u_dc, l_dc):
+    """Decode ONE DC difference through the F.2.2.1 tree (zero / sign /
+    magnitude decisions at the 4-bin context ``ctx``, X/M chains at bin
+    20) and classify it against the DAC thresholds for the NEXT block's
+    conditioning. Returns (diff, next_context)."""
+    if dec.decode(dst, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(dst, ctx + 1)
+    if dec.decode(dst, ctx + 2 + sign) == 0:
+        m, val = 0, 1
+    else:
+        val = _arith_decode_mag(dec, dst, 20, 1, 0x8000)
+        # diff category = top power of two of val-1; conditioning
+        # classifies on it (F.1.4.4.1.2)
+        m = 1 << ((val - 1).bit_length() - 1)
+    if m < (1 << l_dc) >> 1:
+        nctx = 0
+    elif m > (1 << u_dc) >> 1:
+        nctx = 12 + sign * 4
+    else:
+        nctx = 4 + sign * 4
+    return (-val if sign else val), nctx
+
+
+def _arith_ac_value(dec, ast, fixed, b, k, kx):
+    """Decode ONE nonzero AC coefficient's sign and magnitude (the tail
+    of the F.2.2.2 tree after the zero-run walk): sign through the fixed
+    state, two low-magnitude decisions at bin b+2, then the Kx-split
+    X/M chains. Returns the signed value."""
+    sign = dec.decode(fixed, 0)
+    if dec.decode(ast, b + 2) == 0:
+        val = 1
+    elif dec.decode(ast, b + 2) == 0:
+        val = 2
+    else:
+        val = _arith_decode_mag(dec, ast, 189 if k <= kx else 217, 2, 0x8000)
+    return -val if sign else val
+
+
 def _decode_scan_arith(
     payload, dpos, frame, scomps, qt, dc_cond, ac_cond, dri, planes
 ) -> int:
@@ -406,7 +455,7 @@ def _decode_scan_arith(
     here the training-data media column gets the same treatment for
     JPEG's arithmetic entropy option."""
     segs, end = _split_entropy(payload, dpos)
-    level = float(1 << (frame.get("prec", 8) - 1))
+    level = 0.0 if frame.get("differential") else float(1 << (frame.get("prec", 8) - 1))
     comps = frame["comps"]
     w, hgt = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
@@ -458,25 +507,10 @@ def _decode_scan_arith(
                 for hh in range(hu):
                     zig = np.zeros(64)
                     # ---- DC (F.2.2.1, Table F.4) ----
-                    ctx = dc_ctx[cid]
-                    if dec.decode(dst, ctx) == 0:
-                        dc_ctx[cid] = 0
-                    else:
-                        sign = dec.decode(dst, ctx + 1)
-                        if dec.decode(dst, ctx + 2 + sign) == 0:
-                            m, val = 0, 1
-                        else:
-                            val = _arith_decode_mag(dec, dst, 20, 1, 0x8000)
-                            # diff category = top power of two of val-1;
-                            # conditioning classifies on it (F.1.4.4.1.2)
-                            m = 1 << ((val - 1).bit_length() - 1)
-                        if m < (1 << l_dc) >> 1:
-                            dc_ctx[cid] = 0
-                        elif m > (1 << u_dc) >> 1:
-                            dc_ctx[cid] = 12 + sign * 4
-                        else:
-                            dc_ctx[cid] = 4 + sign * 4
-                        pred[cid] += -val if sign else val
+                    diff, dc_ctx[cid] = _arith_dc_diff(
+                        dec, dst, dc_ctx[cid], u_dc, l_dc
+                    )
+                    pred[cid] += diff
                     zig[0] = pred[cid]
                     # ---- AC (F.2.2.2, Table F.5) ----
                     k = 1
@@ -489,15 +523,7 @@ def _decode_scan_arith(
                             if k > 63:
                                 raise ValueError("AC index overrun")
                             b = 3 * (k - 1)
-                        sign = dec.decode(fixed, 0)
-                        if dec.decode(ast, b + 2) == 0:
-                            val = 1
-                        elif dec.decode(ast, b + 2) == 0:
-                            val = 2
-                        else:
-                            base = 189 if k <= kx else 217
-                            val = _arith_decode_mag(dec, ast, base, 2, 0x8000)
-                        zig[k] = -val if sign else val
+                        zig[k] = _arith_ac_value(dec, ast, fixed, b, k, kx)
                         k += 1
                     nat = np.zeros(64)
                     nat[ZIGZAG] = zig
@@ -505,6 +531,158 @@ def _decode_scan_arith(
                     y0 = (my * vu + v) * 8
                     x0 = (mx * hu + hh) * 8
                     planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    return end
+
+
+def _decode_scan_arith_prog(
+    payload, dpos, frame, scomps, dc_cond, ac_cond, dri, coefs, Ss, Se, Ah, Al
+) -> int:
+    """Decode ONE progressive scan with ARITHMETIC coding (SOF10) into
+    the zigzag coefficient arrays, per the annex-G arithmetic decision
+    trees (the G.2 decoding procedures over the same QM coder):
+
+    - DC first (Ss=0, Ah=0): the sequential F.2.2.1 tree at reduced
+      precision; predictions accumulate the shifted values and the
+      coefficient lands as pred << Al.
+    - DC refinement: one decision per block through the FIXED
+      non-adapting state appends bit Al (two's-complement OR, exactly
+      the Huffman path's semantics).
+    - AC first: the sequential F.2.2.2 tree bounded to Ss..Se; the EOB
+      decision is PER BLOCK at each k — arithmetic coding has no EOB
+      run-lengths, the adaptive EOB bin replaces them.
+    - AC refinement: per coefficient — an already-nonzero coefficient
+      takes a correction-bit decision at its SP bin (3(k-1)+2); a
+      zero-history coefficient takes a newly-nonzero decision at its S0
+      bin (3(k-1)+1) with the sign through the fixed state; the EOB
+      decision guards only positions past the PREVIOUS stage's
+      end-of-block index kex.
+
+    Restart intervals re-initialize the QM decoder, all statistics and
+    the DC contexts/predictions. Statistics are fresh per scan (G.1.3)."""
+    segs, end = _split_entropy(payload, dpos)
+    comps = frame["comps"]
+    w, hgt = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: c for c in comps}
+    p1 = 1 << Al
+    m1 = -(1 << Al)
+
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        interleaved = len(scomps) > 1
+        if interleaved:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-hgt // (8 * vmax))
+            units = [
+                (by_id[s["id"]], s, by_id[s["id"]]["h"], by_id[s["id"]]["v"])
+                for s in scomps
+            ]
+        else:
+            c = by_id[scomps[0]["id"]]
+            cw = -(-(w * c["h"]) // hmax)
+            ch = -(-(hgt * c["v"]) // vmax)
+            mcus_x = -(-cw // 8)
+            mcus_y = -(-ch // 8)
+            units = [(c, scomps[0], 1, 1)]
+
+        def fresh_dc():
+            return (
+                _QMDecoder(segs[seg_i]),
+                {s["td"]: bytearray(64) for s in scomps},
+                bytearray([113]),
+                {c["id"]: 0 for c in comps},
+                {c["id"]: 0 for c in comps},
+            )
+
+        seg_i = 0
+        dec, dc_stats, fixed, dc_ctx, pred = fresh_dc()
+        for mi in range(mcus_x * mcus_y):
+            if dri and mi and mi % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart segment")
+                dec, dc_stats, fixed, dc_ctx, pred = fresh_dc()
+            my, mx = divmod(mi, mcus_x)
+            for c, s, hu, vu in units:
+                blocks = coefs[c["id"]]
+                cid = c["id"]
+                u_dc, l_dc = dc_cond.get(s["td"], (1, 0))
+                for v in range(vu):
+                    for hh in range(hu):
+                        bY, bX = my * vu + v, mx * hu + hh
+                        if Ah == 0:
+                            diff, dc_ctx[cid] = _arith_dc_diff(
+                                dec, dc_stats[s["td"]], dc_ctx[cid], u_dc, l_dc
+                            )
+                            pred[cid] += diff
+                            blocks[bY, bX, 0] = pred[cid] << Al
+                        else:
+                            if dec.decode(fixed, 0):
+                                blocks[bY, bX, 0] |= p1
+        return end
+
+    # ---- AC scan: exactly one component, block-raster over its grid
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component (G.1.1.1.1)")
+    c = by_id[scomps[0]["id"]]
+    ta = scomps[0]["ta"]
+    kx = ac_cond.get(ta, 5)
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(hgt * c["v"]) // vmax)
+    bxs = -(-cw // 8)
+    bys = -(-ch // 8)
+    blocks = coefs[c["id"]]
+    seg_i = 0
+    dec = _QMDecoder(segs[0])
+    ast = bytearray(256)
+    fixed = bytearray([113])
+    for bi in range(bxs * bys):
+        if dri and bi and bi % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            dec = _QMDecoder(segs[seg_i])
+            ast = bytearray(256)
+            fixed = bytearray([113])
+        bY, bX = divmod(bi, bxs)
+        coef = blocks[bY, bX]
+        if Ah == 0:  # AC first pass: value = sign * (decoded << Al)
+            k = Ss
+            while k <= Se:
+                b = 3 * (k - 1)
+                if dec.decode(ast, b):  # EOB
+                    break
+                while dec.decode(ast, b + 1) == 0:
+                    k += 1
+                    if k > Se:
+                        raise ValueError("AC index overrun in progressive scan")
+                    b = 3 * (k - 1)
+                coef[k] = _arith_ac_value(dec, ast, fixed, b, k, kx) << Al
+                k += 1
+        else:  # AC refinement
+            kex = Se
+            while kex > 0 and coef[kex] == 0:
+                kex -= 1
+            k = Ss
+            while k <= Se:
+                b = 3 * (k - 1)
+                if k > kex and dec.decode(ast, b):
+                    break  # EOB: prior-stage-silent tail stays untouched
+                while True:
+                    if coef[k] != 0:
+                        if dec.decode(ast, b + 2):
+                            coef[k] += m1 if coef[k] < 0 else p1
+                        break
+                    if dec.decode(ast, b + 1):
+                        coef[k] = m1 if dec.decode(fixed, 0) else p1
+                        break
+                    k += 1
+                    if k > Se:
+                        raise ValueError("AC index overrun in progressive scan")
+                    b = 3 * (k - 1)
+                k += 1
     return end
 
 
@@ -691,45 +869,21 @@ def _decode_scan_lossless(
     rows/cols that the caller crops at output. The pre-existing 1×1
     behavior is exactly this machinery with Hi=Vi=1 (MCU grid = X×Y,
     one sample per component per MCU)."""
-    if not 1 <= predictor <= 7:
+    if frame.get("differential"):
+        if predictor != 0:  # J.1.1: no spatial prediction of differences
+            raise ValueError("differential lossless scan must have Ss=0")
+    elif not 1 <= predictor <= 7:
         raise ValueError(f"lossless predictor {predictor} (Ss must be 1-7)")
     segs, nd = _split_entropy(payload, dpos)
     prec = frame["prec"]
     default = 1 << (prec - pt - 1)
     dims = frame["ldims"]  # cid -> (xi, yi, padded_w, padded_h)
 
-    # per-scan-component decode geometry: (plane, stride, Hi, Vi, table)
-    info = []
-    for s in scomps:
-        fc = next(c for c in frame["comps"] if c["id"] == s["id"])
-        info.append(
-            (planes[s["id"]], dims[s["id"]][2], fc["h"], fc["v"], hdc[s["td"]])
-        )
-    # each unit entry: (plane, stride, row, col, table, comp_idx, first_in_region)
-    if len(scomps) == 1:
-        # non-interleaved: one sample per MCU on the component's own
-        # (unpadded) xi×yi grid regardless of its frame sampling factors
-        plane, stride, _, _, table = info[0]
-        xi, yi = dims[scomps[0]["id"]][0], dims[scomps[0]["id"]][1]
-        units = [
-            [(plane, stride, m // xi, m % xi, table, 0, True)]
-            for m in range(xi * yi)
-        ]
-    else:
-        mcux = -(-frame["w"] // max(c["h"] for c in frame["comps"]))
-        mcuy = -(-frame["h"] // max(c["v"] for c in frame["comps"]))
-        units = []
-        for m in range(mcux * mcuy):
-            mr, mc = divmod(m, mcux)
-            unit = []
-            for k, (plane, stride, hi, vi, table) in enumerate(info):
-                for v in range(vi):
-                    for hh in range(hi):
-                        unit.append(
-                            (plane, stride, mr * vi + v, mc * hi + hh,
-                             table, k, v == 0 and hh == 0)
-                        )
-            units.append(unit)
+    # per-scan-component decode geometry: (plane, stride, table)
+    info = [
+        (planes[s["id"]], dims[s["id"]][2], hdc[s["td"]]) for s in scomps
+    ]
+    units = _lossless_units(frame, scomps, dims)
 
     mcu, total = 0, len(units)
     for seg in segs:
@@ -739,42 +893,198 @@ def _decode_scan_lossless(
         # row (after the component's first) predict from Ra; lower rows
         # of the same first MCU row already use the normal rules
         first_row = {
-            samp[5]: samp[2]
-            for samp in (units[seg_start] if seg_start < total else [])
-            if samp[6]
+            u[2]: u[0]
+            for u in (units[seg_start] if seg_start < total else [])
+            if u[3]
         }
         end = min(total, mcu + dri) if dri else total
         while mcu < end:
-            for plane, stride, r, c, table, k, first_in_region in units[mcu]:
+            for r, c, k, first_in_region in units[mcu]:
+                plane, stride, table = info[k]
                 ssss = bits.huff(table)
                 if ssss == 16:
                     diff = 32768
                 else:
                     diff = _extend(bits.read(ssss), ssss) if ssss else 0
                 pos = r * stride + c
-                if mcu == seg_start and first_in_region:
-                    px = default  # component's first interval sample (H.2.2)
-                elif r == first_row[k]:
-                    px = plane[pos - 1]  # Ra on the interval's first row
-                elif c == 0:
-                    px = plane[pos - stride]  # Rb only on column 0
-                else:
-                    ra = plane[pos - 1]
-                    rb = plane[pos - stride]
-                    if predictor == 1:
-                        px = ra
-                    elif predictor == 2:
-                        px = rb
-                    elif predictor == 3:
-                        px = plane[pos - stride - 1]
-                    elif predictor == 4:
-                        px = ra + rb - plane[pos - stride - 1]
-                    elif predictor == 5:
-                        px = ra + ((rb - plane[pos - stride - 1]) >> 1)
-                    elif predictor == 6:
-                        px = rb + ((ra - plane[pos - stride - 1]) >> 1)
-                    else:  # predictor == 7 (range checked at scan entry)
-                        px = (ra + rb) >> 1
+                px = _lossless_predict(
+                    plane, stride, r, c, pos, predictor,
+                    mcu == seg_start and first_in_region,
+                    r == first_row[k], default,
+                )
+                plane[pos] = (px + diff) & 0xFFFF  # mod 2^16 (H.1.2.1)
+            mcu += 1
+    return nd
+
+
+def _lossless_units(frame, scomps, dims):
+    """The MCU sample walk of one lossless scan, shared by the Huffman
+    and arithmetic scan decoders: a list of MCUs, each a list of
+    (row, col, scan_comp_idx, first_in_region) tuples. A
+    single-component scan is NON-interleaved (A.2.2: one sample per MCU
+    on the component's own unpadded xi×yi grid); a multi-component scan
+    is sample-interleaved (A.2.3: per MCU, each component's Hi×Vi
+    region in raster order on its MCU-padded grid)."""
+    if len(scomps) == 1:
+        xi = dims[scomps[0]["id"]][0]
+        yi = dims[scomps[0]["id"]][1]
+        return [[(m // xi, m % xi, 0, True)] for m in range(xi * yi)]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    mcux = -(-frame["w"] // max(c["h"] for c in frame["comps"]))
+    mcuy = -(-frame["h"] // max(c["v"] for c in frame["comps"]))
+    units = []
+    for m in range(mcux * mcuy):
+        mr, mc = divmod(m, mcux)
+        unit = []
+        for k, s in enumerate(scomps):
+            fc = by_id[s["id"]]
+            for v in range(fc["v"]):
+                for hh in range(fc["h"]):
+                    unit.append(
+                        (mr * fc["v"] + v, mc * fc["h"] + hh, k,
+                         v == 0 and hh == 0)
+                    )
+        units.append(unit)
+    return units
+
+
+def _lossless_predict(
+    plane, stride, r, c, pos, predictor, seg_first, on_first_row, default
+):
+    """H.1.2.2 prediction for one sample (boundary rules included):
+    the component's first sample of a restart interval predicts from
+    the default 2^(P−Pt−1); the rest of that first row from Ra; column
+    0 from Rb; everywhere else the scan-selected predictor 1-7.
+    Predictor 0 (legal ONLY in differential hierarchical frames) means
+    NO prediction — the coded value is the difference itself."""
+    if predictor == 0:
+        return 0
+    if seg_first:
+        return default  # component's first interval sample (H.2.2)
+    if on_first_row:
+        return plane[pos - 1]  # Ra on the interval's first row
+    if c == 0:
+        return plane[pos - stride]  # Rb only on column 0
+    ra = plane[pos - 1]
+    rb = plane[pos - stride]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return plane[pos - stride - 1]
+    if predictor == 4:
+        return ra + rb - plane[pos - stride - 1]
+    if predictor == 5:
+        return ra + ((rb - plane[pos - stride - 1]) >> 1)
+    if predictor == 6:
+        return rb + ((ra - plane[pos - stride - 1]) >> 1)
+    return (ra + rb) >> 1  # predictor 7 (range checked at scan entry)
+
+
+def _lossless_q(diff, u, low):
+    """5-way conditioning classification of a neighbouring difference —
+    the F.1.4.4.1.2 DC classification applied to Da/Db per H.1.2.3:
+    0 zero, 1 small+, 2 small−, 3 large+, 4 large− against the DAC
+    thresholds (default U=1, L=0)."""
+    if diff == 0:
+        return 0
+    v = abs(diff)
+    m = 0 if v == 1 else 1 << ((v - 1).bit_length() - 1)
+    if m < (1 << low) >> 1:
+        return 0
+    sign = 1 if diff < 0 else 0
+    if m > (1 << u) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def _arith_lossless_diff(dec, st, ctx, chain):
+    """Decode ONE lossless difference through the H.1.2.3 tree: the
+    F.2.2.1-shaped zero / sign / magnitude>1 decisions at the 4-bin
+    context ``ctx``, X/M magnitude chains at ``chain``. Returns the
+    signed difference (mod-2^16 representative, |diff| ≤ 32768)."""
+    if dec.decode(st, ctx) == 0:
+        return 0
+    sign = dec.decode(st, ctx + 1)
+    if dec.decode(st, ctx + 2 + sign) == 0:
+        v = 1
+    else:
+        v = _arith_decode_mag(dec, st, chain, 1, 0x8000)
+    return -v if sign else v
+
+
+def _decode_scan_lossless_arith(
+    payload, dpos, frame, scomps, dc_cond, dri, planes, predictor, pt
+) -> int:
+    """Decode ONE lossless ARITHMETIC (SOF11) scan into ``planes``.
+
+    Same prediction, geometry and mod-2^16 reconstruction as the
+    Huffman path (``_decode_scan_lossless``); the difference coding is
+    the annex-H two-dimensional statistical model over the QM coder
+    (H.1.2.3): each difference is decoded through a zero / sign /
+    magnitude>1 / X-M tree (the F.2.2.1 DC tree shape) whose 4-bin
+    context is selected by the 5-way classifications of the differences
+    at the LEFT (Da) and ABOVE (Db) neighbours — 25 contexts × 4 bins —
+    with TWO X/M magnitude chains selected by Db's class (zero/small vs
+    large), a 158-bin statistics area per conditioning table. Bin
+    packing pinned here (and by the mirror encoder): context base =
+    4·(5·Q(Da) + Q(Db)), chains at 100 and 129; neighbours outside the
+    image or belonging to an earlier restart interval classify as zero.
+    Restart intervals re-initialize the QM decoder, the statistics and
+    the conditioning history. As with every arithmetic mode here,
+    bitstream compatibility is proven by round-trip against the repo's
+    mirror encoder (no external golden SOF11 files exist — virtually no
+    encoder ever produced this mode)."""
+    if frame.get("differential"):
+        if predictor != 0:  # J.1.1: no spatial prediction of differences
+            raise ValueError("differential lossless scan must have Ss=0")
+    elif not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} (Ss must be 1-7)")
+    segs, nd = _split_entropy(payload, dpos)
+    prec = frame["prec"]
+    default = 1 << (prec - pt - 1)
+    dims = frame["ldims"]
+
+    info = [(planes[s["id"]], dims[s["id"]][2], s["td"]) for s in scomps]
+    units = _lossless_units(frame, scomps, dims)
+    # per-scan-component class planes (same flat layout as the sample
+    # planes) holding each decoded difference's 5-way classification
+    cls = [bytearray(len(i[0])) for i in info]
+
+    mcu, total = 0, len(units)
+    seg_i = -1
+    for seg in segs:
+        seg_i += 1
+        dec = _QMDecoder(seg)
+        stats = {td: bytearray(158) for td in {i[2] for i in info}}
+        if seg_i:  # conditioning history resets with the interval
+            for cl in cls:
+                cl[:] = bytes(len(cl))
+        seg_start = mcu
+        first_row = {
+            u[2]: u[0]
+            for u in (units[seg_start] if seg_start < total else [])
+            if u[3]
+        }
+        end = min(total, mcu + dri) if dri else total
+        while mcu < end:
+            for r, c, k, first_in_region in units[mcu]:
+                plane, stride, td = info[k]
+                u_dc, l_dc = dc_cond.get(td, (1, 0))
+                pos = r * stride + c
+                qa = cls[k][pos - 1] if c > 0 else 0
+                qb = cls[k][pos - stride] if r > 0 else 0
+                diff = _arith_lossless_diff(
+                    dec, stats[td], 4 * (5 * qa + qb),
+                    100 if qb < 3 else 129,
+                )
+                cls[k][pos] = _lossless_q(diff, u_dc, l_dc)
+                px = _lossless_predict(
+                    plane, stride, r, c, pos, predictor,
+                    mcu == seg_start and first_in_region,
+                    r == first_row[k], default,
+                )
                 plane[pos] = (px + diff) & 0xFFFF  # mod 2^16 (H.1.2.1)
             mcu += 1
     return nd
@@ -789,6 +1099,75 @@ def _idct_all(coefs: np.ndarray, q: np.ndarray, level: float = 128.0) -> np.ndar
     blocks = nat.reshape(by, bx, 8, 8) * q
     px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + level
     return px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _exp_upsample(a: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.2 reference expansion: double a dimension by replicating
+    input samples at even output positions and rounded two-neighbour
+    averages at odd ones; the final odd sample replicates the edge."""
+    a = np.asarray(a, dtype=np.int64)
+    if eh:
+        out = np.empty((a.shape[0], a.shape[1] * 2), dtype=np.int64)
+        out[:, 0::2] = a
+        out[:, 1:-1:2] = (a[:, :-1] + a[:, 1:] + 1) >> 1
+        out[:, -1] = a[:, -1]
+        a = out
+    if ev:
+        out = np.empty((a.shape[0] * 2, a.shape[1]), dtype=np.int64)
+        out[0::2, :] = a
+        out[1:-1:2, :] = (a[:-1, :] + a[1:, :] + 1) >> 1
+        out[-1, :] = a[-1, :]
+        a = out
+    return a
+
+
+def _finalize_hier_frame(frame, planes, coefs, covered, qt, refs) -> None:
+    """Fold ONE completed hierarchical frame into the integer reference
+    planes (J.2): a non-differential frame REPLACES its components'
+    references; a differential frame ADDS its decoded differences —
+    clamped to [0, 2^P−1] for DCT-based frames, modulo 2^16 for
+    lossless ones. DCT pixel output is rounded half-up to integers
+    (frame reconstruction is integer-sample per J.2; the rounded
+    reference is what the next differential frame was coded against)."""
+    missing = [c["id"] for c in frame["comps"] if c["id"] not in covered]
+    if missing:
+        raise ValueError(
+            f"no scan covered component id(s) {missing} (truncated file)"
+        )
+    comps = frame["comps"]
+    w, hgt = frame["w"], frame["h"]
+    prec = frame["prec"]
+    if frame.get("lossless"):
+        shift = 1 << frame.get("pt", 0)
+        for c in comps:
+            xi, yi, pw, ph = frame["ldims"][c["id"]]
+            arr = (
+                np.asarray(planes[c["id"]], dtype=np.int64)
+                .reshape(ph, pw)[:yi, :xi]
+                * shift
+            )
+            if frame.get("differential"):
+                refs[c["id"]] = (refs[c["id"]] + arr) & 0xFFFF
+            else:
+                refs[c["id"]] = arr
+        return
+    if frame["progressive"]:
+        for c in comps:
+            planes[c["id"]] = _idct_all(
+                coefs[c["id"]], qt[c["tq"]],
+                0.0 if frame.get("differential") else float(1 << (prec - 1)),
+            )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    maxv = (1 << prec) - 1
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(hgt * c["v"]) // vmax)
+        px = np.floor(planes[c["id"]][:ch, :cw] + 0.5).astype(np.int64)
+        if frame.get("differential"):
+            refs[c["id"]] = np.clip(refs[c["id"]] + px, 0, maxv)
+        else:
+            refs[c["id"]] = np.clip(px, 0, maxv)
 
 
 def decode_jpeg(payload: bytes, with_precision: bool = False):
@@ -816,10 +1195,11 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
     runs once at EOI over the final coefficients — so a fully-received
     progressive file decodes EXACTLY like its sequential twin. Coverage
     rule for progressive: every component needs a DC scan (AC-less
-    previews are legal). ARITHMETIC sequential (SOF9) frames decode via
-    the QM coder (round-5 session 4; DAC conditioning honored);
-    arithmetic progressive/lossless and hierarchical modes still
-    raise."""
+    previews are legal). ARITHMETIC frames (SOF9/10/11) decode via the
+    QM coder (round-5 session 4; DAC conditioning honored), and
+    HIERARCHICAL streams (DHP/EXP + differential frames SOF5/6/7 and
+    SOF13/14/15) fold per-frame reconstructions into integer reference
+    planes per annex J — every T.81 coding process decodes."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -833,6 +1213,9 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
     planes: dict[int, np.ndarray] = {}
     coefs: dict[int, np.ndarray] = {}
     covered: set[int] = set()
+    hier = None  # DHP header when the stream is hierarchical (annex J)
+    refs: dict[int, np.ndarray] = {}  # integer reference planes per comp
+    pending_exp = None  # (Eh, Ev) from an EXP segment, applied at next SOF
     while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"marker sync lost at {i}")
@@ -873,17 +1256,29 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                 vals = list(seg[p + 17 : p + 17 + nv])
                 (hdc if tc == 0 else hac)[th] = huff_table(counts, vals)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
-            # SOF0/1 seq-Huffman, SOF2 prog, SOF3 lossless, SOF9 seq-arith
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB,
+                   0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # SOF0/1 seq-Huffman, SOF2 prog, SOF3 lossless, SOF9/10/11
+            # sequential/progressive/lossless arithmetic — plus their
+            # DIFFERENTIAL twins SOF5/6/7 (Huffman) and SOF13/14/15
+            # (arithmetic) inside a hierarchical stream (annex J)
+            differential = m in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            if differential and hier is None:
+                raise ValueError("differential frame without a DHP segment")
+            if frame is not None:
+                if hier is None:
+                    raise ValueError("second frame without a DHP segment")
+                _finalize_hier_frame(frame, planes, coefs, covered, qt, refs)
+                planes, coefs, covered = {}, {}, set()
             prec = seg[0]
-            lossless = m == 0xC3
+            lossless = m in (0xC3, 0xCB, 0xC7, 0xCF)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"lossless JPEG precision {prec}")
-            elif prec != 8 and not (prec == 12 and m in (0xC1, 0xC2, 0xC9)):
+            elif prec != 8 and not (prec == 12 and m != 0xC0):
                 # 12-bit samples are legal in EXTENDED sequential (SOF1/
-                # SOF9) and progressive (SOF2), never baseline SOF0
-                # (T.81 B.2.2)
+                # SOF9) and progressive (SOF2/SOF10) and all differential
+                # DCT frames, never baseline SOF0 (T.81 B.2.2)
                 raise NotImplementedError(f"JPEG precision {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -896,9 +1291,36 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                 )
             frame = {
                 "w": w, "h": h, "comps": comps,
-                "progressive": m == 0xC2, "lossless": lossless, "prec": prec,
-                "arith": m == 0xC9,
+                "progressive": m in (0xC2, 0xCA, 0xC6, 0xCE),
+                "lossless": lossless, "prec": prec,
+                "arith": m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF),
+                "differential": differential,
             }
+            if hier is not None:
+                # upsample (EXP) + size the references for this frame
+                fhmax = max(c["h"] for c in comps)
+                fvmax = max(c["v"] for c in comps)
+                if pending_exp and not differential:
+                    raise ValueError("EXP before a non-differential frame")
+                if differential:
+                    for c in comps:
+                        xi = -(-(w * c["h"]) // fhmax)
+                        yi = -(-(h * c["v"]) // fvmax)
+                        if c["id"] not in refs:
+                            raise ValueError(
+                                f"differential frame for uncoded component "
+                                f"{c['id']}"
+                            )
+                        ref = refs[c["id"]]
+                        if pending_exp:
+                            ref = _exp_upsample(ref, *pending_exp)
+                        if ref.shape[0] < yi or ref.shape[1] < xi:
+                            raise ValueError(
+                                "reference smaller than differential frame "
+                                f"({ref.shape} < {(yi, xi)})"
+                            )
+                        refs[c["id"]] = ref[:yi, :xi]
+                pending_exp = None
             if lossless:
                 # flat Python int lists because the DPCM loop is
                 # bit-serial anyway. Per-component sample grids follow
@@ -932,11 +1354,26 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                     coefs[c["id"]] = np.zeros((by, bx, 64), dtype=np.int64)
                 else:
                     planes[c["id"]] = np.zeros((by * 8, bx * 8))
-        elif m in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF marker 0x{m:02x} "
-                "(progressive/lossless-arithmetic, hierarchical, differential)"
-            )
+        elif m == 0xDE:  # DHP — define hierarchical progression (B.3.2)
+            if frame is not None or hier is not None:
+                raise ValueError("DHP must precede all frames")
+            hier = {
+                "prec": seg[0],
+                "h": int.from_bytes(seg[1:3], "big"),
+                "w": int.from_bytes(seg[3:5], "big"),
+                "comps": [
+                    {"id": seg[6 + 3 * c], "h": seg[6 + 3 * c + 1] >> 4,
+                     "v": seg[6 + 3 * c + 1] & 15}
+                    for c in range(seg[5])
+                ],
+            }
+        elif m == 0xDF:  # EXP — expand reference components (B.3.3)
+            if hier is None:
+                raise ValueError("EXP outside a hierarchical stream")
+            eh, ev = seg[0] >> 4, seg[0] & 15
+            if eh > 1 or ev > 1 or eh + ev == 0:
+                raise ValueError(f"EXP expansion Eh={eh} Ev={ev}")
+            pending_exp = (eh, ev)
         elif m == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             p = 0
             while p + 1 < len(seg):
@@ -966,16 +1403,29 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
                 # lossless scan header: Ss = predictor 1-7, Al = Pt (H.2.1)
                 ss, ahal = seg[1 + 2 * ns], seg[3 + 2 * ns]
                 frame["pt"] = ahal & 15
-                i = _decode_scan_lossless(
-                    payload, i, frame, scomps, hdc, dri, planes, ss, ahal & 15
-                )
+                if frame.get("arith"):
+                    i = _decode_scan_lossless_arith(
+                        payload, i, frame, scomps, dc_cond, dri, planes,
+                        ss, ahal & 15,
+                    )
+                else:
+                    i = _decode_scan_lossless(
+                        payload, i, frame, scomps, hdc, dri, planes,
+                        ss, ahal & 15,
+                    )
                 covered.update(s["id"] for s in scomps)
             elif frame["progressive"]:
                 ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
-                i = _decode_scan_progressive(
-                    payload, i, frame, scomps, hdc, hac, dri, coefs,
-                    ss, se, ahal >> 4, ahal & 15,
-                )
+                if frame.get("arith"):
+                    i = _decode_scan_arith_prog(
+                        payload, i, frame, scomps, dc_cond, ac_cond, dri,
+                        coefs, ss, se, ahal >> 4, ahal & 15,
+                    )
+                else:
+                    i = _decode_scan_progressive(
+                        payload, i, frame, scomps, hdc, hac, dri, coefs,
+                        ss, se, ahal >> 4, ahal & 15,
+                    )
                 if ss == 0:  # DC coverage is what makes a component decodable
                     covered.update(s["id"] for s in scomps)
             elif frame.get("arith"):
@@ -989,6 +1439,17 @@ def decode_jpeg(payload: bytes, with_precision: bool = False):
         # APPn / COM / others: skipped via their length
     if frame is None or not covered:
         raise ValueError("JPEG missing SOF/SOS")
+    if hier is not None:
+        # fold the final frame, then emit the reference planes in DHP
+        # component order at their accumulated (full) resolutions
+        _finalize_hier_frame(frame, planes, coefs, covered, qt, refs)
+        miss = [c["id"] for c in hier["comps"] if c["id"] not in refs]
+        if miss:
+            raise ValueError(f"hierarchical stream never coded component(s) {miss}")
+        hout = [refs[c["id"]].astype(np.float64) for c in hier["comps"]]
+        if with_precision:
+            return hier["w"], hier["h"], hout, hier["prec"]
+        return hier["w"], hier["h"], hout
     missing = [c["id"] for c in frame["comps"] if c["id"] not in covered]
     if missing:
         raise ValueError(f"no scan covered component id(s) {missing} (truncated file)")

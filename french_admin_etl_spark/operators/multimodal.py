@@ -23,12 +23,14 @@ delineated (this container has no PIL/ffmpeg):
   closed this seam), the full WAV tag family (8/24/32-bit PCM, IEEE
   float, G.711 A-law/µ-law, MS ADPCM, extensible headers — round 5),
   plus
-  LOSSLESS (SOF3 predictor DPCM) and 12-BIT
-  extended-sequential/progressive JPEG (both round 5).
+  LOSSLESS (SOF3 predictor DPCM), 12-BIT
+  extended-sequential/progressive, ARITHMETIC (SOF9/10/11 via the
+  from-scratch QM coder) and HIERARCHICAL (annex J) JPEG — every T.81
+  coding process (all round 5).
   Real nearest-neighbor RESIZE to an 8×8 grayscale
   thumbnail is the image feature; per-segment RMS energy is the audio
   feature. Rows whose codec still needs an external library
-  (arithmetic-coded/hierarchical JPEG, MP3/…) get a per-row ``err``
+  (MP3, non-MJPEG compressed video/…) get a per-row ``err``
   instead of failing the batch — the engine's S9 dead-letter philosophy
   applied to media.
 - **STUBBED**: compressed codecs and video frame iteration

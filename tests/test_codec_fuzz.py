@@ -19,7 +19,9 @@ from french_admin_etl_spark.operators.video import decode_video_frames
 from test_jpeg import (
     encode_jpeg,
     encode_jpeg_arith,
+    encode_jpeg_arith_prog,
     encode_jpeg_lossless,
+    encode_jpeg_lossless_arith,
     encode_jpeg_progressive,
 )
 
@@ -55,6 +57,21 @@ def _drive(fn, corpus):
     return ok, err
 
 
+def _hier_lossless_pyramid(img, w, h):
+    """Two-level hierarchical lossless stream (DHP + SOF3 + EXP + SOF7)
+    via the test-suite encoders."""
+    from test_jpeg import _exp_up_mirror, _hier_stream
+
+    low = img[::2, ::2]
+    lvl0 = encode_jpeg_lossless([low], low.shape[1], low.shape[0], 4)
+    ref = _exp_up_mirror(low, 1, 1)[:h, :w]
+    diff = (img - ref) & 0xFFFF
+    lvl1 = encode_jpeg_lossless([diff], w, h, 0)
+    return _hier_stream(
+        8, h, w, [(1, 1)], [(lvl0, False, None), (lvl1, True, (1, 1))]
+    )
+
+
 def _valid_image_payloads():
     rng = np.random.RandomState(0)
     img = rng.randint(0, 256, (16, 24)).astype(np.float64)
@@ -66,6 +83,13 @@ def _valid_image_payloads():
             [img.astype(np.int64)], 24, 16, 4, dri=5
         ),
         "jpeg_arith": encode_jpeg_arith([img], 24, 16, [(1, 1)], [0], q, dri=2),
+        "jpeg_arith_prog": encode_jpeg_arith_prog(
+            [img], 24, 16, [(1, 1)], [0], q, dri=3
+        ),
+        "jpeg_lossless_arith": encode_jpeg_lossless_arith(
+            [img.astype(np.int64)], 24, 16, 4, dri=5
+        ),
+        "jpeg_hier": _hier_lossless_pyramid(img.astype(np.int64), 24, 16),
         "pgm": b"P5\n24 16\n255\n" + bytes(rng.randint(0, 256, 24 * 16, dtype=np.uint8)),
         "pgm16": b"P5\n24 16\n65535\n"
         + rng.randint(0, 65536, 24 * 16).astype(">u2").tobytes(),

@@ -265,8 +265,10 @@ def test_unsupported_modes_and_garbage_rejected():
     img = _img(8, 8)
     payload = bytearray(encode_jpeg([img], 8, 8, [(1, 1)], [0], {0: np.ones((8, 8))}))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC5  # rewrite SOF0 → SOF5 (differential): unsupported
-    with pytest.raises(NotImplementedError):
+    # SOF0 → SOF5 (differential sequential) without a DHP segment is a
+    # MALFORMED hierarchical stream — rejected loudly
+    payload[i + 1] = 0xC5
+    with pytest.raises(ValueError, match="DHP"):
         decode_jpeg(bytes(payload))
     # SOF0 → SOF3 makes a MALFORMED lossless file (its baseline scan
     # header has Ss=0, not a predictor 1-7) — rejected loudly
@@ -806,7 +808,9 @@ def encode_jpeg_lossless(
                 first_row = {s[0]: s[1] for s in unit if s[3]}
             for ci, r, c, first in unit:
                 p = padded[ci]
-                if m == seg_start and first:
+                if predictor == 0:  # differential frame: no prediction
+                    px = 0
+                elif m == seg_start and first:
                     px = default
                 elif r == first_row[ci]:
                     px = int(p[r, c - 1])  # Ra on the interval's first row
@@ -1201,6 +1205,46 @@ def _encode_mag(enc, st, base, m0, n):
     return m
 
 
+def _enc_dc_diff(enc, dst, ctx, u_dc, l_dc, diff):
+    """Mirror of jpeg._arith_dc_diff: encode one DC difference through
+    the F.2.2.1 tree at context ``ctx``; returns the next context."""
+    if diff == 0:
+        enc.encode(dst, ctx, 0)
+        return 0
+    enc.encode(dst, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dst, ctx + 1, sign)
+    n = abs(diff) - 1
+    if n == 0:
+        enc.encode(dst, ctx + 2 + sign, 0)
+        m = 0
+    else:
+        enc.encode(dst, ctx + 2 + sign, 1)
+        m = _encode_mag(enc, dst, 20, 1, n)
+    if m < (1 << l_dc) >> 1:
+        return 0
+    if m > (1 << u_dc) >> 1:
+        return 12 + sign * 4
+    return 4 + sign * 4
+
+
+def _enc_ac_value(enc, ast, fixed, b, k, kx, val):
+    """Mirror of jpeg._arith_ac_value: sign through the fixed state,
+    the two low-magnitude decisions at bin b+2, then the Kx-split
+    X/M chains."""
+    enc.encode(fixed, 0, 1 if val < 0 else 0)
+    n = abs(val) - 1
+    if n == 0:
+        enc.encode(ast, b + 2, 0)
+    elif n == 1:
+        enc.encode(ast, b + 2, 1)
+        enc.encode(ast, b + 2, 0)
+    else:
+        enc.encode(ast, b + 2, 1)
+        enc.encode(ast, b + 2, 1)
+        _encode_mag(enc, ast, 189 if k <= kx else 217, 2, n)
+
+
 def _encode_arith_scan(
     qblocks, comp_list, factors, w, h, mcus_x, mcus_y, dri, tid, dcc, acc
 ):
@@ -1430,8 +1474,9 @@ def test_arith_per_component_scans():
 
 def test_arith_compresses_high_entropy_legally():
     """Full-range noise (worst case for the adaptive states) still
-    round-trips, and the progressive/lossless ARITHMETIC SOFs stay
-    rejected as declared seams."""
+    round-trips, and rewriting the SOF to the lossless-arithmetic
+    marker makes a MALFORMED file (its sequential scan header is no
+    legal predictor) — rejected loudly, never mis-decoded."""
     rng = np.random.RandomState(99)
     img = rng.randint(0, 256, (16, 16)).astype(np.float64)
     q = {0: np.ones((8, 8))}
@@ -1439,6 +1484,668 @@ def test_arith_compresses_high_entropy_legally():
     hu = encode_jpeg([img], 16, 16, [(1, 1)], [0], q)
     assert np.array_equal(decode_jpeg(ar)[2][0], decode_jpeg(hu)[2][0])
     bad = bytearray(ar)
-    bad[bad.index(b"\xff\xc9") + 1] = 0xCA  # SOF10: progressive arithmetic
-    with pytest.raises(NotImplementedError, match="0xca"):
+    bad[bad.index(b"\xff\xc9") + 1] = 0xCB  # SOF11: lossless arithmetic
+    with pytest.raises(ValueError, match="predictor"):
         decode_jpeg(bytes(bad))
+
+
+# ------------------------------------------- progressive arithmetic (SOF10)
+
+
+def _enc_arith_prog_scan(
+    qblocks, comps, factors, w, h, mcus_x, mcus_y, dri, tid, dcc, acc,
+    ss, se, ah, al,
+):
+    """Encode ONE progressive arithmetic scan, mirroring the decoder's
+    annex-G decision order exactly (per-block adaptive EOB decisions in
+    place of Huffman EOB run-lengths; correction bits through the ast /
+    fixed states in the positions the decoder reads them)."""
+    out = bytearray()
+    rst = [0]
+
+    def restart(enc):
+        out.extend(_stuff(enc.flush()))
+        out.extend(bytes([0xFF, 0xD0 + (rst[0] % 8)]))
+        rst[0] += 1
+
+    if ss == 0:  # DC scan: MCU order (interleaved) or component grid
+        if len(comps) > 1:
+            gx, gy = mcus_x, mcus_y
+            units = [(i,) + tuple(factors[i]) for i in comps]
+        else:
+            gy, gx = _comp_grid(comps[0], w, h, factors)
+            units = [(comps[0], 1, 1)]
+
+        def fresh():
+            return (
+                _QMEncoder(),
+                {tid(i): bytearray(64) for i in comps},
+                bytearray([113]),
+                {i: 0 for i in comps},
+                {i: 0 for i in comps},
+            )
+
+        enc, dstats, fixed, ctxs, preds = fresh()
+        for mi in range(gx * gy):
+            if dri and mi and mi % dri == 0:
+                restart(enc)
+                enc, dstats, fixed, ctxs, preds = fresh()
+            my, mx = divmod(mi, gx)
+            for i, hu, vu in units:
+                u_dc, l_dc = dcc.get(tid(i), (1, 0))
+                for v in range(vu):
+                    for hh in range(hu):
+                        dc = int(qblocks[i][my * vu + v, mx * hu + hh, 0])
+                        if ah == 0:
+                            shifted = dc >> al  # arithmetic shift (G.1.2.1)
+                            ctxs[i] = _enc_dc_diff(
+                                enc, dstats[tid(i)], ctxs[i], u_dc, l_dc,
+                                shifted - preds[i],
+                            )
+                            preds[i] = shifted
+                        else:  # refinement: bit Al through the fixed state
+                            enc.encode(fixed, 0, (dc >> al) & 1)
+        out.extend(_stuff(enc.flush()))
+        return bytes(out)
+
+    # AC scan: single component, block-raster over its grid
+    i0 = comps[0]
+    kx = acc.get(tid(i0), 5)
+    bys, bxs = _comp_grid(i0, w, h, factors)
+    qb = qblocks[i0]
+
+    def fresh_ac():
+        return _QMEncoder(), bytearray(256), bytearray([113])
+
+    enc, ast, fixed = fresh_ac()
+    for bi in range(bys * bxs):
+        if dri and bi and bi % dri == 0:
+            restart(enc)
+            enc, ast, fixed = fresh_ac()
+        by, bx = divmod(bi, bxs)
+        v = [int(x) for x in qb[by, bx]]
+        if ah == 0:  # AC first: magnitude-truncated values (G.1.2.2)
+            red = {
+                k: (1 if v[k] > 0 else -1) * (abs(v[k]) >> al)
+                for k in range(ss, se + 1)
+            }
+            klast = max((k for k in range(ss, se + 1) if red[k]), default=ss - 1)
+            k = ss
+            while k <= se:
+                b = 3 * (k - 1)
+                if k > klast:
+                    enc.encode(ast, b, 1)  # EOB
+                    break
+                enc.encode(ast, b, 0)
+                while red[k] == 0:
+                    enc.encode(ast, b + 1, 0)
+                    k += 1
+                    b = 3 * (k - 1)
+                enc.encode(ast, b + 1, 1)
+                _enc_ac_value(enc, ast, fixed, b, k, kx, red[k])
+                k += 1
+        else:  # AC refinement
+            prev = {k: abs(v[k]) >> (al + 1) for k in range(ss, se + 1)}
+            cur = {k: abs(v[k]) >> al for k in range(ss, se + 1)}
+            kex = max((k for k in range(ss, se + 1) if prev[k]), default=0)
+            klast = max((k for k in range(ss, se + 1) if cur[k]), default=ss - 1)
+            k = ss
+            while k <= se:
+                b = 3 * (k - 1)
+                if k > kex:
+                    eob = 1 if k > klast else 0
+                    enc.encode(ast, b, eob)
+                    if eob:
+                        break
+                while True:
+                    if prev[k]:
+                        enc.encode(ast, b + 2, cur[k] & 1)
+                        break
+                    if cur[k]:  # newly nonzero: always magnitude 1
+                        enc.encode(ast, b + 1, 1)
+                        enc.encode(fixed, 0, 1 if v[k] < 0 else 0)
+                        break
+                    enc.encode(ast, b + 1, 0)
+                    k += 1
+                    b = 3 * (k - 1)
+                k += 1
+    out.extend(_stuff(enc.flush()))
+    return bytes(out)
+
+
+def encode_jpeg_arith_prog(
+    planes, w, h, factors, qt_of, qtabs, script=None, prec=8, dri=0,
+    conditioning=None,
+):
+    """Progressive ARITHMETIC (SOF10) encoder: the spectral-selection /
+    successive-approximation scan scripts of ``encode_jpeg_progressive``
+    driven through the QM coder instead of per-scan Huffman tables."""
+    nc = len(planes)
+    qblocks, mcus_x, mcus_y = _quantize_blocks(
+        planes, w, h, factors, qt_of, qtabs, prec
+    )
+    cond = conditioning or {}
+    dcc, acc = cond.get("dc", {}), cond.get("ac", {})
+    if script is None:
+        if nc == 1:
+            script = [
+                ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+        else:
+            script = [
+                (list(range(nc)), 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+                (list(range(nc)), 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+            ]
+
+    def tid(i):
+        return 0 if i == 0 else 1
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    for t, q in qtabs.items():
+        qz = q.reshape(64)[ZIGZAG].astype(int)
+        if int(qz.max()) > 255:
+            seg(0xDB, bytes([0x10 | t]) + b"".join(int(x).to_bytes(2, "big") for x in qz))
+        else:
+            seg(0xDB, bytes([t]) + bytes(int(x) for x in qz))
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, (factors[i][0] << 4) | factors[i][1], qt_of[i]])
+    seg(0xCA, sof)
+    if dcc or acc:
+        body = b""
+        for t, (u, low) in sorted(dcc.items()):
+            body += bytes([t, (u << 4) | low])
+        for t, k in sorted(acc.items()):
+            body += bytes([0x10 | t, k])
+        seg(0xCC, body)
+    if dri:
+        seg(0xDD, dri.to_bytes(2, "big"))
+    for comps, sss, sse, ah, al in script:
+        sos = bytes([len(comps)])
+        for i in comps:
+            sos += bytes([i + 1, (tid(i) << 4) | tid(i)])
+        sos += bytes([sss, sse, (ah << 4) | al])
+        seg(0xDA, sos)
+        out.extend(
+            _enc_arith_prog_scan(
+                qblocks, comps, factors, w, h, mcus_x, mcus_y, dri,
+                tid, dcc, acc, sss, sse, ah, al,
+            )
+        )
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_arith_progressive_color_420_equals_sequential():
+    """SOF10 with the full default script (spectral selection + DC and
+    AC successive approximation) over a 4:2:0 image decodes to EXACTLY
+    the sequential-arithmetic (and hence Huffman) planes."""
+    y = _img(24, 36, 20)
+    cb, cr = _img(12, 18, 21), _img(12, 18, 22)
+    q = {0: np.full((8, 8), 4.0), 1: np.full((8, 8), 6.0)}
+    factors = [(2, 2), (1, 1), (1, 1)]
+    prog = encode_jpeg_arith_prog([y, cb, cr], 36, 24, factors, [0, 1, 1], q)
+    seqb = encode_jpeg_arith([y, cb, cr], 36, 24, factors, [0, 1, 1], q)
+    wp, hp, pp = decode_jpeg(prog)
+    ws, hs, ps = decode_jpeg(seqb)
+    assert (wp, hp) == (ws, hs) == (36, 24)
+    for a, b in zip(pp, ps):
+        # identical coefficients; dequant/IDCT float op order differs
+        # between the per-MCU sequential path and the coef-array path
+        assert float(np.max(np.abs(a - b))) <= 1e-9
+
+
+def test_arith_progressive_restarts_and_conditioning():
+    """Restart intervals (QM + statistics + DC state reset per interval)
+    and DAC conditioning change the bytes but not the decode."""
+    img = _img(25, 19, 23)  # odd dims: pad + crop
+    q = {0: np.full((8, 8), 3.0)}
+    cond = {"dc": {0: (2, 1)}, "ac": {0: 9}}
+    base = encode_jpeg_arith_prog([img], 19, 25, [(1, 1)], [0], q)
+    wired = encode_jpeg_arith_prog(
+        [img], 19, 25, [(1, 1)], [0], q, dri=2, conditioning=cond
+    )
+    assert base != wired
+    assert np.array_equal(decode_jpeg(base)[2][0], decode_jpeg(wired)[2][0])
+
+
+def test_arith_progressive_noninterleaved_dc_subsampled():
+    """Per-component DC scans (legal alternative to the interleaved DC
+    scan) walk each component's own grid, including a subsampled one."""
+    y = _img(16, 24, 24)
+    cb = _img(8, 12, 25)
+    q = {0: np.full((8, 8), 2.0), 1: np.full((8, 8), 2.0)}
+    factors = [(2, 2), (1, 1)]
+    script = [
+        ([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0),
+        ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0),
+    ]
+    prog = encode_jpeg_arith_prog([y, cb], 24, 16, factors, [0, 1], q, script)
+    seqb = encode_jpeg_arith([y, cb], 24, 16, factors, [0, 1], q)
+    for a, b in zip(decode_jpeg(prog)[2], decode_jpeg(seqb)[2]):
+        assert float(np.max(np.abs(a - b))) <= 1e-9
+
+
+def test_arith_progressive_12bit_matches_sequential():
+    """12-bit progressive arithmetic (legal per T.81 B.2.2) with a
+    16-bit quantization table round-trips against extended sequential."""
+    rng = np.random.RandomState(26)
+    img = rng.randint(0, 4096, (16, 16)).astype(np.float64)
+    q = {0: np.full((8, 8), 300.0)}
+    prog = encode_jpeg_arith_prog([img], 16, 16, [(1, 1)], [0], q, prec=12)
+    seqb = encode_jpeg_arith([img], 16, 16, [(1, 1)], [0], q, prec=12)
+    (wp, hp, pp), (ws, hs, ps) = decode_jpeg(prog), decode_jpeg(seqb)
+    assert float(np.max(np.abs(pp[0] - ps[0]))) <= 1e-9
+    _, _, _, prec = decode_jpeg(prog, with_precision=True)
+    assert prec == 12
+
+
+# --------------------------------------------- lossless arithmetic (SOF11)
+
+
+def _lossless_q_mirror(diff, u, low):
+    """Mirror of jpeg._lossless_q: 5-way Da/Db classification."""
+    if diff == 0:
+        return 0
+    v = abs(diff)
+    m = 0 if v == 1 else 1 << ((v - 1).bit_length() - 1)
+    if m < (1 << low) >> 1:
+        return 0
+    sign = 1 if diff < 0 else 0
+    if m > (1 << u) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def _enc_lossless_diff(enc, st, ctx, chain, d):
+    """Mirror of jpeg._arith_lossless_diff: one signed difference
+    through the zero / sign / magnitude>1 / X-M tree."""
+    if d == 0:
+        enc.encode(st, ctx, 0)
+        return
+    enc.encode(st, ctx, 1)
+    sign = 1 if d < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    n = abs(d) - 1
+    if n == 0:
+        enc.encode(st, ctx + 2 + sign, 0)
+    else:
+        enc.encode(st, ctx + 2 + sign, 1)
+        _encode_mag(enc, st, chain, 1, n)
+
+
+def encode_jpeg_lossless_arith(
+    planes, w, h, predictor, prec=8, pt=0, dri=0, per_component=False,
+    sampling=None, conditioning=None,
+):
+    """Lossless ARITHMETIC (SOF11) encoder: the predictor DPCM front end
+    of ``encode_jpeg_lossless`` with differences coded through the QM
+    coder under the H.1.2.3 two-dimensional conditioning (context =
+    4·(5·Q(Da)+Q(Db)), dual X/M chains at 100/129 selected by Q(Db),
+    158-bin area). One conditioning table id 0 for every component;
+    ``conditioning`` = (U, L) emits a DAC segment."""
+    nc = len(planes)
+    sampling = sampling or [(1, 1)] * nc
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // hmax), -(-h // vmax)
+    dims, padded = [], []
+    for p, (hi, vi) in zip(planes, sampling):
+        xi, yi = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        arr = np.asarray(p, dtype=np.int64)
+        assert arr.shape == (yi, xi), (arr.shape, (yi, xi))
+        dims.append((xi, yi))
+        padded.append(
+            np.pad(arr, ((0, mcuy * vi - yi), (0, mcux * hi - xi)), "edge")
+        )
+    default = 1 << (prec - pt - 1)
+    u_dc, l_dc = conditioning if conditioning else (1, 0)
+
+    def scan_bytes(order):
+        if len(order) == 1:
+            ci = order[0]
+            xi, yi = dims[ci]
+            units = [[(ci, m // xi, m % xi, True)] for m in range(xi * yi)]
+        else:
+            units = []
+            for m in range(mcux * mcuy):
+                mr, mc = divmod(m, mcux)
+                unit = []
+                for ci in order:
+                    hi, vi = sampling[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            unit.append(
+                                (ci, mr * vi + v, mc * hi + hh,
+                                 v == 0 and hh == 0)
+                            )
+                units.append(unit)
+        out = bytearray()
+        rst = 0
+        enc, st = _QMEncoder(), bytearray(158)
+        cls = {ci: np.zeros(padded[ci].shape, dtype=np.int8) for ci in order}
+        seg_start, first_row = 0, {}
+        for m, unit in enumerate(units):
+            if dri and m and m % dri == 0:
+                out.extend(_stuff(enc.flush()))
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                enc, st = _QMEncoder(), bytearray(158)
+                for cl in cls.values():
+                    cl[:] = 0
+                seg_start = m
+            if m == seg_start:
+                first_row = {s[0]: s[1] for s in unit if s[3]}
+            for ci, r, c, first in unit:
+                p = padded[ci]
+                if predictor == 0:  # differential frame: no prediction
+                    px = 0
+                elif m == seg_start and first:
+                    px = default
+                elif r == first_row[ci]:
+                    px = int(p[r, c - 1])
+                elif c == 0:
+                    px = int(p[r - 1, c])
+                else:
+                    ra, rb = int(p[r, c - 1]), int(p[r - 1, c])
+                    rc = int(p[r - 1, c - 1])
+                    px = {
+                        1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1,
+                    }[predictor]
+                d = (int(p[r, c]) - px) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                qa = int(cls[ci][r, c - 1]) if c > 0 else 0
+                qb = int(cls[ci][r - 1, c]) if r > 0 else 0
+                _enc_lossless_diff(
+                    enc, st, 4 * (5 * qa + qb), 100 if qb < 3 else 129, d
+                )
+                cls[ci][r, c] = _lossless_q_mirror(d, u_dc, l_dc)
+        out.extend(_stuff(enc.flush()))
+        return bytes(out)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for i in range(nc):
+        hi, vi = sampling[i]
+        sof += bytes([i + 1, (hi << 4) | vi, 0])
+    seg(0xCB, sof)
+    if conditioning:
+        seg(0xCC, bytes([0, (u_dc << 4) | l_dc]))
+    if dri:
+        seg(0xDD, dri.to_bytes(2, "big"))
+    orders = [[ci] for ci in range(nc)] if per_component else [list(range(nc))]
+    for order in orders:
+        sos = bytes([len(order)])
+        for ci in order:
+            sos += bytes([ci + 1, 0x00])  # Td=0 conditioning table
+        sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, AhAl=Pt
+        seg(0xDA, sos)
+        out.extend(scan_bytes(order))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_lossless_arith_roundtrip_all_predictors():
+    """Every predictor 1-7 reconstructs a full-range 8-bit image
+    BIT-EXACTLY through the SOF11 path, and the QM-coded file is
+    smaller than the raw samples on natural-image-ish data."""
+    rng = np.random.RandomState(30)
+    base = np.cumsum(rng.randint(-6, 7, (16, 22)), axis=1).astype(np.int64)
+    img = np.clip(base + 128, 0, 255)
+    for pred in range(1, 8):
+        pay = encode_jpeg_lossless_arith([img], 22, 16, pred)
+        ww, hh, pl = decode_jpeg(pay)
+        assert (ww, hh) == (22, 16)
+        assert np.array_equal(pl[0], img), f"predictor {pred}"
+
+
+def test_lossless_arith_color_restarts_and_conditioning():
+    """Interleaved 3-component scan with restart intervals (QM + stats +
+    conditioning-history reset) and a non-default DAC table; also the
+    per-component-scan form of the same image."""
+    rng = np.random.RandomState(31)
+    pls = [rng.randint(0, 256, (9, 13)).astype(np.int64) for _ in range(3)]
+    base = encode_jpeg_lossless_arith(pls, 13, 9, 4)
+    wired = encode_jpeg_lossless_arith(
+        pls, 13, 9, 4, dri=5, conditioning=(2, 1)
+    )
+    percomp = encode_jpeg_lossless_arith(pls, 13, 9, 4, per_component=True)
+    assert base != wired
+    for pay in (base, wired, percomp):
+        _, _, pl = decode_jpeg(pay)
+        for a, b in zip(pl, pls):
+            assert np.array_equal(a, b)
+
+
+def test_lossless_arith_16bit_point_transform_and_subsampled():
+    """16-bit samples with Pt=2 (decoder re-shifts: output = coded << Pt)
+    and a 4:2:0-subsampled interleaved scan both survive the SOF11 path;
+    16-bit exercises the mod-2^16 wrap and the deepest X/M chains."""
+    rng = np.random.RandomState(32)
+    img16 = rng.randint(0, 1 << 14, (8, 10)).astype(np.int64)
+    pay = encode_jpeg_lossless_arith([img16], 10, 8, 1, prec=16, pt=2)
+    _, _, pl = decode_jpeg(pay)
+    assert np.array_equal(pl[0], img16 << 2)
+
+    y = rng.randint(0, 256, (10, 14)).astype(np.int64)
+    cb = rng.randint(0, 256, (5, 7)).astype(np.int64)
+    pay = encode_jpeg_lossless_arith(
+        [y, cb], 14, 10, 7, sampling=[(2, 2), (1, 1)], dri=3
+    )
+    _, _, pl = decode_jpeg(pay)
+    assert np.array_equal(pl[0], y)
+    assert np.array_equal(pl[1], cb)
+
+
+def test_lossless_arith_matches_huffman_twin():
+    """The SOF11 decode equals the SOF3 decode of the same samples and
+    predictor — two wire formats, one reconstruction."""
+    rng = np.random.RandomState(33)
+    img = rng.randint(0, 4096, (11, 9)).astype(np.int64)
+    ar = encode_jpeg_lossless_arith([img], 9, 11, 5, prec=12)
+    hu = encode_jpeg_lossless([img], 9, 11, 5, prec=12)
+    assert np.array_equal(decode_jpeg(ar)[2][0], decode_jpeg(hu)[2][0])
+
+
+# ------------------------------------------------- hierarchical (annex J)
+
+
+def _exp_up_mirror(a, eh, ev):
+    """Mirror of jpeg._exp_upsample (J.1.1.2)."""
+    a = np.asarray(a, dtype=np.int64)
+    if eh:
+        out = np.empty((a.shape[0], a.shape[1] * 2), dtype=np.int64)
+        out[:, 0::2] = a
+        out[:, 1:-1:2] = (a[:, :-1] + a[:, 1:] + 1) >> 1
+        out[:, -1] = a[:, -1]
+        a = out
+    if ev:
+        out = np.empty((a.shape[0] * 2, a.shape[1]), dtype=np.int64)
+        out[0::2, :] = a
+        out[1:-1:2, :] = (a[:-1, :] + a[1:, :] + 1) >> 1
+        out[-1, :] = a[-1, :]
+        a = out
+    return a
+
+
+def _hier_stream(prec, h, w, sampling, frames):
+    """Assemble a hierarchical JPEG: SOI + DHP + per-frame segments
+    spliced from standalone encodes. ``frames``: list of
+    (payload, differential) — each payload a complete single-frame JPEG
+    whose SOI/EOI are stripped; a differential frame's SOF marker is
+    rewritten to its differential twin (+5 Huffman, +4 arithmetic)."""
+    out = bytearray(b"\xff\xd8")
+    dhp = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    dhp += bytes([len(sampling)])
+    for i, (hi, vi) in enumerate(sampling):
+        dhp += bytes([i + 1, (hi << 4) | vi, 0])
+    out.extend(b"\xff\xde" + (len(dhp) + 2).to_bytes(2, "big") + dhp)
+    for payload, differential, exp in frames:
+        if exp:
+            eh, ev = exp
+            out.extend(b"\xff\xdf\x00\x03" + bytes([(eh << 4) | ev]))
+        body = bytearray(payload[2:-2])  # strip SOI/EOI
+        if differential:
+            for base in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+                j = bytes(body).find(bytes([0xFF, base]))
+                if j >= 0:
+                    # SOF0/1→SOF5, SOF2→6, SOF3→7; SOF9/10/11→SOF13/14/15
+                    body[j + 1] = base + (5 if base == 0xC0 else 4)
+                    break
+            else:
+                raise AssertionError("no SOF marker found to differentiate")
+        out.extend(body)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_hierarchical_lossless_pyramid_bit_exact():
+    """Two-level lossless pyramid: SOF3 at half resolution, EXP, SOF7
+    differential correction — the hierarchical decode equals the source
+    BIT-EXACTLY (the classic 'lossless final frame' use of annex J)."""
+    rng = np.random.RandomState(40)
+    src = rng.randint(0, 256, (14, 17)).astype(np.int64)
+    low = src[::2, ::2]  # encoder's choice of downsample filter
+    lvl0 = encode_jpeg_lossless([low], low.shape[1], low.shape[0], 4)
+    ref = _exp_up_mirror(low, 1, 1)[: src.shape[0], : src.shape[1]]
+    diff = (src - ref) & 0xFFFF
+    lvl1 = encode_jpeg_lossless([diff], 17, 14, 0)  # predictor 0: no pred
+    pay = _hier_stream(
+        8, 14, 17, [(1, 1)],
+        [(lvl0, False, None), (lvl1, True, (1, 1))],
+    )
+    ww, hh, pl = decode_jpeg(pay)
+    assert (ww, hh) == (17, 14)
+    assert np.array_equal(pl[0], src)
+
+
+def test_hierarchical_arith_lossless_differential():
+    """Arithmetic pyramid: SOF11 base + SOF15 differential correction
+    (conditioning classifies the coded differences) — bit-exact, and
+    restart intervals inside the differential frame survive."""
+    rng = np.random.RandomState(41)
+    src = rng.randint(0, 4096, (9, 12)).astype(np.int64)
+    low = src[::2, ::2]
+    lvl0 = encode_jpeg_lossless_arith(
+        [low], low.shape[1], low.shape[0], 1, prec=12
+    )
+    ref = _exp_up_mirror(low, 1, 1)[:9, :12]
+    diff = (src - ref) & 0xFFFF
+    lvl1 = encode_jpeg_lossless_arith([diff], 12, 9, 0, prec=12, dri=7)
+    pay = _hier_stream(
+        12, 9, 12, [(1, 1)],
+        [(lvl0, False, None), (lvl1, True, (1, 1))],
+    )
+    _, _, pl = decode_jpeg(pay)
+    assert np.array_equal(pl[0], src)
+
+
+def test_hierarchical_dct_refinement():
+    """DCT hierarchical: a coarsely-quantized SOF0 frame refined by a
+    same-size SOF5 differential frame at q=1 — the final image is
+    within the fine quantizer's error of the source, far better than
+    the coarse frame alone."""
+    img = _img(16, 16, 42)
+    qc = {0: np.full((8, 8), 32.0)}
+    qf = {0: np.ones((8, 8))}
+    lvl0 = encode_jpeg([img], 16, 16, [(1, 1)], [0], qc)
+    ref = np.clip(np.floor(decode_jpeg(lvl0)[2][0] + 0.5), 0, 255)
+    diff = img - ref
+    # encode the DIFFERENCE through the standard encoder by re-centering
+    # at the level shift (the encoder subtracts 128; diff+128 cancels it)
+    lvl1 = encode_jpeg([diff + 128.0], 16, 16, [(1, 1)], [0], qf)
+    pay = _hier_stream(
+        8, 16, 16, [(1, 1)],
+        [(lvl0, False, None), (lvl1, True, None)],
+    )
+    _, _, pl = decode_jpeg(pay)
+    fine_err = float(np.max(np.abs(pl[0] - img)))
+    coarse_err = float(np.max(np.abs(ref - img)))
+    assert fine_err <= 6.0  # q=1 quantization + two integer roundings
+    assert fine_err < coarse_err / 2
+    # malformed: EXP before a non-differential frame
+    bad = _hier_stream(
+        8, 16, 16, [(1, 1)], [(lvl0, False, (1, 1))]
+    )
+    with pytest.raises(ValueError, match="EXP"):
+        decode_jpeg(bad)
+
+
+def test_hierarchical_three_levels_and_seq_arith_differential():
+    """Three-level pyramid mixing entropy coders: Huffman SOF0 base,
+    arithmetic SOF13 differential middle, lossless SOF7 final — the
+    output is bit-exact vs the source (final lossless correction), and
+    the DHP stream reports the full-resolution dims."""
+    rng = np.random.RandomState(43)
+    base = np.cumsum(rng.randint(-5, 6, (16, 16)), axis=1)
+    src = np.clip(base + 120, 0, 255).astype(np.int64)
+    q = {0: np.full((8, 8), 8.0)}
+    qf = {0: np.ones((8, 8))}
+    l0 = src[::2, ::2]
+    lvl0 = encode_jpeg([l0.astype(np.float64)], 8, 8, [(1, 1)], [0], q)
+    ref0 = np.clip(np.floor(decode_jpeg(lvl0)[2][0] + 0.5), 0, 255)
+    ref1_pred = _exp_up_mirror(ref0, 1, 1)[:16, :16]
+    diff1 = src - ref1_pred
+    lvl1 = encode_jpeg_arith(
+        [diff1.astype(np.float64) + 128.0], 16, 16, [(1, 1)], [0], qf
+    )
+    diff1_rec = np.clip(
+        np.floor(decode_jpeg(
+            encode_jpeg_arith(
+                [diff1.astype(np.float64) + 128.0], 16, 16, [(1, 1)], [0], qf
+            )
+        )[2][0] + 0.5) - 128.0, -9999, 9999,
+    )
+    ref1 = np.clip(ref1_pred + diff1_rec, 0, 255).astype(np.int64)
+    diff2 = (src - ref1) & 0xFFFF
+    lvl2 = encode_jpeg_lossless([diff2], 16, 16, 0)
+    pay = _hier_stream(
+        8, 16, 16, [(1, 1)],
+        [(lvl0, False, None), (lvl1, True, (1, 1)), (lvl2, True, None)],
+    )
+    ww, hh, pl, prec = decode_jpeg(pay, with_precision=True)
+    assert (ww, hh, prec) == (16, 16, 8)
+    assert np.array_equal(pl[0], src)
+
+
+def test_hierarchical_color_subsampled_lossless():
+    """Color 4:2:0 hierarchical: per-component references at their own
+    resolutions, per-component EXP upsampling, interleaved differential
+    scans — bit-exact on all three planes."""
+    rng = np.random.RandomState(44)
+    y = rng.randint(0, 256, (12, 16)).astype(np.int64)
+    cb = rng.randint(0, 256, (6, 8)).astype(np.int64)
+    cr = rng.randint(0, 256, (6, 8)).astype(np.int64)
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    lows = [p[::2, ::2] for p in (y, cb, cr)]
+    lvl0 = encode_jpeg_lossless(lows, 8, 6, 2, sampling=sampling)
+    refs = [_exp_up_mirror(lo, 1, 1) for lo in lows]
+    diffs = [
+        (p - r[: p.shape[0], : p.shape[1]]) & 0xFFFF
+        for p, r in zip((y, cb, cr), refs)
+    ]
+    lvl1 = encode_jpeg_lossless(diffs, 16, 12, 0, sampling=sampling)
+    pay = _hier_stream(
+        8, 12, 16, sampling,
+        [(lvl0, False, None), (lvl1, True, (1, 1))],
+    )
+    ww, hh, pl = decode_jpeg(pay)
+    assert (ww, hh) == (16, 12)
+    for a, b in zip(pl, (y, cb, cr)):
+        assert np.array_equal(a, b)
