@@ -29,7 +29,8 @@ delineated (this container has no PIL/ffmpeg):
   coding process (all round 5).
   Real nearest-neighbor RESIZE to an 8×8 grayscale
   thumbnail is the image feature; per-segment RMS energy is the audio
-  feature. Rows whose codec still needs an external library
+  feature. FLAC audio decodes via the from-scratch rice/LPC decoder
+  (operators/flac.py). Rows whose codec still needs an external library
   (MP3, non-MJPEG compressed video/…) get a per-row ``err``
   instead of failing the batch — the engine's S9 dead-letter philosophy
   applied to media.
@@ -916,12 +917,13 @@ def _decode_ima_adpcm_wav(payload: bytes):
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """REAL audio decode (PCM WAV via the stdlib ``wave`` module, IMA
-    ADPCM compressed WAV via the from-scratch decoder above — no
-    external libraries) + featurize: channel/rate/length metadata and an
-    8-segment RMS-energy profile (the coarse loudness contour). Non-WAV
-    or compressed payloads get a per-row ``err`` (S9 isolation) — the
-    seam where torchaudio/ffmpeg would take over."""
+    """REAL audio decode (PCM WAV via the stdlib ``wave`` module, IMA/MS
+    ADPCM compressed WAV via the from-scratch decoders above, FLAC via
+    the from-scratch operators/flac.py decoder — no external libraries)
+    + featurize: channel/rate/length metadata and an 8-segment
+    RMS-energy profile (the coarse loudness contour). Other compressed
+    payloads (MP3, …) get a per-row ``err`` (S9 isolation) — the seam
+    where torchaudio/ffmpeg would take over."""
 
     def decode_row(p):
         if p is None:
@@ -940,6 +942,13 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             dur = round(n / rate, 6) if rate else None
             return (nch, rate, n, dur, rms, None)
 
+        if p[:4] == b"fLaC":
+            from french_admin_etl_spark.operators.flac import decode_flac_audio
+
+            try:
+                return featurize(*decode_flac_audio(p))
+            except Exception as e:  # noqa: BLE001
+                return (None, None, None, None, None, f"bad FLAC: {e}")
         try:
             with wave.open(io.BytesIO(p)) as wf:
                 nch = wf.getnchannels()

@@ -151,6 +151,25 @@ def test_fuzz_audio_decoder_terminates():
     assert ok + err == 41
 
 
+def test_fuzz_flac_decoder_terminates():
+    from french_admin_etl_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(29)
+    import math
+
+    x = [int(9000 * math.sin(i / 20)) for i in range(700)]
+    for name, blob in (
+        ("fixed", encode_flac([x], 8000, bps=16, blocksize=256)),
+        ("stereo_lpc", encode_flac(
+            [x, [v + 100 for v in x]], 44100, bps=16, blocksize=192,
+            stereo_mode="mid_side", lpc=([1400, -600], 12, 10), part_order=1,
+        )),
+    ):
+        assert decode_flac(blob)[3][0] == x  # pristine must decode
+        ok, err = _drive(decode_flac, _mutations(blob, rng))
+        assert ok + err == 41, name
+
+
 def test_fuzz_gif_png_avi_terminate():
     import struct
     import zlib
