@@ -245,6 +245,13 @@ def decode_image(payload: bytes):
         from french_admin_etl_spark.operators.jpeg import decode_jpeg_gray
 
         return decode_jpeg_gray(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # baseline strip-TIFF, from-scratch (operators/tiff.py): none /
+        # LZW / PackBits, gray / RGB / palette, predictor 2, both byte
+        # orders; tiled TIFF raises = the declared seam
+        from french_admin_etl_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"codec not decodable without image libraries (magic {payload[:4]!r})"
     )

@@ -1,0 +1,273 @@
+"""From-scratch baseline TIFF 6.0 decode (stdlib + numpy only).
+
+Covers the baseline-TIFF surface a scraped-corpus pipeline actually
+meets: both byte orders (``II``/``MM``), strip-organised images,
+compression 1 (none), 5 (LZW) and 32773 (PackBits), photometric
+0/1 (grayscale, min-is-white / min-is-black), 2 (RGB, extra samples
+ignored) and 3 (palette, 16-bit ColorMap), bits-per-sample 1/4/8/16,
+and predictor 2 (horizontal differencing, 8- and 16-bit samples).
+Tiled TIFF (tags 322-325) and planar configuration 2 raise
+``NotImplementedError`` — declared seams, dead-lettered per row under
+the engine's S9 contract like every other codec seam.
+
+The LZW variant here is the TIFF one, which differs from GIF's in all
+three conventions: codes pack MSB-first (GIF: LSB-first), the alphabet
+is fixed at 8-bit (Clear=256, EOI=257, first table entry 258), and the
+code width bumps one code EARLIER than GIF ("early change", TIFF 6.0
+spec p.61: the decoder switches to 10 bits as soon as it ADDS table
+entry 510, i.e. when the table length reaches 2**width - 1, not
+2**width). Both the bump rule and the MSB packing are pinned by
+hand-assembled bitstream tests in ``tests/test_tiff.py`` independently
+of the mirror encoder — round-trips alone cannot catch a convention
+error that both sides share (the repo's lossless-JPEG lesson).
+
+Reference parity note: the reference engine has no media path at all —
+this module belongs to the training-data extension surface
+(multimodal feature extraction over opaque binary columns), reached
+via ``operators/multimodal.py::decode_image`` inside Arrow
+``mapInPandas`` batches, never per-row Python in a driver loop.
+"""
+
+from __future__ import annotations
+
+__all__ = ["decode_tiff"]
+
+# TIFF field types → byte size (only the ones baseline tags use)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(payload: bytes, bo: str):
+    """Parse the first IFD into {tag: [values...]} (ints only)."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    off = int.from_bytes(payload[4:8], bo)
+    if off < 8 or off + 2 > len(payload):
+        raise ValueError("bad TIFF IFD offset")
+    n = int.from_bytes(payload[off : off + 2], bo)
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        tag = int.from_bytes(payload[e : e + 2], bo)
+        typ = int.from_bytes(payload[e + 2 : e + 4], bo)
+        cnt = int.from_bytes(payload[e + 4 : e + 8], bo)
+        size = _TYPE_SIZE.get(typ)
+        if size is None or cnt > len(payload):
+            continue  # unknown type: skip the tag, per spec readers must
+        total = size * cnt
+        if total <= 4:
+            base = e + 8  # value fits inline, left-justified in the field
+        else:
+            base = int.from_bytes(payload[e + 8 : e + 12], bo)
+            if base + total > len(payload):
+                raise ValueError(f"TIFF tag {tag} value out of bounds")
+        if typ == 5:  # RATIONAL → numerator/denominator as a float-ish int
+            vals = [
+                int.from_bytes(payload[base + 8 * i : base + 8 * i + 4], bo)
+                for i in range(cnt)
+            ]
+        else:
+            vals = [
+                int.from_bytes(payload[base + size * i : base + size * (i + 1)], bo)
+                for i in range(cnt)
+            ]
+        tags[tag] = vals
+    return tags
+
+
+def _lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 8-bit
+    alphabet, Clear=256, EOI=257, first dictionary entry 258, width
+    9→12 with the EARLY bump (width grows as soon as the table length
+    reaches ``2**width - 1`` — one code earlier than GIF). Decodes at
+    most ``max_out`` bytes (the strip's decompressed size bounds the
+    output; a run straddling the bound is truncated, matching libtiff's
+    strip-size clamp)."""
+    literals = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(literals)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = di = 0
+    while len(out) < max_out:
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[di]
+            di += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # ClearCode
+            table = list(literals)
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if code < len(table) and code not in (256, 257):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(f"bad TIFF LZW code {code} (table={len(table)})")
+        out += entry
+        prev = entry
+        # EARLY change: entry 510 added (len 511) → next code reads 10 bits
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out[:max_out])
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """PackBits (TIFF 6.0 §9): n in 0..127 → copy n+1 literals; n in
+    129..255 (two's-complement -127..-1) → repeat next byte 1-n times;
+    128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while len(out) < max_out:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:max_out])
+
+
+def decode_tiff(payload: bytes):
+    """Decode a baseline strip-TIFF → ``(width, height, gray)`` with
+    ``gray`` float64 HxW in [0, 255] — the same contract as every other
+    branch of ``decode_image``."""
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        bo, np_u2 = "little", "<u2"
+    elif payload[:4] == b"MM\x00*":
+        bo, np_u2 = "big", ">u2"
+    else:
+        raise ValueError(f"not a TIFF payload (magic {payload[:4]!r})")
+    tags = _read_ifd(payload, bo)
+    for t in (322, 323, 324, 325):
+        if t in tags:
+            raise NotImplementedError("tiled TIFF not supported (strips only)")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2 not supported")
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    spp = tags.get(277, [1])[0]
+    bits_list = tags.get(258, [1])
+    if len(set(bits_list)) != 1:
+        raise NotImplementedError(f"mixed TIFF bit depths {bits_list}")
+    bits = bits_list[0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    rows_per_strip = tags.get(278, [2**32 - 1])[0] or 2**32 - 1
+    if bits not in (1, 4, 8, 16):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits}")
+    if bits < 8 and spp != 1:
+        raise NotImplementedError("sub-byte TIFF only supported for 1 sample/px")
+    if photometric not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF photometric {photometric}")
+    if photometric == 2 and spp < 3:
+        raise ValueError("TIFF RGB needs >= 3 samples per pixel")
+    if photometric == 3 and (spp != 1 or 320 not in tags):
+        raise ValueError("palette TIFF needs 1 sample/px and a ColorMap")
+    if predictor == 2 and bits < 8:
+        raise NotImplementedError("TIFF predictor 2 on sub-byte samples")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+
+    stride = (w * spp * bits + 7) // 8  # rows are byte-aligned (spec §? p.39)
+    raw = bytearray()
+    rows_done = 0
+    for so, sc in zip(offsets, counts):
+        if so + sc > len(payload):
+            raise ValueError("TIFF strip out of bounds")
+        n_rows = min(rows_per_strip, h - rows_done)
+        if n_rows <= 0:
+            break
+        want = stride * n_rows
+        chunk = payload[so : so + sc]
+        if compression == 1:
+            if len(chunk) < want:
+                raise ValueError("truncated uncompressed TIFF strip")
+            raw += chunk[:want]
+        elif compression == 5:
+            raw += _lzw_decode(chunk, want)
+        elif compression == 32773:
+            raw += _packbits_decode(chunk, want)
+        else:
+            raise NotImplementedError(f"TIFF compression {compression}")
+        if len(raw) != stride * (rows_done + n_rows):
+            raise ValueError("short TIFF strip after decompression")
+        rows_done += n_rows
+    if rows_done < h:
+        raise ValueError(f"TIFF strips cover {rows_done} of {h} rows")
+
+    if bits == 16:
+        samples = (
+            np.frombuffer(bytes(raw), dtype=np_u2).reshape(h, w, spp).astype(np.int64)
+        )
+    elif bits == 8:
+        samples = (
+            np.frombuffer(bytes(raw), dtype=np.uint8)
+            .reshape(h, w, spp)
+            .astype(np.int64)
+        )
+    else:  # 1/4-bit gray/palette: MSB-first packed fields, rows byte-aligned
+        rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, stride)
+        bits_arr = np.unpackbits(rows, axis=1)
+        nf = stride * 8 // bits
+        fields = bits_arr[:, : nf * bits].reshape(h, nf, bits).astype(np.int64)
+        weights = 1 << np.arange(bits - 1, -1, -1)
+        samples = (fields * weights).sum(axis=2)[:, :w].reshape(h, w, 1)
+    if predictor == 2:
+        # horizontal differencing: each sample is stored as the delta to
+        # the previous pixel's same channel → undo with a cumsum mod 2^bits
+        samples = np.cumsum(samples, axis=1) & ((1 << bits) - 1)
+
+    full = float((1 << bits) - 1)
+    if photometric in (0, 1):
+        gray = samples[:, :, 0].astype(np.float64) * (255.0 / full)
+        if photometric == 0:  # min-is-white
+            gray = 255.0 - gray
+    elif photometric == 2:
+        rgb = samples[:, :, :3].astype(np.float64) * (255.0 / full)
+        gray = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    else:  # palette: ColorMap is 3 planes of 2^bits 16-bit values (R,G,B)
+        cm = tags[320]
+        n = 1 << bits
+        if len(cm) < 3 * n:
+            raise ValueError("TIFF ColorMap too short")
+        cmap = np.asarray(cm[: 3 * n], dtype=np.float64).reshape(3, n)
+        idx = samples[:, :, 0]
+        if int(idx.max()) >= n:
+            raise ValueError("TIFF palette index out of range")
+        rgb = cmap[:, idx] * (255.0 / 65535.0)  # (3, h, w)
+        gray = 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+    return w, h, gray

@@ -106,6 +106,17 @@ def _valid_image_payloads():
         + bytes(24) + px
     )
     pay["bmp"] = bmp
+    # TIFF via the test-suite writer: LZW+predictor gray, PackBits RGB,
+    # big-endian palette — the three structurally distinct strip paths
+    from test_tiff import _tiff_write
+
+    timg = rng.randint(0, 256, (9, 11, 1)).astype(np.int64)
+    pay["tiff_lzw"] = _tiff_write(timg, 8, 1, 5, "little", predictor=2)
+    pay["tiff_pb_rgb"] = _tiff_write(
+        np.repeat(timg, 3, axis=2), 8, 2, 32773, "little", rows_per_strip=3
+    )
+    cmap = rng.randint(0, 65536, (3, 16)).astype(np.uint16)
+    pay["tiff_palette"] = _tiff_write(timg % 16, 4, 3, 5, "big", colormap=cmap)
     return pay
 
 
