@@ -246,9 +246,9 @@ def decode_image(payload: bytes):
 
         return decode_jpeg_gray(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        # baseline strip-TIFF, from-scratch (operators/tiff.py): none /
-        # LZW / PackBits, gray / RGB / palette, predictor 2, both byte
-        # orders; tiled TIFF raises = the declared seam
+        # baseline TIFF, from-scratch (operators/tiff.py): strips or
+        # tiles, none / LZW / PackBits, gray / RGB / palette, predictor
+        # 2, both byte orders; planar-2 raises = the declared seam
         from french_admin_etl_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)

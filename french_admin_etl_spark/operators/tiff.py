@@ -1,13 +1,14 @@
 """From-scratch baseline TIFF 6.0 decode (stdlib + numpy only).
 
 Covers the baseline-TIFF surface a scraped-corpus pipeline actually
-meets: both byte orders (``II``/``MM``), strip-organised images,
-compression 1 (none), 5 (LZW) and 32773 (PackBits), photometric
-0/1 (grayscale, min-is-white / min-is-black), 2 (RGB, extra samples
-ignored) and 3 (palette, 16-bit ColorMap), bits-per-sample 1/4/8/16,
-and predictor 2 (horizontal differencing, 8- and 16-bit samples).
-Tiled TIFF (tags 322-325) and planar configuration 2 raise
-``NotImplementedError`` — declared seams, dead-lettered per row under
+meets: both byte orders (``II``/``MM``), strip- AND tile-organised
+images (tags 273/279 or 322-325), compression 1 (none), 5 (LZW) and
+32773 (PackBits), photometric 0/1 (grayscale, min-is-white /
+min-is-black), 2 (RGB, extra samples ignored) and 3 (palette, 16-bit
+ColorMap), bits-per-sample 1/4/8/16, and predictor 2 (horizontal
+differencing, 8- and 16-bit samples; restarts per tile since tiles
+compress independently). Planar configuration 2 raises
+``NotImplementedError`` — a declared seam, dead-lettered per row under
 the engine's S9 contract like every other codec seam.
 
 The LZW variant here is the TIFF one, which differs from GIF's in all
@@ -149,10 +150,42 @@ def _packbits_decode(data: bytes, max_out: int) -> bytes:
     return bytes(out[:max_out])
 
 
+def _decompress(chunk: bytes, want: int, compression: int) -> bytes:
+    if compression == 1:
+        if len(chunk) < want:
+            raise ValueError("truncated uncompressed TIFF block")
+        return chunk[:want]
+    if compression == 5:
+        return _lzw_decode(chunk, want)
+    if compression == 32773:
+        return _packbits_decode(chunk, want)
+    raise NotImplementedError(f"TIFF compression {compression}")
+
+
+def _unpack_samples(raw: bytes, rows: int, wpx: int, spp: int, bits: int, np_u2):
+    """Byte-aligned rows of packed samples → (rows, wpx, spp) int64."""
+    import numpy as np
+
+    stride = (wpx * spp * bits + 7) // 8
+    if bits == 16:
+        return np.frombuffer(raw, dtype=np_u2).reshape(rows, wpx, spp).astype(np.int64)
+    if bits == 8:
+        return (
+            np.frombuffer(raw, dtype=np.uint8).reshape(rows, wpx, spp).astype(np.int64)
+        )
+    # 1/4-bit gray/palette: MSB-first packed fields, rows byte-aligned
+    mat = np.frombuffer(raw, np.uint8).reshape(rows, stride)
+    bits_arr = np.unpackbits(mat, axis=1)
+    nf = stride * 8 // bits
+    fields = bits_arr[:, : nf * bits].reshape(rows, nf, bits).astype(np.int64)
+    weights = 1 << np.arange(bits - 1, -1, -1)
+    return (fields * weights).sum(axis=2)[:, :wpx].reshape(rows, wpx, 1)
+
+
 def decode_tiff(payload: bytes):
-    """Decode a baseline strip-TIFF → ``(width, height, gray)`` with
-    ``gray`` float64 HxW in [0, 255] — the same contract as every other
-    branch of ``decode_image``."""
+    """Decode a baseline strip- or tile-organised TIFF →
+    ``(width, height, gray)`` with ``gray`` float64 HxW in [0, 255] —
+    the same contract as every other branch of ``decode_image``."""
     import numpy as np
 
     if payload[:4] == b"II*\x00":
@@ -162,16 +195,20 @@ def decode_tiff(payload: bytes):
     else:
         raise ValueError(f"not a TIFF payload (magic {payload[:4]!r})")
     tags = _read_ifd(payload, bo)
-    for t in (322, 323, 324, 325):
-        if t in tags:
-            raise NotImplementedError("tiled TIFF not supported (strips only)")
+    tiled = 324 in tags or 325 in tags
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 not supported")
     try:
         w = tags[256][0]
         h = tags[257][0]
-        offsets = tags[273]
-        counts = tags[279]
+        if tiled:
+            tw = tags[322][0]
+            tl = tags[323][0]
+            offsets = tags[324]
+            counts = tags[325]
+        else:
+            offsets = tags[273]
+            counts = tags[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
     if w <= 0 or h <= 0:
@@ -200,56 +237,63 @@ def decode_tiff(payload: bytes):
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if len(offsets) != len(counts):
-        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+        raise ValueError("TIFF offsets/byte-counts length mismatch")
 
-    stride = (w * spp * bits + 7) // 8  # rows are byte-aligned (spec §? p.39)
-    raw = bytearray()
-    rows_done = 0
-    for so, sc in zip(offsets, counts):
-        if so + sc > len(payload):
-            raise ValueError("TIFF strip out of bounds")
-        n_rows = min(rows_per_strip, h - rows_done)
-        if n_rows <= 0:
-            break
-        want = stride * n_rows
-        chunk = payload[so : so + sc]
-        if compression == 1:
-            if len(chunk) < want:
-                raise ValueError("truncated uncompressed TIFF strip")
-            raw += chunk[:want]
-        elif compression == 5:
-            raw += _lzw_decode(chunk, want)
-        elif compression == 32773:
-            raw += _packbits_decode(chunk, want)
-        else:
-            raise NotImplementedError(f"TIFF compression {compression}")
-        if len(raw) != stride * (rows_done + n_rows):
-            raise ValueError("short TIFF strip after decompression")
-        rows_done += n_rows
-    if rows_done < h:
-        raise ValueError(f"TIFF strips cover {rows_done} of {h} rows")
-
-    if bits == 16:
-        samples = (
-            np.frombuffer(bytes(raw), dtype=np_u2).reshape(h, w, spp).astype(np.int64)
-        )
-    elif bits == 8:
-        samples = (
-            np.frombuffer(bytes(raw), dtype=np.uint8)
-            .reshape(h, w, spp)
-            .astype(np.int64)
-        )
-    else:  # 1/4-bit gray/palette: MSB-first packed fields, rows byte-aligned
-        rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, stride)
-        bits_arr = np.unpackbits(rows, axis=1)
-        nf = stride * 8 // bits
-        fields = bits_arr[:, : nf * bits].reshape(h, nf, bits).astype(np.int64)
-        weights = 1 << np.arange(bits - 1, -1, -1)
-        samples = (fields * weights).sum(axis=2)[:, :w].reshape(h, w, 1)
-    if predictor == 2:
-        # horizontal differencing: each sample is stored as the delta to
-        # the previous pixel's same channel → undo with a cumsum mod 2^bits
-        samples = np.cumsum(samples, axis=1) & ((1 << bits) - 1)
+    mask = (1 << bits) - 1
+    if tiled:
+        # tiles are independently compressed tw×tl blocks in row-major
+        # grid order, full-size even at the right/bottom edges (spec §15)
+        if tw <= 0 or tl <= 0:
+            raise ValueError(f"bad TIFF tile size {tw}x{tl}")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) < across * down:
+            raise ValueError(
+                f"TIFF has {len(offsets)} tiles, needs {across * down}"
+            )
+        t_stride = (tw * spp * bits + 7) // 8
+        samples = np.zeros((h, w, spp), np.int64)
+        for ty in range(down):
+            for tx in range(across):
+                so = offsets[ty * across + tx]
+                sc = counts[ty * across + tx]
+                if so + sc > len(payload):
+                    raise ValueError("TIFF tile out of bounds")
+                raw = _decompress(payload[so : so + sc], t_stride * tl, compression)
+                if len(raw) != t_stride * tl:
+                    raise ValueError("short TIFF tile after decompression")
+                tile = _unpack_samples(raw, tl, tw, spp, bits, np_u2)
+                if predictor == 2:
+                    # differencing restarts at each tile row (tiles
+                    # compress independently) → cumsum inside the tile
+                    tile = np.cumsum(tile, axis=1) & mask
+                ch = min(tl, h - ty * tl)
+                cw = min(tw, w - tx * tw)
+                samples[ty * tl : ty * tl + ch, tx * tw : tx * tw + cw] = tile[
+                    :ch, :cw
+                ]
+    else:
+        stride = (w * spp * bits + 7) // 8  # rows are byte-aligned
+        raw = bytearray()
+        rows_done = 0
+        for so, sc in zip(offsets, counts):
+            if so + sc > len(payload):
+                raise ValueError("TIFF strip out of bounds")
+            n_rows = min(rows_per_strip, h - rows_done)
+            if n_rows <= 0:
+                break
+            want = stride * n_rows
+            raw += _decompress(payload[so : so + sc], want, compression)
+            if len(raw) != stride * (rows_done + n_rows):
+                raise ValueError("short TIFF strip after decompression")
+            rows_done += n_rows
+        if rows_done < h:
+            raise ValueError(f"TIFF strips cover {rows_done} of {h} rows")
+        samples = _unpack_samples(bytes(raw), h, w, spp, bits, np_u2)
+        if predictor == 2:
+            # horizontal differencing: each sample is the delta to the
+            # previous pixel's same channel → undo with a cumsum mod 2^bits
+            samples = np.cumsum(samples, axis=1) & mask
 
     full = float((1 << bits) - 1)
     if photometric in (0, 1):

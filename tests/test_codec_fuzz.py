@@ -117,6 +117,10 @@ def _valid_image_payloads():
     )
     cmap = rng.randint(0, 65536, (3, 16)).astype(np.uint16)
     pay["tiff_palette"] = _tiff_write(timg % 16, 4, 3, 5, "big", colormap=cmap)
+    pay["tiff_tiled"] = _tiff_write(
+        rng.randint(0, 256, (21, 27, 1)).astype(np.int64),
+        8, 1, 5, "little", predictor=2, tile=(16, 16),
+    )
     return pay
 
 

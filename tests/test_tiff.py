@@ -111,6 +111,12 @@ def _pack_row(vals: np.ndarray, bits: int, bo: str) -> bytes:
     return np.packbits(bit_arr).tobytes()
 
 
+def _diff(block: np.ndarray, bits: int) -> np.ndarray:
+    d = block.astype(np.int64).copy()
+    d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+    return d & ((1 << bits) - 1)
+
+
 def _tiff_write(
     samples: np.ndarray,  # (h, w, spp) ints in [0, 2^bits)
     bits: int,
@@ -120,24 +126,41 @@ def _tiff_write(
     predictor: int = 1,
     rows_per_strip: int | None = None,
     colormap: np.ndarray | None = None,  # (3, 2^bits) uint16
+    tile: tuple[int, int] | None = None,  # (tw, tl) → tile organisation
     extra_tags: list | None = None,
 ) -> bytes:
     h, w, spp = samples.shape
-    rps = rows_per_strip or h
-    if predictor == 2:
-        d = samples.astype(np.int64)
-        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
-        samples = d & ((1 << bits) - 1)
 
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = samples[y0 : y0 + rps]
-        raw = b"".join(_pack_row(r, bits, bo) for r in rows)
+    def compress(raw: bytes) -> bytes:
         if compression == 5:
-            raw = _lzw_encode(raw)
-        elif compression == 32773:
-            raw = _packbits_encode(raw)
-        strips.append(raw)
+            return _lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    blocks = []
+    if tile:
+        tw, tl = tile
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                # edge tiles pad to full tw×tl (spec §15)
+                blk = np.zeros((tl, tw, spp), np.int64)
+                part = samples[y0 : y0 + tl, x0 : x0 + tw]
+                blk[: part.shape[0], : part.shape[1]] = part
+                if predictor == 2:  # differencing restarts per tile
+                    blk = _diff(blk, bits)
+                blocks.append(
+                    compress(b"".join(_pack_row(r, bits, bo) for r in blk))
+                )
+    else:
+        rps = rows_per_strip or h
+        if predictor == 2:
+            samples = _diff(samples, bits)
+        for y0 in range(0, h, rps):
+            rows = samples[y0 : y0 + rps]
+            blocks.append(
+                compress(b"".join(_pack_row(r, bits, bo) for r in rows))
+            )
 
     def b2(v):
         return int(v).to_bytes(2, bo)
@@ -151,11 +174,21 @@ def _tiff_write(
         (258, 3, [bits] * spp),
         (259, 3, [compression]),
         (262, 3, [photometric]),
-        (273, 4, None),  # patched below
         (277, 3, [spp]),
-        (278, 3, [rps]),
-        (279, 4, [len(s) for s in strips]),
     ]
+    if tile:
+        entries += [
+            (322, 3, [tile[0]]),
+            (323, 3, [tile[1]]),
+            (324, 4, None),  # patched below
+            (325, 4, [len(s) for s in blocks]),
+        ]
+    else:
+        entries += [
+            (273, 4, None),  # patched below
+            (278, 3, [rows_per_strip or h]),
+            (279, 4, [len(s) for s in blocks]),
+        ]
     if predictor != 1:
         entries.append((317, 3, [predictor]))
     if colormap is not None:
@@ -165,10 +198,11 @@ def _tiff_write(
 
     strip_base = 8
     offs, pos = [], strip_base
-    for s in strips:
+    for s in blocks:
         offs.append(pos)
         pos += len(s)
-    entries = [(t, ty, offs if t == 273 else v) for t, ty, v in entries]
+    entries = [(t, ty, offs if t in (273, 324) and v is None else v)
+               for t, ty, v in entries]
 
     ifd_off = pos
     size = {3: 2, 4: 4}
@@ -187,7 +221,7 @@ def _tiff_write(
             overflow += enc
     ifd += b4(0)  # no next IFD
     magic = b"II*\x00" if bo == "little" else b"MM\x00*"
-    return magic + b4(ifd_off) + b"".join(strips) + bytes(ifd) + bytes(overflow)
+    return magic + b4(ifd_off) + b"".join(blocks) + bytes(ifd) + bytes(overflow)
 
 
 def _want_gray(samples, bits, photometric, colormap=None):
@@ -380,10 +414,7 @@ def test_tiff_error_paths():
     with pytest.raises(ValueError, match="truncated TIFF LZW"):
         decode_tiff(cut)
 
-    # tiled TIFF and planar configuration 2 are the declared seams
-    tiled = _tiff_write(samples, 8, 1, 1, "little", extra_tags=[(322, 4, [16])])
-    with pytest.raises(NotImplementedError, match="tiled"):
-        decode_tiff(tiled)
+    # planar configuration 2 is the declared seam
     planar = _tiff_write(samples, 8, 1, 1, "little", extra_tags=[(284, 3, [2])])
     with pytest.raises(NotImplementedError, match="planar"):
         decode_tiff(planar)
@@ -401,6 +432,55 @@ def test_tiff_error_paths():
     lying = three[: at + 8] + (6).to_bytes(2, "little") + three[at + 10 :]
     with pytest.raises(ValueError, match="cover|bounds|truncated"):
         decode_tiff(lying)
+
+
+def test_tiff_tiled_roundtrip():
+    """Tile organisation (tags 322-325): row-major full-size tiles,
+    edge tiles padded then cropped, predictor restarting per tile."""
+    rng = np.random.default_rng(23)
+    cases = [
+        # bits, spp, photometric, comp, bo, pred, (tw, tl)
+        (8, 1, 1, 1, "little", 1, (16, 16)),     # exact grid fit below
+        (8, 3, 2, 5, "big", 2, (16, 16)),        # RGB LZW predictor
+        (8, 1, 1, 32773, "little", 1, (16, 16)),
+        (16, 1, 1, 5, "little", 2, (16, 16)),
+        (4, 1, 3, 5, "big", 1, (16, 16)),        # palette sub-byte tiles
+    ]
+    for bits, spp, photometric, comp, bo, pred, tile in cases:
+        # 27×21 → 2×2 tile grid with ragged right/bottom edges
+        h, w = 21, 27
+        samples = rng.integers(0, 1 << bits, (h, w, spp), dtype=np.int64)
+        cmap = None
+        if photometric == 3:
+            cmap = rng.integers(0, 65536, (3, 1 << bits), dtype=np.uint16)
+        payload = _tiff_write(
+            samples, bits, photometric, comp, bo, pred, tile=tile, colormap=cmap
+        )
+        dw, dh, gray = decode_image(payload)
+        assert (dw, dh) == (w, h), (bits, spp, photometric, comp)
+        want = _want_gray(samples, bits, photometric, cmap)
+        assert np.allclose(gray, want), (bits, spp, photometric, comp, bo, pred)
+
+    # predictor-per-tile really is per-tile: a global-cumsum decoder
+    # would mis-decode any tile whose left edge isn't column 0 — pin by
+    # checking a constant image (differences all 0 inside each tile, so
+    # a cross-tile cumsum would still decode the second tile correctly
+    # ONLY if the first tile's last column were 0; use value 7)
+    const = np.full((4, 40, 1), 7, np.int64)
+    payload = _tiff_write(const, 8, 1, 5, "little", 2, tile=(16, 16))
+    _, _, gray = decode_image(payload)
+    assert np.allclose(gray, 7.0)
+
+    # missing tiles → hard error, not silence
+    short = _tiff_write(
+        rng.integers(0, 256, (21, 27, 1), dtype=np.int64), 8, 1, 1, "little",
+        tile=(16, 16),
+    )
+    tag324 = b"D\x01\x04\x00"  # tag 324 LONG — drop the count to 2
+    at = short.index(tag324)
+    broken = short[: at + 4] + (2).to_bytes(4, "little") + short[at + 8 :]
+    with pytest.raises(ValueError, match="tiles|mismatch"):
+        decode_tiff(broken)
 
 
 def test_tiff_16bit_both_orders_bit_exact():
