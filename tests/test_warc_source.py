@@ -1,0 +1,173 @@
+"""WARC source tests: hand-built archives (plain + per-record gzip
+members), file-parallel Spark scan, per-record error isolation (S9),
+payload truncation bound, and the documents-table bridge."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from french_admin_etl_spark.sources.warc_source import (
+    parse_warc_bytes,
+    read_warc,
+    warc_documents,
+)
+
+
+def _record(warc_type, headers, body: bytes) -> bytes:
+    hdr = [f"WARC/1.0"]
+    hdr += [f"{k}: {v}" for k, v in headers.items()]
+    hdr += [f"Content-Length: {len(body)}"]
+    head = ("\r\n".join(hdr) + "\r\n\r\n").encode()
+    return head + body + b"\r\n\r\n"
+
+
+def _http_response(status, ctype, body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _sample_warc() -> bytes:
+    recs = [
+        _record(
+            "warcinfo",
+            {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>",
+             "WARC-Date": "2026-08-20T00:00:00Z",
+             "Content-Type": "application/warc-fields"},
+            b"software: test\r\n",
+        ),
+        _record(
+            "request",
+            {"WARC-Type": "request", "WARC-Record-ID": "<urn:uuid:1>",
+             "WARC-Date": "2026-08-20T00:00:01Z",
+             "WARC-Target-URI": "http://example.org/a",
+             "Content-Type": "application/http; msgtype=request"},
+            b"GET /a HTTP/1.1\r\nHost: example.org\r\n\r\n",
+        ),
+        _record(
+            "response",
+            {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:2>",
+             "WARC-Date": "2026-08-20T00:00:01Z",
+             "WARC-Target-URI": "http://example.org/a",
+             "Content-Type": "application/http; msgtype=response"},
+            _http_response(200, "text/html; charset=utf-8", b"<html>doc A</html>"),
+        ),
+        _record(
+            "response",
+            {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:3>",
+             "WARC-Date": "2026-08-20T00:00:02Z",
+             "WARC-Target-URI": "http://example.org/b.png",
+             "Content-Type": "application/http; msgtype=response"},
+            _http_response(200, "image/png", b"\x89PNG fake"),
+        ),
+        _record(
+            "response",
+            {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:4>",
+             "WARC-Date": "2026-08-20T00:00:03Z",
+             "WARC-Target-URI": "http://example.org/gone",
+             "Content-Type": "application/http; msgtype=response"},
+            _http_response(404, "text/html", b"not here"),
+        ),
+    ]
+    return b"".join(recs)
+
+
+def test_parse_plain_and_gzip_members():
+    plain = _sample_warc()
+    rows = list(parse_warc_bytes(plain, "f.warc"))
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo", "request", "response", "response", "response"
+    ]
+    assert all(r["error"] is None for r in rows)
+    resp = rows[2]
+    assert resp["http_status"] == 200
+    assert resp["http_content_type"] == "text/html; charset=utf-8"
+    assert resp["payload"] == b"<html>doc A</html>"
+    assert resp["target_uri"] == "http://example.org/a"
+    assert rows[4]["http_status"] == 404
+    # record_offset points at each record's WARC/ marker in the plain stream
+    for r in rows:
+        assert plain[r["record_offset"] :].startswith(b"WARC/1.0")
+
+    # the standard .warc.gz layout: one gzip member PER RECORD
+    recs = plain.split(b"\r\n\r\nWARC/1.0")
+    parts = [recs[0] + b"\r\n\r\n"] + [
+        b"WARC/1.0" + p + (b"\r\n\r\n" if not p.endswith(b"\r\n\r\n") else b"")
+        for p in recs[1:]
+    ]
+    gz = b"".join(gzip.compress(p) for p in parts)
+    grows = list(parse_warc_bytes(gz, "f.warc.gz"))
+    assert [r["warc_record_id"] for r in grows] == [r["warc_record_id"] for r in rows]
+    assert grows[2]["payload"] == b"<html>doc A</html>"
+
+
+def test_parse_error_isolation_and_truncation():
+    plain = _sample_warc()
+    # chop the last record's body: earlier records still come through,
+    # the broken one comes back as ONE errored row (S9 contract)
+    rows = list(parse_warc_bytes(plain[:-30], "cut.warc"))
+    assert len(rows) == 5
+    assert [r["error"] for r in rows[:4]] == [None] * 4
+    assert "truncated" in rows[4]["error"]
+    # not WARC at all → a single errored row carrying the path
+    bad = list(parse_warc_bytes(b"PK\x03\x04 not a warc", "zip.warc"))
+    assert len(bad) == 1 and "bad record marker" in bad[0]["error"]
+    # corrupt gzip → one errored row
+    badgz = list(parse_warc_bytes(b"\x1f\x8b" + b"\x00" * 20, "x.warc.gz"))
+    assert len(badgz) == 1 and badgz[0]["error"].startswith("gzip:")
+    # payload bound: limit 8 → truncated flag, 8 bytes kept, length intact
+    lim = list(parse_warc_bytes(plain, "f.warc", payload_limit=8))
+    resp = [r for r in lim if r.get("warc_record_id") == "<urn:uuid:2>"][0]
+    assert resp["truncated"] is True and resp["payload"] == b"<html>do"
+
+
+def test_read_warc_spark_scan(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    plain = _sample_warc()
+    (d / "seg-0.warc").write_bytes(plain)
+    (d / "seg-1.warc.gz").write_bytes(gzip.compress(plain))
+    (d / "seg-2.warc").write_bytes(b"garbage, not a warc")
+
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    ok = [r for r in rows if r.error is None]
+    errs = [r for r in rows if r.error is not None]
+    assert len(ok) == 10 and len(errs) == 1  # 5 records × 2 files + 1 S9 row
+    assert os.path.basename(errs[0].source_file.replace("file:", "")) == "seg-2.warc"
+    # the plan stays file-parallel: binaryFile scan → one Arrow-batched
+    # python stage, no shuffle anywhere
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow path, not per-row pickling
+
+    # glob filter prunes at the listing, not post-scan
+    only_gz = read_warc(spark, str(d), path_glob="*.warc.gz").collect()
+    assert {os.path.basename(r.source_file) for r in only_gz} == {"seg-1.warc.gz"}
+
+
+def test_warc_documents_bridge(spark, tmp_path):
+    d = tmp_path / "warcs2"
+    d.mkdir()
+    (d / "seg-0.warc").write_bytes(_sample_warc())
+    docs = warc_documents(spark, str(d)).collect()
+    # only the 200 text/html response survives: warcinfo/request dropped,
+    # image content-type dropped, 404 dropped
+    assert len(docs) == 1
+    doc = docs[0]
+    assert doc.doc_id == "<urn:uuid:2>"
+    assert doc.url == "http://example.org/a"
+    assert doc.content == "<html>doc A</html>"
+    assert doc.truncated is False
+    # and it feeds the existing text operators directly
+    from french_admin_etl_spark.functions.text import quality_features
+
+    feats = (
+        spark.createDataFrame(docs)
+        .select("doc_id", *[c.alias(k) for k, c in quality_features("content").items()])
+        .collect()
+    )
+    assert len(feats) == 1 and feats[0].doc_id == "<urn:uuid:2>"
