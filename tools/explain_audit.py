@@ -455,6 +455,31 @@ def main() -> None:
                "BatchEvalPython", "ArrowEvalPython"])
         sections.append(("FK-index set probe (gate delete-leg candidates)", p))
 
+    # 26. WARC source: file-parallel binaryFile scan → ONE Arrow-batched
+    #     MapInPandas stage, shuffle-free end-to-end (gzip members are not
+    #     byte-splittable, so the file IS the parallel unit; any Exchange
+    #     here would be pure waste at 10^5 crawl segments)
+    import gzip as _gzip
+    import tempfile as _tf
+
+    from french_admin_etl_spark.sources.warc_source import read_warc
+
+    with _tf.TemporaryDirectory() as td:
+        body = b"HTTP/1.1 200 X\r\nContent-Type: text/plain\r\n\r\nhi"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Type: application/http\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+        with open(os.path.join(td, "seg.warc.gz"), "wb") as fh:
+            fh.write(_gzip.compress(rec))
+        p = plan_of(read_warc(spark, td))
+        check("WARC scan: file-parallel Arrow batch parse, shuffle-free", p,
+              ["MapInPandas"],
+              ["Exchange", "BatchEvalPython", "CartesianProduct"])
+        sections.append(("WARC record scan (binaryFile → MapInPandas)", p))
+
     out = ["# PLANS — physical-plan audit of the hot paths\n",
            "Generated by `tools/explain_audit.py`; assertions below are the",
            "scale-critical plan properties (pushdown, map-side combine, codegen,",
