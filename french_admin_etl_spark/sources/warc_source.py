@@ -222,20 +222,33 @@ def warc_documents(
     payload_limit: int = 1 << 20,
     text_types: tuple = ("text/html", "text/plain"),
 ) -> DataFrame:
-    """The bridge into the training-data pipeline: HTTP 200 response
-    records with a text content-type, projected to the engine's
-    documents-table shape (doc_id, url, fetched_at, content) — feed it
-    to the dedup / quality / language operators directly. Everything
-    below stays JVM-side Column expressions on the already-parsed scan."""
+    """The bridge into the training-data pipeline: text records projected
+    to the engine's documents-table shape (doc_id, url, fetched_at,
+    content) — feed it to the dedup / quality / language operators
+    directly. Two record shapes qualify:
+
+    - ``response`` records whose HTTP payload is a 200 with a text
+      content-type (raw crawl ``.warc.gz``);
+    - ``conversion`` records with a text WARC content-type — the
+      Common-Crawl WET layout, where the extracted plain text IS the
+      record body (no HTTP envelope).
+
+    Everything below stays JVM-side Column expressions on the
+    already-parsed scan."""
     from pyspark.sql import functions as F
 
     recs = read_warc(spark, path, payload_limit=payload_limit)
-    base_type = F.trim(F.split(F.col("http_content_type"), ";").getItem(0))
+    http_base = F.trim(F.split(F.col("http_content_type"), ";").getItem(0))
+    warc_base = F.trim(F.split(F.col("warc_content_type"), ";").getItem(0))
+    is_http_text = (
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & http_base.isin(*text_types)
+    )
+    is_wet_text = (F.col("warc_type") == "conversion") & warc_base.isin(*text_types)
     return (
         recs.where(F.col("error").isNull())
-        .where(F.col("warc_type") == "response")
-        .where(F.col("http_status") == 200)
-        .where(base_type.isin(*text_types))
+        .where(is_http_text | is_wet_text)
         .select(
             F.col("warc_record_id").alias("doc_id"),
             F.col("target_uri").alias("url"),

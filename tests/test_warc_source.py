@@ -152,21 +152,31 @@ def test_read_warc_spark_scan(spark, tmp_path):
 def test_warc_documents_bridge(spark, tmp_path):
     d = tmp_path / "warcs2"
     d.mkdir()
-    (d / "seg-0.warc").write_bytes(_sample_warc())
-    docs = warc_documents(spark, str(d)).collect()
-    # only the 200 text/html response survives: warcinfo/request dropped,
-    # image content-type dropped, 404 dropped
-    assert len(docs) == 1
-    doc = docs[0]
-    assert doc.doc_id == "<urn:uuid:2>"
+    # raw crawl segment + a Common-Crawl-style WET extract segment
+    # (conversion records: extracted text IS the body, no HTTP envelope)
+    wet = _record(
+        "conversion",
+        {"WARC-Type": "conversion", "WARC-Record-ID": "<urn:uuid:9>",
+         "WARC-Date": "2026-08-20T00:00:05Z",
+         "WARC-Target-URI": "http://example.org/a",
+         "Content-Type": "text/plain"},
+        b"doc A extracted text",
+    )
+    (d / "seg-0.warc").write_bytes(_sample_warc() + wet)
+    docs = {r.doc_id: r for r in warc_documents(spark, str(d)).collect()}
+    # the 200 text/html response AND the WET conversion record survive:
+    # warcinfo/request dropped, image content-type dropped, 404 dropped
+    assert set(docs) == {"<urn:uuid:2>", "<urn:uuid:9>"}
+    doc = docs["<urn:uuid:2>"]
     assert doc.url == "http://example.org/a"
     assert doc.content == "<html>doc A</html>"
     assert doc.truncated is False
+    assert docs["<urn:uuid:9>"].content == "doc A extracted text"
     # and it feeds the existing text operators directly
     from french_admin_etl_spark.functions.text import quality_features
 
     feats = (
-        spark.createDataFrame(docs)
+        spark.createDataFrame([docs["<urn:uuid:2>"]])
         .select("doc_id", *[c.alias(k) for k, c in quality_features("content").items()])
         .collect()
     )
