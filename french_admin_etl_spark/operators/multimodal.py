@@ -218,12 +218,12 @@ def decode_image(payload: bytes):
                 ).reshape(h, stride)
                 if bpp == 8:
                     idx = rows[:, :w]
-                else:  # 1/4-bit: MSB-first packed fields
-                    bits_arr = np.unpackbits(rows, axis=1)
-                    nf = stride * 8 // bpp
-                    fields = bits_arr[:, : nf * bpp].reshape(h, nf, bpp).astype(np.int64)
-                    weights = 1 << np.arange(bpp - 1, -1, -1)
-                    idx = (fields * weights).sum(axis=2)[:, :w]
+                else:  # 1/4-bit: MSB-first packed fields (shared helper)
+                    from french_admin_etl_spark.operators.tiff import (
+                        unpack_msb_fields,
+                    )
+
+                    idx = unpack_msb_fields(rows, bpp, w)
             if int(idx.max()) >= n_colors:
                 raise ValueError("BMP palette index out of range")
             bgr = pal[idx][:, :, :3]

@@ -31,7 +31,21 @@ via ``operators/multimodal.py::decode_image`` inside Arrow
 
 from __future__ import annotations
 
-__all__ = ["decode_tiff"]
+__all__ = ["decode_tiff", "unpack_msb_fields"]
+
+
+def unpack_msb_fields(mat, bits: int, n: int):
+    """Unpack ``n`` MSB-first ``bits``-wide fields per row from a
+    ``(rows, stride)`` uint8 matrix → ``(rows, n)`` int64. Shared by the
+    sub-byte TIFF path here and the 1/4-bit palette BMP branch in
+    ``operators/multimodal.py`` (one algorithm, one place to fix)."""
+    import numpy as np
+
+    bits_arr = np.unpackbits(mat, axis=1)
+    nf = mat.shape[1] * 8 // bits
+    fields = bits_arr[:, : nf * bits].reshape(mat.shape[0], nf, bits).astype(np.int64)
+    weights = 1 << np.arange(bits - 1, -1, -1)
+    return (fields * weights).sum(axis=2)[:, :n]
 
 # TIFF field types → byte size (only the ones baseline tags use)
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -54,8 +68,11 @@ def _read_ifd(payload: bytes, bo: str):
         typ = int.from_bytes(payload[e + 2 : e + 4], bo)
         cnt = int.from_bytes(payload[e + 4 : e + 8], bo)
         size = _TYPE_SIZE.get(typ)
-        if size is None or cnt > len(payload):
-            continue  # unknown type: skip the tag, per spec readers must
+        if size is None or cnt == 0 or cnt > len(payload):
+            # unknown type or empty value: skip the tag (per spec readers
+            # must skip unknowns; a count-0 entry would otherwise surface
+            # as IndexError instead of the module's ValueError taxonomy)
+            continue
         total = size * cnt
         if total <= 4:
             base = e + 8  # value fits inline, left-justified in the field
@@ -100,6 +117,9 @@ def _lzw_decode(data: bytes, max_out: int) -> bytes:
             nbits += 8
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        acc &= (1 << nbits) - 1  # keep the accumulator a machine word —
+        # an unmasked acc grows into an ever-larger bigint and decode
+        # time goes QUADRATIC in strip size (50 s for a 548 KB strip)
         if code == 256:  # ClearCode
             table = list(literals)
             width = 9
@@ -175,11 +195,7 @@ def _unpack_samples(raw: bytes, rows: int, wpx: int, spp: int, bits: int, np_u2)
         )
     # 1/4-bit gray/palette: MSB-first packed fields, rows byte-aligned
     mat = np.frombuffer(raw, np.uint8).reshape(rows, stride)
-    bits_arr = np.unpackbits(mat, axis=1)
-    nf = stride * 8 // bits
-    fields = bits_arr[:, : nf * bits].reshape(rows, nf, bits).astype(np.int64)
-    weights = 1 << np.arange(bits - 1, -1, -1)
-    return (fields * weights).sum(axis=2)[:, :wpx].reshape(rows, wpx, 1)
+    return unpack_msb_fields(mat, bits, wpx).reshape(rows, wpx, 1)
 
 
 def decode_tiff(payload: bytes):
@@ -213,7 +229,15 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"TIFF missing required tag {exc}") from exc
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    if w * h > 1 << 28:
+        # decompression-bomb guard: header dims are attacker-controlled
+        # and size both the LZW output budget and the tile canvas — a
+        # 100 KB file claiming 2^32 rows must not allocate first and
+        # error later. 268 Mpx ≈ a 16k×16k scan, far past crawl media.
+        raise ValueError(f"TIFF dimensions {w}x{h} exceed the decoder cap")
     spp = tags.get(277, [1])[0]
+    if not 1 <= spp <= 8:
+        raise ValueError(f"bad TIFF samples-per-pixel {spp}")
     bits_list = tags.get(258, [1])
     if len(set(bits_list)) != 1:
         raise NotImplementedError(f"mixed TIFF bit depths {bits_list}")

@@ -11,16 +11,23 @@ unit of parallelism is the FILE, which is the right 100-TB posture
 anyway: crawl corpora ship as 10^4-10^5 independent segment files, so
 file-level parallelism saturates a 1000-executor cluster while each task
 holds exactly one segment (bounded memory, no shuffle; the scan is
-embarrassingly parallel). Records stream out of a decompress-as-you-go
-parser, so a task never materializes more than one record beyond the raw
-file bytes Spark's binaryFile scan already holds.
+embarrassingly parallel). Beyond the raw file bytes the binaryFile scan
+already holds, everything is streamed and bounded: gzip decompresses in
+1 MiB chunks (member-by-member OR one whole-file member — neither
+materializes the decompressed archive), the record parser compacts
+consumed bytes so its buffer stays O(one record), and output rows flush
+to Arrow in 512-record frames.
 
 Per-record error isolation follows the engine's S9 contract (row-level
 dead-letter, the batch survives — the same drop-on-error posture as
 ``operators/validate.py``): a malformed record yields a row with
-``error`` set and null
-fields instead of failing the file; a file that isn't WARC at all yields
-a single errored row carrying its path.
+``error`` set instead of failing the file (framing errors stop that
+file — WARC has no resync point — but records already parsed stand,
+including those from gzip members before a corrupt one); a file that
+isn't WARC at all yields a single errored row carrying its path. HTTP
+bodies are transfer/content-decoded (chunked, gzip, deflate) so encoded
+text never reaches the text operators as mojibake; a body that fails to
+decode dead-letters only its own record.
 
 Payloads are truncated at ``payload_limit`` bytes with a ``truncated``
 flag — an unbounded crawl response (multi-GiB video bodies exist in real
@@ -35,7 +42,6 @@ training-data extension surface.
 
 from __future__ import annotations
 
-import io
 import zlib
 from typing import Iterator
 
@@ -61,128 +67,247 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream — per-record
-    members are the standard ``.warc.gz`` layout so skippers can seek;
-    a concatenation decompresses to the plain WARC byte stream."""
-    out = bytearray()
-    while data:
+def _gzip_chunks(data: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Stream-decompress a (possibly multi-member) gzip buffer in
+    bounded ``chunk``-sized pieces — per-record members are the standard
+    ``.warc.gz`` layout, but a whole-file single member must ALSO stay
+    bounded, so decompression never materializes the full archive.
+    Raises ValueError on a truncated/corrupt member; everything yielded
+    before the raise came from intact members and stands."""
+    pos = 0
+    while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(data)
-        out += d.flush()
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC")
-        data = d.unused_data
-    return bytes(out)
+        piece = d.decompress(data[pos:], chunk)
+        yield piece
+        while not d.eof:
+            tail = d.unconsumed_tail
+            if not tail:
+                raise ValueError("truncated gzip member in WARC")
+            yield d.decompress(tail, chunk)
+        yield d.flush()
+        consumed = (len(data) - pos) - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member consumed no input")
+        pos += consumed
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer encoding (RFC 9112 §7.1)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("chunked body: missing size line")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        size = int(size_tok, 16)  # ValueError propagates = malformed
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are ignored
+        if pos + size > len(body):
+            raise ValueError("chunked body: chunk overruns payload")
+        out += body[pos : pos + size]
+        pos += size + 2  # chunk data + CRLF
+
+
+_HTTP_BODY_CAP = 256 << 20  # decoded-entity bound per record
 
 
 def _parse_http_payload(body: bytes):
     """Split an application/http payload into (status, content-type,
-    entity body). Returns (None, None, body) when it isn't HTTP."""
+    entity body, error). Undoes Transfer-Encoding: chunked and
+    Content-Encoding: gzip/deflate — crawl WARCs store raw network
+    bytes, and an encoded body flowing into the text operators as
+    'content' would be silent mojibake. A body that fails to decode
+    comes back with ``error`` set (S9: the record dead-letters, the
+    file survives). Returns (None, None, body, None) when the payload
+    isn't HTTP at all."""
     if not body.startswith(b"HTTP/"):
-        return None, None, body
+        return None, None, body, None
     head_end = body.find(b"\r\n\r\n")
     if head_end < 0:
-        return None, None, body
+        return None, None, body, None
     head = body[:head_end].decode("latin-1", "replace").split("\r\n")
     try:
         status = int(head[0].split(None, 2)[1])
     except (IndexError, ValueError):
-        return None, None, body
-    ctype = None
+        return None, None, body, None
+    hdrs: dict[str, str] = {}
     for line in head[1:]:
-        k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
-            ctype = v.strip()
-            break
-    return status, ctype, body[head_end + 4 :]
+        k, sep, v = line.partition(":")
+        if sep:
+            hdrs[k.strip().lower()] = v.strip()
+    ctype = hdrs.get("content-type")
+    payload = body[head_end + 4 :]
+    try:
+        if "chunked" in hdrs.get("transfer-encoding", "").lower():
+            payload = _dechunk(payload)
+        cenc = hdrs.get("content-encoding", "").lower()
+        if cenc in ("gzip", "x-gzip"):
+            d = zlib.decompressobj(wbits=31)
+            payload = d.decompress(payload, _HTTP_BODY_CAP)
+            if d.unconsumed_tail:
+                raise ValueError("gzip body exceeds the decode cap")
+        elif cenc == "deflate":
+            try:
+                d = zlib.decompressobj(wbits=15)  # zlib-wrapped (common)
+                payload = d.decompress(payload, _HTTP_BODY_CAP)
+            except zlib.error:
+                d = zlib.decompressobj(wbits=-15)  # raw-deflate servers
+                payload = d.decompress(payload, _HTTP_BODY_CAP)
+            if d.unconsumed_tail:
+                raise ValueError("deflate body exceeds the decode cap")
+        elif cenc not in ("", "identity"):
+            raise ValueError(f"unsupported Content-Encoding {cenc}")
+    except Exception as exc:  # noqa: BLE001 — per-record dead-letter
+        return status, ctype, payload, f"http body decode: {exc}"
+    return status, ctype, payload, None
+
+
+class _IncrementalWarcParser:
+    """Incremental WARC framing over streamed byte chunks: records are
+    emitted as soon as their header block AND Content-Length bytes are
+    buffered, and consumed bytes are compacted away — so peak memory is
+    O(largest single record), not O(archive). A framing error emits one
+    errored row and poisons the parser (WARC framing is sequential —
+    after a broken Content-Length there is no resync point); records
+    emitted before the error stand."""
+
+    def __init__(self, source_file: str, payload_limit: int):
+        self.buf = bytearray()
+        self.base = 0  # plain-stream offset of buf[0]
+        self.pos = 0
+        self.source_file = source_file
+        self.payload_limit = payload_limit
+        self.dead = False
+
+    def _err(self, offset, msg) -> dict:
+        self.dead = True
+        return {
+            "source_file": self.source_file,
+            "record_offset": offset,
+            "error": msg,
+        }
+
+    def feed(self, chunk: bytes, eof: bool = False):
+        if self.dead:
+            return
+        self.buf += chunk
+        buf = self.buf
+        while True:
+            # skip inter-record blank lines (two CRLFs terminate the
+            # prior record; tolerate extras from sloppy writers)
+            while buf[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            while buf[self.pos : self.pos + 1] == b"\n":
+                self.pos += 1
+            if self.pos >= len(buf):
+                break  # clean boundary; wait for more (or EOF)
+            offset = self.base + self.pos
+            # fail fast on a non-WARC marker as soon as the first line is
+            # decidable — without this a non-WARC payload with no blank
+            # line would buffer the whole stream waiting for a header
+            # block that never comes
+            probe = bytes(buf[self.pos : self.pos + 5])
+            if (len(probe) == 5 or eof) and not b"WARC/".startswith(probe):
+                nl = buf.find(b"\n", self.pos)
+                first = bytes(
+                    buf[self.pos : nl if 0 <= nl <= self.pos + 20 else self.pos + 20]
+                )
+                yield self._err(
+                    offset, f"bad record marker {first.decode('latin-1')!r}"
+                )
+                return
+            # need the complete header block before parsing anything
+            he_crlf = buf.find(b"\r\n\r\n", self.pos)
+            he_lf = buf.find(b"\n\n", self.pos)
+            cands = [x for x in (he_crlf, he_lf) if x >= 0]
+            if not cands:
+                if eof:
+                    yield self._err(offset, "EOF inside WARC header block")
+                break
+            he = min(cands)
+            sep = 4 if he == he_crlf else 2
+            head = bytes(buf[self.pos : he]).decode("latin-1", "replace")
+            lines = head.splitlines()
+            if not lines or not lines[0].startswith("WARC/"):
+                marker = lines[0][:20] if lines else ""
+                yield self._err(offset, f"bad record marker {marker!r}")
+                return
+            headers = {}
+            for hl in lines[1:]:
+                k, s, v = hl.partition(":")
+                if s:
+                    headers[k.strip().lower()] = v.strip()
+            try:
+                clen = int(headers["content-length"])
+                if clen < 0:
+                    raise ValueError
+            except (KeyError, ValueError):
+                yield self._err(offset, "missing/bad Content-Length")
+                return
+            body_at = he + sep
+            if body_at + clen > len(buf):
+                if eof:
+                    got = len(buf) - body_at
+                    yield self._err(
+                        offset, f"record body truncated ({got}/{clen})"
+                    )
+                break  # wait for more chunks
+            body = bytes(buf[body_at : body_at + clen])
+            self.pos = body_at + clen
+            ctype = headers.get("content-type")
+            status = http_ctype = None
+            payload, perr = body, None
+            if ctype and ctype.split(";")[0].strip() == "application/http":
+                status, http_ctype, payload, perr = _parse_http_payload(body)
+            yield {
+                "source_file": self.source_file,
+                "record_offset": offset,
+                "warc_type": headers.get("warc-type"),
+                "warc_record_id": headers.get("warc-record-id"),
+                "warc_date": headers.get("warc-date"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_content_type": ctype,
+                "content_length": clen,
+                "http_status": status,
+                "http_content_type": http_ctype,
+                "payload": payload[: self.payload_limit],
+                "truncated": len(payload) > self.payload_limit,
+                "error": perr,
+            }
+        # compact consumed bytes so buffered state stays O(one record)
+        if self.pos:
+            del buf[: self.pos]
+            self.base += self.pos
+            self.pos = 0
 
 
 def parse_warc_bytes(
     data: bytes, source_file: str = "", payload_limit: int = 1 << 20
 ) -> Iterator[dict]:
     """Stream records out of one WARC file's bytes (plain or .warc.gz).
-    Yields plain dicts in WARC_RECORD_SCHEMA field order. A malformed
-    record yields an errored row and parsing stops at it (WARC framing
-    is sequential — after a broken Content-Length there is no resync
-    point); earlier records in the file are unaffected."""
+    Yields plain dicts in WARC_RECORD_SCHEMA field order. Gzip archives
+    decompress member-by-member in bounded chunks, so a corrupt or
+    truncated member costs only the records at and after it — everything
+    from intact earlier members is already out (per-record isolation,
+    matching the plain-WARC behavior). Framing errors yield one errored
+    row and stop the file (no resync point after a broken
+    Content-Length); an HTTP body that fails transfer/content decoding
+    dead-letters only its own record."""
+    parser = _IncrementalWarcParser(source_file, payload_limit)
     if data[:2] == b"\x1f\x8b":
         try:
-            data = _gunzip_members(data)
-        except Exception as exc:  # noqa: BLE001 — one errored row per file
-            yield {"source_file": source_file, "error": f"gzip: {exc}"}
+            for piece in _gzip_chunks(data):
+                yield from parser.feed(piece)
+        except Exception as exc:  # noqa: BLE001 — one errored row; rows
+            # from intact earlier members were already yielded
+            if not parser.dead:
+                yield parser._err(parser.base + parser.pos, f"gzip: {exc}")
             return
-    buf = io.BytesIO(data)
-    while True:
-        offset = buf.tell()
-        # skip inter-record blank lines (two CRLFs terminate the prior
-        # record; tolerate extras from sloppy writers)
-        line = buf.readline()
-        while line in (b"\r\n", b"\n"):
-            offset = buf.tell()
-            line = buf.readline()
-        if not line:
-            return  # clean EOF
-        if not line.startswith(b"WARC/"):
-            yield {
-                "source_file": source_file,
-                "record_offset": offset,
-                "error": f"bad record marker {line[:20]!r}",
-            }
-            return
-        headers: dict[str, str] = {}
-        while True:
-            hl = buf.readline()
-            if hl in (b"\r\n", b"\n"):
-                break
-            if not hl:
-                yield {
-                    "source_file": source_file,
-                    "record_offset": offset,
-                    "error": "EOF inside WARC header block",
-                }
-                return
-            k, sep, v = hl.decode("latin-1", "replace").partition(":")
-            if sep:
-                headers[k.strip().lower()] = v.strip()
-        try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError):
-            yield {
-                "source_file": source_file,
-                "record_offset": offset,
-                "error": "missing/bad Content-Length",
-            }
-            return
-        body = buf.read(clen)
-        if len(body) != clen:
-            yield {
-                "source_file": source_file,
-                "record_offset": offset,
-                "error": f"record body truncated ({len(body)}/{clen})",
-            }
-            return
-        ctype = headers.get("content-type")
-        status = http_ctype = None
-        payload = body
-        if ctype and ctype.split(";")[0].strip() == "application/http":
-            status, http_ctype, payload = _parse_http_payload(body)
-        truncated = len(payload) > payload_limit
-        yield {
-            "source_file": source_file,
-            "record_offset": offset,
-            "warc_type": headers.get("warc-type"),
-            "warc_record_id": headers.get("warc-record-id"),
-            "warc_date": headers.get("warc-date"),
-            "target_uri": headers.get("warc-target-uri"),
-            "warc_content_type": ctype,
-            "content_length": clen,
-            "http_status": status,
-            "http_content_type": http_ctype,
-            "payload": payload[:payload_limit],
-            "truncated": truncated,
-            "error": None,
-        }
+        yield from parser.feed(b"", eof=True)
+    else:
+        yield from parser.feed(data, eof=True)
 
 
 def read_warc(
@@ -207,6 +332,12 @@ def read_warc(
                     bytes(content), str(path_v), payload_limit
                 ):
                     rows.append([rec.get(f) for f in fields])
+                    if len(rows) >= 512:
+                        # bound the output frame too: a 1 GiB segment is
+                        # ~10^5 records × up to payload_limit bytes — one
+                        # giant DataFrame would triple peak task memory
+                        yield pd.DataFrame(rows, columns=fields)
+                        rows = []
             yield pd.DataFrame(rows, columns=fields)
 
     reader = spark.read.format("binaryFile")

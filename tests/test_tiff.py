@@ -494,3 +494,50 @@ def test_tiff_16bit_both_orders_bit_exact():
         dw, dh, gray = decode_image(payload)
         assert (dw, dh) == (w, h)
         assert np.allclose(gray, samples[:, :, 0] * (255.0 / 65535.0))
+
+
+def test_tiff_decompression_bomb_caps():
+    """Round-5 session-6 review finding: header dims are attacker-
+    controlled and size the LZW budget / tile canvas — a tiny file
+    claiming giant dimensions must error BEFORE allocating."""
+    rng = np.random.default_rng(9)
+    samples = rng.integers(0, 256, (4, 5, 1), dtype=np.int64)
+    good = _tiff_write(samples, 8, 1, 5, "little")
+    # patch ImageLength (tag 257 SHORT) to 65535 and ImageWidth to 65535
+    for tag_prefix, val in ((b"\x00\x01\x03\x00\x01\x00\x00\x00", 65535),
+                            (b"\x01\x01\x03\x00\x01\x00\x00\x00", 65535)):
+        at = good.index(tag_prefix)
+        good = good[: at + 8] + val.to_bytes(2, "little") + good[at + 10 :]
+    with pytest.raises(ValueError, match="exceed the decoder cap"):
+        decode_tiff(good)
+    # absurd SamplesPerPixel rejected too
+    bad_spp = _tiff_write(samples, 8, 1, 1, "little", extra_tags=[])
+    at = bad_spp.index(b"\x15\x01\x03\x00\x01\x00\x00\x00")  # tag 277
+    bad_spp = bad_spp[: at + 8] + (999).to_bytes(2, "little") + bad_spp[at + 10 :]
+    with pytest.raises(ValueError, match="samples-per-pixel"):
+        decode_tiff(bad_spp)
+    # a count-0 IFD entry is skipped (ValueError taxonomy, not IndexError)
+    zero_cnt = _tiff_write(samples, 8, 1, 1, "little")
+    at = zero_cnt.index(b"\x00\x01\x03\x00\x01\x00\x00\x00")  # tag 256
+    zero_cnt = zero_cnt[: at + 4] + (0).to_bytes(4, "little") + zero_cnt[at + 8 :]
+    with pytest.raises(ValueError, match="missing required tag"):
+        decode_tiff(zero_cnt)
+
+
+def test_tiff_lzw_decode_is_linear_time():
+    """Review finding: the unmasked bit accumulator made decode time
+    QUADRATIC in strip size (50 s for a 548 KB strip). Guard the fix
+    with a generous wall ceiling a quadratic implementation misses by
+    an order of magnitude (~200 s at this size)."""
+    import time
+
+    rng = np.random.default_rng(2)
+    h, w = 512, 1024  # 512 KB of high-entropy samples
+    samples = rng.integers(0, 256, (h, w, 1), dtype=np.int64)
+    payload = _tiff_write(samples, 8, 1, 5, "little")
+    t0 = time.monotonic()
+    dw, dh, gray = decode_tiff(payload)
+    wall = time.monotonic() - t0
+    assert (dw, dh) == (w, h)
+    assert np.allclose(gray, samples[:, :, 0])
+    assert wall < 30.0, f"LZW decode took {wall:.1f}s — accumulator regression?"

@@ -181,3 +181,111 @@ def test_warc_documents_bridge(spark, tmp_path):
         .collect()
     )
     assert len(feats) == 1 and feats[0].doc_id == "<urn:uuid:2>"
+
+
+def test_gzip_member_prefix_salvage():
+    """Round-5 session-6 review finding: a corrupt/truncated LATER gzip
+    member must not discard records from intact earlier members — the
+    parser streams member-by-member, so the valid prefix is already out
+    (matching plain-WARC per-record isolation)."""
+    plain = _sample_warc()
+    recs = plain.split(b"\r\n\r\nWARC/1.0")
+    parts = [recs[0] + b"\r\n\r\n"] + [
+        b"WARC/1.0" + p + (b"\r\n\r\n" if not p.endswith(b"\r\n\r\n") else b"")
+        for p in recs[1:]
+    ]
+    members = [gzip.compress(p) for p in parts]
+    # truncate the FINAL member mid-stream
+    gz = b"".join(members[:-1]) + members[-1][: len(members[-1]) // 2]
+    rows = list(parse_warc_bytes(gz, "cut.warc.gz"))
+    good = [r for r in rows if r.get("error") is None]
+    errs = [r for r in rows if r.get("error") is not None]
+    assert [r["warc_record_id"] for r in good] == [
+        "<urn:uuid:0>", "<urn:uuid:1>", "<urn:uuid:2>", "<urn:uuid:3>"
+    ]
+    assert len(errs) == 1 and "gzip" in errs[0]["error"]
+
+
+def test_http_transfer_and_content_encoding():
+    """Review finding: crawl WARCs store raw network bytes — chunked and
+    gzip/deflate HTTP bodies must decode (or dead-letter that record),
+    never flow into `content` as mojibake."""
+    text = b"<html>encoded doc</html>"
+    # chunked + gzip together (gzip applied first on the wire, chunked
+    # wraps it; decoding order is chunked -> gunzip)
+    gz_body = gzip.compress(text)
+    chunks = b"".join(
+        b"%x\r\n%s\r\n" % (len(c), c)
+        for c in (gz_body[:7], gz_body[7:])
+    ) + b"0\r\n\r\n"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n"
+    ) + chunks
+    rec = _record(
+        "response",
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:enc>",
+         "WARC-Target-URI": "http://example.org/enc",
+         "WARC-Date": "2026-08-20T00:00:06Z",
+         "Content-Type": "application/http; msgtype=response"},
+        http,
+    )
+    rows = list(parse_warc_bytes(rec, "enc.warc"))
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert rows[0]["payload"] == text
+
+    # zlib-wrapped deflate
+    import zlib as _z
+
+    http2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: deflate\r\n\r\n"
+    ) + _z.compress(b"plain deflate doc")
+    rec2 = _record(
+        "response",
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:df>",
+         "WARC-Target-URI": "http://example.org/df",
+         "Content-Type": "application/http"},
+        http2,
+    )
+    rows2 = list(parse_warc_bytes(rec2, "df.warc"))
+    assert rows2[0]["error"] is None
+    assert rows2[0]["payload"] == b"plain deflate doc"
+
+    # corrupt gzip body → THAT record dead-letters, the next one survives
+    http3 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n"
+    ) + b"\x1f\x8bgarbage"
+    rec3 = _record(
+        "response",
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:bad>",
+         "WARC-Target-URI": "http://example.org/bad",
+         "Content-Type": "application/http"},
+        http3,
+    )
+    rows3 = list(parse_warc_bytes(rec3 + rec2, "mix.warc"))
+    assert len(rows3) == 2
+    assert "http body decode" in rows3[0]["error"]
+    assert rows3[1]["error"] is None and rows3[1]["payload"] == b"plain deflate doc"
+
+
+def test_warc_documents_excludes_undecodable_bodies(spark, tmp_path):
+    """An encoded body that fails to decode must NOT become document
+    content (the error.isNull filter catches the per-record dead-letter)."""
+    d = tmp_path / "warcs3"
+    d.mkdir()
+    bad_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n"
+    ) + b"\x00brotli-we-dont-decode"
+    rec = _record(
+        "response",
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:br>",
+         "WARC-Target-URI": "http://example.org/br",
+         "Content-Type": "application/http"},
+        bad_http,
+    )
+    (d / "seg.warc").write_bytes(_sample_warc() + rec)
+    docs = warc_documents(spark, str(d)).collect()
+    assert {r.doc_id for r in docs} == {"<urn:uuid:2>"}
