@@ -252,6 +252,13 @@ def decode_image(payload: bytes):
         from french_admin_etl_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    # TGA last: the format has no magic number, so this is a header
+    # plausibility check (v2 footer conclusive when present); a false
+    # positive dead-letters one row like any other undecodable payload
+    from french_admin_etl_spark.operators.tga import decode_tga, looks_like_tga
+
+    if looks_like_tga(payload):
+        return decode_tga(payload)
     raise NotImplementedError(
         f"codec not decodable without image libraries (magic {payload[:4]!r})"
     )

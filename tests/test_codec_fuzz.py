@@ -121,6 +121,17 @@ def _valid_image_payloads():
         rng.randint(0, 256, (21, 27, 1)).astype(np.int64),
         8, 1, 5, "little", predictor=2, tile=(16, 16),
     )
+    # TGA (magicless: mutations may fall through to the generic
+    # NotImplementedError — still an ordinary, terminating exception)
+    from test_tga import _tga_write
+
+    pay["tga_rle"] = _tga_write(
+        rng.randint(0, 256, (9, 11, 3)).astype(np.int64), 10, 24, footer=True
+    )
+    pay["tga_pal"] = _tga_write(
+        rng.randint(0, 16, (9, 11)).astype(np.int64), 1, 8,
+        palette=rng.randint(0, 256, (16, 3)).astype(np.int64),
+    )
     return pay
 
 
