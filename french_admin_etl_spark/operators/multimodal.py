@@ -248,7 +248,8 @@ def decode_image(payload: bytes):
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         # baseline TIFF, from-scratch (operators/tiff.py): strips or
         # tiles, none / LZW / PackBits, gray / RGB / palette, predictor
-        # 2, both byte orders; planar-2 raises = the declared seam
+        # 2, both planar configs, both byte orders; planar-2-with-tiles
+        # raises = the declared seam
         from french_admin_etl_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)

@@ -5,11 +5,13 @@ meets: both byte orders (``II``/``MM``), strip- AND tile-organised
 images (tags 273/279 or 322-325), compression 1 (none), 5 (LZW) and
 32773 (PackBits), photometric 0/1 (grayscale, min-is-white /
 min-is-black), 2 (RGB, extra samples ignored) and 3 (palette, 16-bit
-ColorMap), bits-per-sample 1/4/8/16, and predictor 2 (horizontal
+ColorMap), bits-per-sample 1/4/8/16, predictor 2 (horizontal
 differencing, 8- and 16-bit samples; restarts per tile since tiles
-compress independently). Planar configuration 2 raises
-``NotImplementedError`` — a declared seam, dead-lettered per row under
-the engine's S9 contract like every other codec seam.
+compress independently), and both planar configurations (chunky and
+§14 plane-major separate-strip planes). Planar-2 WITH tiles raises
+``NotImplementedError`` — the one remaining (and in practice unused)
+corner, dead-lettered per row under the engine's S9 contract like
+every other codec seam.
 
 The LZW variant here is the TIFF one, which differs from GIF's in all
 three conventions: codes pack MSB-first (GIF: LSB-first), the alphabet
@@ -212,8 +214,12 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"not a TIFF payload (magic {payload[:4]!r})")
     tags = _read_ifd(payload, bo)
     tiled = 324 in tags or 325 in tags
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("TIFF planar configuration 2 not supported")
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2) or (planar == 2 and tiled):
+        raise NotImplementedError(
+            f"TIFF planar configuration {planar}{' with tiles' if tiled else ''}"
+            " not supported"
+        )
     try:
         w = tags[256][0]
         h = tags[257][0]
@@ -297,26 +303,62 @@ def decode_tiff(payload: bytes):
                     :ch, :cw
                 ]
     else:
-        stride = (w * spp * bits + 7) // 8  # rows are byte-aligned
-        raw = bytearray()
-        rows_done = 0
-        for so, sc in zip(offsets, counts):
-            if so + sc > len(payload):
-                raise ValueError("TIFF strip out of bounds")
-            n_rows = min(rows_per_strip, h - rows_done)
-            if n_rows <= 0:
-                break
-            want = stride * n_rows
-            raw += _decompress(payload[so : so + sc], want, compression)
-            if len(raw) != stride * (rows_done + n_rows):
-                raise ValueError("short TIFF strip after decompression")
-            rows_done += n_rows
-        if rows_done < h:
-            raise ValueError(f"TIFF strips cover {rows_done} of {h} rows")
-        samples = _unpack_samples(bytes(raw), h, w, spp, bits, np_u2)
+
+        def assemble(strip_list, stride):
+            """Concatenate one plane's (or the chunky image's) strips."""
+            raw = bytearray()
+            rows_done = 0
+            for so, sc in strip_list:
+                if so + sc > len(payload):
+                    raise ValueError("TIFF strip out of bounds")
+                n_rows = min(rows_per_strip, h - rows_done)
+                if n_rows <= 0:
+                    break
+                want = stride * n_rows
+                raw += _decompress(payload[so : so + sc], want, compression)
+                if len(raw) != stride * (rows_done + n_rows):
+                    raise ValueError("short TIFF strip after decompression")
+                rows_done += n_rows
+            if rows_done < h:
+                raise ValueError(f"TIFF strips cover {rows_done} of {h} rows")
+            return bytes(raw)
+
+        if planar == 2:
+            # §14: each component's strips form a separate plane, listed
+            # plane-major (all of component 0's strips, then 1's, ...)
+            if bits < 8:
+                raise NotImplementedError("sub-byte planar-2 TIFF")
+            spi = (h + rows_per_strip - 1) // rows_per_strip
+            if len(offsets) < spi * spp:
+                raise ValueError(
+                    f"planar TIFF has {len(offsets)} strips, needs {spi * spp}"
+                )
+            stride = (w * bits + 7) // 8
+            planes = [
+                _unpack_samples(
+                    assemble(
+                        list(
+                            zip(
+                                offsets[c * spi : (c + 1) * spi],
+                                counts[c * spi : (c + 1) * spi],
+                            )
+                        ),
+                        stride,
+                    ),
+                    h, w, 1, bits, np_u2,
+                )
+                for c in range(spp)
+            ]
+            samples = np.concatenate(planes, axis=2)
+        else:
+            stride = (w * spp * bits + 7) // 8  # rows are byte-aligned
+            samples = _unpack_samples(
+                assemble(list(zip(offsets, counts)), stride), h, w, spp, bits, np_u2
+            )
         if predictor == 2:
             # horizontal differencing: each sample is the delta to the
             # previous pixel's same channel → undo with a cumsum mod 2^bits
+            # (per-channel, so the same cumsum serves chunky AND planar)
             samples = np.cumsum(samples, axis=1) & mask
 
     full = float((1 << bits) - 1)

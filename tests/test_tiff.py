@@ -127,6 +127,7 @@ def _tiff_write(
     rows_per_strip: int | None = None,
     colormap: np.ndarray | None = None,  # (3, 2^bits) uint16
     tile: tuple[int, int] | None = None,  # (tw, tl) → tile organisation
+    planar: int = 1,
     extra_tags: list | None = None,
 ) -> bytes:
     h, w, spp = samples.shape
@@ -139,7 +140,18 @@ def _tiff_write(
         return raw
 
     blocks = []
-    if tile:
+    if planar == 2:
+        # plane-major strip list: all of component 0's strips, then 1's…
+        rps = rows_per_strip or h
+        if predictor == 2:
+            samples = _diff(samples, bits)
+        for c in range(spp):
+            for y0 in range(0, h, rps):
+                rows = samples[y0 : y0 + rps, :, c : c + 1]
+                blocks.append(
+                    compress(b"".join(_pack_row(r, bits, bo) for r in rows))
+                )
+    elif tile:
         tw, tl = tile
         for y0 in range(0, h, tl):
             for x0 in range(0, w, tw):
@@ -191,6 +203,8 @@ def _tiff_write(
         ]
     if predictor != 1:
         entries.append((317, 3, [predictor]))
+    if planar != 1:
+        entries.append((284, 3, [planar]))
     if colormap is not None:
         entries.append((320, 3, list(colormap.reshape(-1))))
     entries += extra_tags or []
@@ -414,10 +428,15 @@ def test_tiff_error_paths():
     with pytest.raises(ValueError, match="truncated TIFF LZW"):
         decode_tiff(cut)
 
-    # planar configuration 2 is the declared seam
-    planar = _tiff_write(samples, 8, 1, 1, "little", extra_tags=[(284, 3, [2])])
+    # planar-2 with tiles and unknown planar values are the seams
+    planar3 = _tiff_write(samples, 8, 1, 1, "little", extra_tags=[(284, 3, [3])])
     with pytest.raises(NotImplementedError, match="planar"):
-        decode_tiff(planar)
+        decode_tiff(planar3)
+    planar_tiled = _tiff_write(
+        samples, 8, 1, 1, "little", tile=(16, 16), extra_tags=[(284, 3, [2])]
+    )
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(planar_tiled)
 
     with pytest.raises(ValueError):
         decode_tiff(b"II*\x00\x08\x00\x00")  # truncated header
@@ -481,6 +500,34 @@ def test_tiff_tiled_roundtrip():
     broken = short[: at + 4] + (2).to_bytes(4, "little") + short[at + 8 :]
     with pytest.raises(ValueError, match="tiles|mismatch"):
         decode_tiff(broken)
+
+
+def test_tiff_planar_configuration_2():
+    """§14 planar RGB: plane-major separate strip sets per component,
+    multi-strip planes, LZW + predictor-2 (differencing within each
+    plane), 8- and 16-bit."""
+    rng = np.random.default_rng(41)
+    for bits, comp, pred, rps, bo in [
+        (8, 1, 1, None, "little"),
+        (8, 5, 2, 4, "big"),          # LZW + predictor, ragged strips
+        (8, 32773, 1, 3, "little"),
+        (16, 5, 2, 5, "little"),
+    ]:
+        h, w = 11, 9
+        samples = rng.integers(0, 1 << bits, (h, w, 3), dtype=np.int64)
+        payload = _tiff_write(
+            samples, bits, 2, comp, bo, pred, rows_per_strip=rps, planar=2
+        )
+        dw, dh, gray = decode_image(payload)
+        assert (dw, dh) == (w, h)
+        assert np.allclose(gray, _want_gray(samples, bits, 2)), (bits, comp, pred)
+    # a planar file missing one plane's strips errors loudly
+    ok = _tiff_write(samples, 8, 2, 1, "little", planar=2)
+    tag279 = b"\x17\x01\x04\x00"
+    at = ok.index(tag279)
+    short = ok[: at + 4] + (2).to_bytes(4, "little") + ok[at + 8 :]
+    with pytest.raises(ValueError, match="strips|mismatch"):
+        decode_tiff(short)
 
 
 def test_tiff_16bit_both_orders_bit_exact():
