@@ -281,6 +281,71 @@ def cmd_dag(args) -> None:
         )
 
 
+def cmd_ingest_warc(args) -> None:
+    """Crawl → lake: parse WARC/WET segments into the documents-table
+    shape and MERGE them keyed by URL (latest fetch wins — WARC-Date
+    micros is the sequence, so re-crawls upsert and replayed segments
+    are idempotent). The result is a LakeTable ready for the curation
+    operators (dedup / quality gate / splits / shards)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from french_admin_etl_spark.config import EngineConfig
+    from french_admin_etl_spark.operators.dedup import dedup_max_seq
+    from french_admin_etl_spark.sources.warc_source import warc_documents
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    cfg = EngineConfig.load(
+        overrides={"table_root": args.table_root, "num_buckets": args.num_buckets,
+                   "write_mode": args.write_mode}
+        | {"workers": args.cores}
+    )
+    if cfg.table_root is None:
+        raise SystemExit("missing --table-root (or $SPARK_GRAFT_TABLE_ROOT)")
+    spark = cfg.session(app_name="ingest_warc")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("fetched_at", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("truncated", T.BooleanType()),
+        ]
+    )
+    if LakeTable.exists(cfg.table_root):
+        table = LakeTable(spark, cfg.table_root)
+    else:
+        table = LakeTable.create(
+            spark, cfg.table_root, schema=schema, key_cols=["url"],
+            num_buckets=cfg.num_buckets, write_mode=cfg.write_mode,
+        )
+    docs = warc_documents(
+        spark, args.warc_dir, payload_limit=args.payload_limit,
+        text_types=tuple(args.text_types.split(",")),
+    )
+    src = docs.select(
+        "url", "doc_id", "fetched_at", "content", "truncated",
+        # WARC-Date (ISO 8601) micros = the merge sequence: the latest
+        # fetch of a URL wins, equal-date redelivery is idempotent
+        F.coalesce(
+            F.unix_micros(F.to_timestamp("fetched_at")), F.lit(0)
+        ).alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+    src = dedup_max_seq(src, ["url"], "lsn")
+    stats = table.merge(src, batch_id=args.batch_id, writer_id=args.writer_id)
+    print(
+        json.dumps(
+            {
+                "table_root": cfg.table_root,
+                "upserted": stats.rows_upserted,
+                "deleted": stats.rows_deleted,
+                "fenced": stats.fenced,
+            }
+        )
+    )
+
+
 def cmd_maintain(args) -> None:
     """Table maintenance trio (run from a scheduler, never inline with
     ingest): compact MOR deltas, expire old snapshot metadata, vacuum
@@ -512,6 +577,21 @@ def main() -> None:
                     help="Structured Streaming driver (availableNow over sealed segments)")
     gp.add_argument("--cores", type=int, default=None)
     gp.set_defaults(fn=cmd_dag)
+
+    wp = sub.add_parser(
+        "ingest-warc",
+        help="parse WARC/WET crawl segments into a URL-keyed documents table",
+    )
+    wp.add_argument("warc_dir", help="directory of .warc / .warc.gz segments")
+    wp.add_argument("--table-root", default=None)
+    wp.add_argument("--num-buckets", type=int, default=None)
+    wp.add_argument("--write-mode", default=None, choices=[None, "cow", "mor"])
+    wp.add_argument("--payload-limit", type=int, default=1 << 20)
+    wp.add_argument("--text-types", default="text/html,text/plain")
+    wp.add_argument("--batch-id", type=int, default=None)
+    wp.add_argument("--writer-id", default=None)
+    wp.add_argument("--cores", type=int, default=None)
+    wp.set_defaults(fn=cmd_ingest_warc)
 
     mp = sub.add_parser("maintain", help="compact / expire snapshots / vacuum")
     mp.add_argument("--table-root", required=True)

@@ -436,3 +436,55 @@ def test_dag_subcommand_requeue_quarantined(spark, tmp_root, monkeypatch, capsys
     assert not os.listdir(os.path.join(tmp_root, "ck", "quarantine"))
     commune = LakeTable(spark, os.path.join(tmp_root, "t", "commune"))
     assert [r["code"] for r in commune.read().collect()] == ["C1"]
+
+
+def test_ingest_warc_subcommand_end_to_end(spark, tmp_root, monkeypatch, capsys):
+    """`ingest-warc`: crawl segments → URL-keyed documents LakeTable,
+    latest fetch wins, replayed segments idempotent under a fence."""
+    import gzip
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import app
+    from test_warc_source import _http_response, _record
+
+    d = os.path.join(tmp_root, "segs")
+    os.makedirs(d)
+
+    def resp(uid, uri, date, text):
+        return _record(
+            "response",
+            {"WARC-Type": "response", "WARC-Record-ID": uid,
+             "WARC-Date": date, "WARC-Target-URI": uri,
+             "Content-Type": "application/http"},
+            _http_response(200, "text/html", text),
+        )
+
+    seg = (
+        resp("<a>", "http://x.org/1", "2026-08-19T10:00:00Z", b"old version")
+        + resp("<b>", "http://x.org/1", "2026-08-20T10:00:00Z", b"new version")
+        + resp("<c>", "http://x.org/2", "2026-08-20T11:00:00Z", b"other doc")
+    )
+    with open(os.path.join(d, "seg-0.warc.gz"), "wb") as fh:
+        fh.write(gzip.compress(seg))
+
+    troot = os.path.join(tmp_root, "docs_table")
+    argv = ["app.py", "ingest-warc", d, "--table-root", troot,
+            "--num-buckets", "2", "--batch-id", "1", "--cores", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    app.main()
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["upserted"] == 2 and not out1["fenced"]
+
+    rows = {r.url: r for r in LakeTable(spark, troot).read().collect()}
+    assert set(rows) == {"http://x.org/1", "http://x.org/2"}
+    # latest fetch of /1 won the URL-keyed merge
+    assert rows["http://x.org/1"].content == "new version"
+    assert rows["http://x.org/1"].doc_id == "<b>"
+
+    # replaying the same segment with the same batch id fences to a no-op
+    app.main()
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["fenced"] is True
+    rows2 = {r.url: r.content for r in LakeTable(spark, troot).read().collect()}
+    assert rows2 == {u: r.content for u, r in rows.items()}
