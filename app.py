@@ -321,9 +321,14 @@ def cmd_ingest_warc(args) -> None:
         )
     docs = warc_documents(
         spark, args.warc_dir, payload_limit=args.payload_limit,
-        text_types=tuple(args.text_types.split(",")),
+        text_types=tuple(t.strip() for t in args.text_types.split(",")),
     )
-    src = docs.select(
+    src = docs.where(
+        # a record without WARC-Target-URI has no key: a NULL url never
+        # matches in the MERGE join, so it would INSERT a fresh duplicate
+        # on every run — drop it (S9: the rest of the segment survives)
+        F.col("url").isNotNull()
+    ).select(
         "url", "doc_id", "fetched_at", "content", "truncated",
         # WARC-Date (ISO 8601) micros = the merge sequence: the latest
         # fetch of a URL wins, equal-date redelivery is idempotent
@@ -332,7 +337,12 @@ def cmd_ingest_warc(args) -> None:
         ).alias("lsn"),
         F.lit("U").alias("op"),
     )
-    src = dedup_max_seq(src, ["url"], "lsn")
+    # intra-batch dedup tie-breaks deterministically on doc_id: WARC-Date
+    # is second-resolution, so two same-second fetches of one URL would
+    # otherwise pick an arbitrary winner per run
+    src = dedup_max_seq(
+        src.withColumn("_ord", F.struct("lsn", "doc_id")), ["url"], "_ord"
+    ).drop("_ord")
     stats = table.merge(src, batch_id=args.batch_id, writer_id=args.writer_id)
     print(
         json.dumps(

@@ -44,19 +44,19 @@ def _header(payload: bytes):
     }
 
 
-def looks_like_tga(payload: bytes) -> bool:
-    """Heuristic magic for a magicless format. The v2 footer is
-    conclusive; otherwise require a self-consistent header."""
-    if len(payload) >= 44 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
-        return True  # v2 footer signature (last 18 of the 26-byte footer)
-    try:
-        hd = _header(payload)
-    except ValueError:
-        return False
+def _header_consistent(hd: dict) -> bool:
+    """The full self-consistency check — EVERY decode path requires it
+    (round-5 session-6 review finding: the v2 footer must not bypass
+    validation, or a crafted footer+junk-header file reaches the pixel
+    paths with an unvalidated depth and an unbounded allocation budget)."""
     t = hd["img_type"]
     if t not in _VALID_TYPES or hd["cmap_type"] > 1:
         return False
     if hd["w"] == 0 or hd["h"] == 0:
+        return False
+    if hd["desc"] & 0xC0:
+        # legacy two-/four-way interleave: decoding it sequentially would
+        # produce a silently scrambled plane — reject → S9 dead-letter
         return False
     base = t & ~8
     if base == 1:  # color-mapped: 8-bit indices into a present palette
@@ -69,6 +69,21 @@ def looks_like_tga(payload: bytes) -> bool:
     if base == 2:
         return hd["depth"] in (15, 16, 24, 32) and hd["cmap_type"] == 0
     return hd["depth"] == 8 and hd["cmap_type"] == 0  # grayscale
+
+
+def looks_like_tga(payload: bytes) -> bool:
+    """Heuristic magic for a magicless format: a self-consistent header,
+    OR the v2 footer signature. The footer only affects DISPATCH — it
+    routes a claimed-TGA file with a broken header to ``decode_tga``,
+    which then rejects it with the honest ValueError taxonomy instead of
+    the generic not-a-known-codec error; it never bypasses validation."""
+    try:
+        hd = _header(payload)
+    except ValueError:
+        return False
+    if _header_consistent(hd):
+        return True
+    return len(payload) >= 44 and payload[-18:] == b"TRUEVISION-XFILE.\x00"
 
 
 def _rle_expand(data: bytes, n_px: int, bpp: int) -> bytes:
@@ -118,7 +133,7 @@ def decode_tga(payload: bytes):
     import numpy as np
 
     hd = _header(payload)
-    if not looks_like_tga(payload):
+    if not _header_consistent(hd):
         raise ValueError("not a plausible TGA header")
     w, h, depth = hd["w"], hd["h"], hd["depth"]
     if w * h > 1 << 28:

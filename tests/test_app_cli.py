@@ -460,10 +460,24 @@ def test_ingest_warc_subcommand_end_to_end(spark, tmp_root, monkeypatch, capsys)
             _http_response(200, "text/html", text),
         )
 
+    no_uri = _record(
+        "response",
+        {"WARC-Type": "response", "WARC-Record-ID": "<nouri>",
+         "WARC-Date": "2026-08-20T09:00:00Z",
+         "Content-Type": "application/http"},
+        _http_response(200, "text/html", b"keyless"),
+    )
     seg = (
         resp("<a>", "http://x.org/1", "2026-08-19T10:00:00Z", b"old version")
         + resp("<b>", "http://x.org/1", "2026-08-20T10:00:00Z", b"new version")
         + resp("<c>", "http://x.org/2", "2026-08-20T11:00:00Z", b"other doc")
+        # same-second re-fetch pair: the doc_id tie-break must pick <t2>
+        # deterministically (WARC-Date is second-resolution)
+        + resp("<t1>", "http://x.org/3", "2026-08-20T12:00:00Z", b"tie A")
+        + resp("<t2>", "http://x.org/3", "2026-08-20T12:00:00Z", b"tie B")
+        # record without WARC-Target-URI: NULL key — must be dropped, not
+        # inserted fresh on every run
+        + no_uri
     )
     with open(os.path.join(d, "seg-0.warc.gz"), "wb") as fh:
         fh.write(gzip.compress(seg))
@@ -474,10 +488,11 @@ def test_ingest_warc_subcommand_end_to_end(spark, tmp_root, monkeypatch, capsys)
     monkeypatch.setattr(sys, "argv", argv)
     app.main()
     out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out1["upserted"] == 2 and not out1["fenced"]
+    assert out1["upserted"] == 3 and not out1["fenced"]
 
     rows = {r.url: r for r in LakeTable(spark, troot).read().collect()}
-    assert set(rows) == {"http://x.org/1", "http://x.org/2"}
+    assert set(rows) == {"http://x.org/1", "http://x.org/2", "http://x.org/3"}
+    assert rows["http://x.org/3"].content == "tie B"  # doc_id tie-break
     # latest fetch of /1 won the URL-keyed merge
     assert rows["http://x.org/1"].content == "new version"
     assert rows["http://x.org/1"].doc_id == "<b>"

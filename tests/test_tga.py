@@ -180,3 +180,35 @@ def test_tga_heuristic_and_errors():
     bad_idx[-1] = 250  # beyond cmap_len=4
     with pytest.raises(ValueError, match="palette index"):
         decode_tga(bytes(bad_idx))
+
+
+def test_tga_footer_never_bypasses_validation():
+    """Session-6 review finding: a crafted v2 footer on a junk header
+    must not reach the pixel paths with an unvalidated depth (7.68 GB
+    allocation budget) — the footer affects DISPATCH only; decode_tga
+    validates regardless and rejects with the honest ValueError."""
+    hdr = bytearray(18)
+    hdr[2] = 10          # RLE true-color
+    hdr[12:14] = (60000).to_bytes(2, "little")
+    hdr[14:16] = (4000).to_bytes(2, "little")
+    hdr[16] = 255        # absurd depth — must be rejected, not sized
+    junk = bytes(hdr) + b"\x00" * 64 + b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+    assert looks_like_tga(junk)  # footer routes it to the TGA decoder...
+    with pytest.raises(ValueError, match="plausible TGA"):
+        decode_tga(junk)  # ...which rejects it loudly
+    # footer + cmap-less color-mapped type: same taxonomy, no TypeError
+    hdr2 = bytearray(18)
+    hdr2[2] = 1
+    hdr2[12:14] = hdr2[14:16] = (4).to_bytes(2, "little")
+    hdr2[16] = 8
+    junk2 = bytes(hdr2) + b"\x00" * 16 + b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+    with pytest.raises(ValueError, match="plausible TGA"):
+        decode_tga(junk2)
+    # interleaved descriptors (bits 6-7) are rejected, not scrambled
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.int64)
+    good = bytearray(_tga_write(img, 2, 24))
+    good[17] |= 0x40
+    assert not looks_like_tga(bytes(good))
+    with pytest.raises(ValueError, match="plausible TGA"):
+        decode_tga(bytes(good))
