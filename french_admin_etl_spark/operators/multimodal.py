@@ -160,7 +160,7 @@ def decode_image(payload: bytes):
         h = int.from_bytes(payload[22:26], "little", signed=True)
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
-        if bpp not in (1, 4, 8, 24) or compression not in (0, 1) or (
+        if bpp not in (1, 4, 8, 24, 32) or compression not in (0, 1) or (
             compression == 1 and bpp != 8
         ):
             raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
@@ -168,7 +168,7 @@ def decode_image(payload: bytes):
 
         bottom_up = h > 0
         h = abs(h)
-        if bpp != 24:
+        if bpp not in (24, 32):
             # palette BMP (round 5): BGRA quads follow the info header;
             # biClrUsed 0 means a full-size table; 1/4-bit rows pack
             # MSB-first; BI_RLE8 (compression 1) run-length decodes
@@ -228,9 +228,14 @@ def decode_image(payload: bytes):
                 raise ValueError("BMP palette index out of range")
             bgr = pal[idx][:, :, :3]
         else:
-            stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+            nb = bpp // 8  # 24-bit BGR or 32-bit BGRA (alpha ignored)
+            stride = (w * nb + 3) & ~3  # rows pad to 4 bytes
             rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
-            bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+            bgr = (
+                rows.reshape(h, stride)[:, : w * nb]
+                .reshape(h, w, nb)[:, :, :3]
+                .astype(np.float64)
+            )
         if bottom_up:
             bgr = bgr[::-1]
         gray = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
@@ -253,6 +258,15 @@ def decode_image(payload: bytes):
         from french_admin_etl_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if (
+        payload[:4] == b"\x00\x00\x01\x00"
+        and len(payload) >= 6
+        and 0 < int.from_bytes(payload[4:6], "little") <= 1024
+    ):
+        # ICO (favicon container): decode the LARGEST entry — each image
+        # is either an embedded PNG or a headerless BMP DIB, both routed
+        # back through this function's own branches
+        return _decode_ico(payload)
     # TGA last: the format has no magic number, so this is a header
     # plausibility check (v2 footer conclusive when present); a false
     # positive dead-letters one row like any other undecodable payload
@@ -263,6 +277,55 @@ def decode_image(payload: bytes):
     raise NotImplementedError(
         f"codec not decodable without image libraries (magic {payload[:4]!r})"
     )
+
+
+def _decode_ico(payload: bytes):
+    """ICO favicon container: ICONDIR + 16-byte entries, each pointing
+    at either an embedded PNG (magic-detected) or a headerless BMP DIB
+    whose BITMAPINFOHEADER height is DOUBLED (XOR color mask + AND
+    transparency mask stacked). Decodes the largest entry by routing it
+    back through ``decode_image`` — the DIB case synthesizes the 14-byte
+    ``BM`` file header (pixel offset = 14 + header + palette) and halves
+    the height; the trailing AND mask is simply never read (the BMP
+    branch consumes exactly stride×h from the pixel offset). Alpha /
+    transparency is ignored per the gray contract."""
+    count = int.from_bytes(payload[4:6], "little")
+    best = None  # (area, offset, size)
+    for k in range(count):
+        e = 6 + 16 * k
+        if e + 16 > len(payload):
+            raise ValueError("truncated ICO directory")
+        ew = payload[e] or 256  # 0 encodes 256
+        eh = payload[e + 1] or 256
+        size = int.from_bytes(payload[e + 8 : e + 12], "little")
+        off = int.from_bytes(payload[e + 12 : e + 16], "little")
+        if off + size > len(payload) or size < 16:
+            raise ValueError("ICO entry out of bounds")
+        if best is None or ew * eh > best[0]:
+            best = (ew * eh, off, size)
+    if best is None:
+        raise ValueError("empty ICO directory")
+    blob = payload[best[1] : best[1] + best[2]]
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_image(blob)
+    hdr_size = int.from_bytes(blob[0:4], "little")
+    if hdr_size < 40 or hdr_size > len(blob):
+        raise ValueError(f"bad ICO DIB header size {hdr_size}")
+    dib_h = int.from_bytes(blob[8:12], "little", signed=True)
+    bpp = int.from_bytes(blob[14:16], "little")
+    clr_used = int.from_bytes(blob[32:36], "little")
+    n_colors = clr_used or ((1 << bpp) if bpp <= 8 else 0)
+    info = bytearray(blob)
+    info[8:12] = (dib_h // 2).to_bytes(4, "little", signed=True)
+    pixel_off = 14 + hdr_size + n_colors * 4
+    synth = (
+        b"BM"
+        + (14 + len(info)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + pixel_off.to_bytes(4, "little")
+        + bytes(info)
+    )
+    return decode_image(synth)
 
 
 def _png_unfilter(raw: bytes, offset: int, stride: int, height: int, bpp: int):

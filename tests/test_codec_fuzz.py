@@ -132,6 +132,14 @@ def _valid_image_payloads():
         rng.randint(0, 16, (9, 11)).astype(np.int64), 1, 8,
         palette=rng.randint(0, 256, (16, 3)).astype(np.int64),
     )
+    # ICO container (32-bpp DIB + palette DIB entries)
+    from test_tga import _dib, _ico
+
+    pay["ico"] = _ico([
+        (8, 8, _dib(rng.randint(0, 8, (8, 8)).astype(np.int64), 8,
+                    palette=rng.randint(0, 256, (256, 3)).astype(np.int64))),
+        (12, 12, _dib(rng.randint(0, 256, (12, 12, 3)).astype(np.int64), 32)),
+    ])
     return pay
 
 

@@ -212,3 +212,131 @@ def test_tga_footer_never_bypasses_validation():
     assert not looks_like_tga(bytes(good))
     with pytest.raises(ValueError, match="plausible TGA"):
         decode_tga(bytes(good))
+
+
+# ------------------------------------------------------------------- ICO
+# (kept in this file: the other magicless/container dispatch additions of
+# round-5 session 6 live here too)
+
+
+def _dib(img_rgb, bpp, palette=None):
+    """Headerless BMP DIB as ICO embeds it: BITMAPINFOHEADER with the
+    DOUBLED height, optional BGRA palette, bottom-up XOR rows, then a
+    1-bit AND mask (all zeros) padded to 4-byte rows."""
+    h, w = img_rgb.shape[:2]
+    info = bytearray(40)
+    info[0:4] = (40).to_bytes(4, "little")
+    info[4:8] = w.to_bytes(4, "little")
+    info[8:12] = (h * 2).to_bytes(4, "little", signed=True)  # XOR + AND
+    info[12:14] = (1).to_bytes(2, "little")
+    info[14:16] = bpp.to_bytes(2, "little")
+    out = bytearray(info)
+    if palette is not None:
+        for r, g, b in palette:
+            out += bytes([b, g, r, 0])
+    if bpp == 8:
+        stride = (w + 3) & ~3
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytes(int(v) for v in img_rgb[y])  # img holds indices
+            out += row + b"\x00" * (stride - w)
+    else:  # 32-bpp BGRA
+        for y in range(h - 1, -1, -1):
+            for x in range(w):
+                r, g, b = img_rgb[y, x]
+                out += bytes([b, g, r, 0xFF])
+    and_stride = ((w + 31) // 32) * 4
+    out += b"\x00" * (and_stride * h)
+    return bytes(out)
+
+
+def _ico(entries):
+    """entries: list of (w, h, blob)."""
+    out = bytearray(b"\x00\x00\x01\x00" + len(entries).to_bytes(2, "little"))
+    off = 6 + 16 * len(entries)
+    dir_part = bytearray()
+    blobs = bytearray()
+    for w, h, blob in entries:
+        dir_part += bytes([w % 256, h % 256, 0, 0]) + (1).to_bytes(2, "little")
+        dir_part += (32).to_bytes(2, "little")
+        dir_part += len(blob).to_bytes(4, "little") + off.to_bytes(4, "little")
+        blobs += blob
+        off += len(blob)
+    return bytes(out + dir_part + blobs)
+
+
+def test_ico_largest_entry_dib_and_png():
+    rng = np.random.default_rng(51)
+    small_idx = rng.integers(0, 8, (16, 16), dtype=np.int64)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.int64)
+    big = rng.integers(0, 256, (32, 32, 3), dtype=np.int64)
+    ico = _ico([
+        (16, 16, _dib(small_idx, 8, palette=pal)),
+        (32, 32, _dib(big, 32)),
+    ])
+    dw, dh, gray = decode_image(ico)
+    assert (dw, dh) == (32, 32)  # largest entry wins
+    want = _gray601(big.astype(np.float64))
+    assert np.allclose(gray, want)
+
+    # single palette entry decodes through the BMP palette path
+    ico8 = _ico([(16, 16, _dib(small_idx, 8, palette=pal))])
+    dw, dh, gray = decode_image(ico8)
+    assert (dw, dh) == (16, 16)
+    assert np.allclose(gray, _gray601(pal[small_idx].astype(np.float64)))
+
+    # PNG entry routes through the PNG decoder (minimal gray-8 encoder)
+    import struct
+    import zlib
+
+    def _png_chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    g8 = rng.integers(0, 256, (20, 24), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 24, 20, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in g8)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    icop = _ico([(24, 20, png)])
+    dw, dh, gray = decode_image(icop)
+    assert (dw, dh) == (24, 20)
+    assert np.allclose(gray, g8.astype(np.float64))
+
+    # errors: truncated directory / OOB entry
+    one = _ico([(4, 4, _dib(big[:4, :4], 32))])
+    two_claimed = bytearray(one)
+    two_claimed[4:6] = (2).to_bytes(2, "little")  # claims a 2nd entry
+    with pytest.raises(ValueError, match="truncated ICO|out of bounds"):
+        decode_image(bytes(two_claimed))
+    oob = bytearray(_ico([(4, 4, _dib(big[:4, :4], 32))]))
+    oob[6 + 12 : 6 + 16] = (9999).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_image(bytes(oob))
+
+
+def test_bmp_32bpp_plain_file():
+    """The 32-bpp BMP support added for ICO also serves plain BMPs."""
+    rng = np.random.default_rng(52)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.int64)
+    h, w = img.shape[:2]
+    px = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = img[y, x]
+            px += bytes([b, g, r, 0x80])
+    bmp = (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + bytes(4)
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        + bytes(24) + bytes(px)
+    )
+    dw, dh, gray = decode_image(bmp)
+    assert (dw, dh) == (w, h)
+    assert np.allclose(gray, _gray601(img.astype(np.float64)))
