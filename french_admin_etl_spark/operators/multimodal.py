@@ -160,8 +160,11 @@ def decode_image(payload: bytes):
         h = int.from_bytes(payload[22:26], "little", signed=True)
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
-        if bpp not in (1, 4, 8, 24, 32) or compression not in (0, 1) or (
-            compression == 1 and bpp != 8
+        if (
+            bpp not in (1, 4, 8, 24, 32)
+            or compression not in (0, 1, 2)
+            or (compression == 1 and bpp != 8)
+            or (compression == 2 and bpp != 4)
         ):
             raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
         import numpy as np
@@ -171,7 +174,7 @@ def decode_image(payload: bytes):
         if bpp not in (24, 32):
             # palette BMP (round 5): BGRA quads follow the info header;
             # biClrUsed 0 means a full-size table; 1/4-bit rows pack
-            # MSB-first; BI_RLE8 (compression 1) run-length decodes
+            # MSB-first; BI_RLE8/BI_RLE4 (compression 1/2) run-length decode
             hdr_size = int.from_bytes(payload[14:18], "little")
             n_colors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
             pal = (
@@ -181,17 +184,24 @@ def decode_image(payload: bytes):
                 .reshape(n_colors, 4)
                 .astype(np.float64)
             )
-            if compression == 1:  # BI_RLE8: runs / escapes / absolute mode
+            if compression in (1, 2):  # BI_RLE8 / BI_RLE4: runs/escapes/absolute
                 idx = np.zeros((h, w), np.uint8)
                 x = y = 0
                 i2 = off
+                rle4 = compression == 2
                 while i2 + 1 < len(payload):
                     a, b = payload[i2], payload[i2 + 1]
                     i2 += 2
-                    if a:  # run of a pixels of value b
+                    if a:  # run of a pixels (RLE4: the two nibbles alternate,
+                        # high first — an odd run ends on the high nibble)
                         if y >= h or x + a > w:
                             raise ValueError("BMP RLE run out of bounds")
-                        idx[y, x : x + a] = b
+                        if rle4:
+                            idx[y, x : x + a] = np.resize(
+                                np.array([b >> 4, b & 0xF], np.uint8), a
+                            )
+                        else:
+                            idx[y, x : x + a] = b
                         x += a
                     elif b == 0:  # end of line
                         x, y = 0, y + 1
@@ -203,12 +213,22 @@ def decode_image(payload: bytes):
                         i2 += 2
                         if y >= h or x > w:
                             raise ValueError("BMP RLE delta out of bounds")
-                    else:  # absolute mode: b literal bytes, padded to even
-                        if y >= h or x + b > w or i2 + b > len(payload):
+                    else:  # absolute mode: b literal pixels (RLE4: packed
+                        # nibbles, high first), source padded to an even
+                        # BYTE count
+                        nb = (b + 1) // 2 if rle4 else b
+                        if y >= h or x + b > w or i2 + nb > len(payload):
                             raise ValueError("BMP RLE absolute out of bounds")
-                        idx[y, x : x + b] = np.frombuffer(payload, np.uint8, b, i2)
+                        if rle4:
+                            byts = np.frombuffer(payload, np.uint8, nb, i2)
+                            nibs = np.empty(nb * 2, np.uint8)
+                            nibs[0::2] = byts >> 4
+                            nibs[1::2] = byts & 0xF
+                            idx[y, x : x + b] = nibs[:b]
+                        else:
+                            idx[y, x : x + b] = np.frombuffer(payload, np.uint8, b, i2)
                         x += b
-                        i2 += b + (b & 1)
+                        i2 += nb + (nb & 1)
                 else:
                     raise ValueError("truncated BMP RLE stream")
             else:

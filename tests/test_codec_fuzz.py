@@ -121,6 +121,31 @@ def _valid_image_payloads():
         rng.randint(0, 256, (21, 27, 1)).astype(np.int64),
         8, 1, 5, "little", predictor=2, tile=(16, 16),
     )
+    pay["tiff_deflate"] = _tiff_write(timg, 8, 1, 8, "little", rows_per_strip=4)
+    # JPEG-in-TIFF with an abbreviated (tag-347 JPEGTables) strip
+    from test_jpeg import _img as _jimg
+    from test_jpeg import encode_jpeg as _jenc
+    from test_tiff import _split_jpeg_tables, _tiff_jpeg
+
+    jfull = _jenc([_jimg(16, 16, seed=40)], 16, 16, [(1, 1)], [0],
+                  {0: np.ones((8, 8))})
+    jtab, jabbr = _split_jpeg_tables(jfull)
+    pay["tiff_jpeg"] = _tiff_jpeg([jabbr], 16, 16, photometric=1, tables=jtab)
+    # BI_RLE4 BMP (the hand vector from test_training_ops)
+    pal4 = rng.randint(0, 256, (16, 4)).astype(np.uint8)
+    off4 = 14 + 40 + 64
+    pay["bmp_rle4"] = (
+        b"BM" + (off4 + 64).to_bytes(4, "little") + bytes(4)
+        + off4.to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (9).to_bytes(4, "little", signed=True)
+        + (3).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(4, "little") + bytes(12)
+        + (16).to_bytes(4, "little") + bytes(4) + pal4.tobytes()
+        + b"\x05\x7a\x00\x03\x56\x20\x01\x90\x00\x00"
+        + b"\x00\x05\x12\x34\x50\x00\x04\xcc\x00\x00"
+        + b"\x02\x3b\x00\x02\x02\x00\x03\x99\x00\x01"
+    )
     # TGA (magicless: mutations may fall through to the generic
     # NotImplementedError — still an ordinary, terminating exception)
     from test_tga import _tga_write
