@@ -171,6 +171,11 @@ def decode_image(payload: bytes):
 
         bottom_up = h > 0
         h = abs(h)
+        # bomb cap BEFORE any allocation (same 268 Mpx posture as TIFF /
+        # TGA): the RLE paths allocate the full index plane up front, so
+        # a crafted header must not get to size it
+        if w <= 0 or h <= 0 or w * h > 1 << 28:
+            raise ValueError(f"BMP dimensions {w}x{h} exceed the decoder cap")
         if bpp not in (24, 32):
             # palette BMP (round 5): BGRA quads follow the info header;
             # biClrUsed 0 means a full-size table; 1/4-bit rows pack

@@ -1566,3 +1566,35 @@ def test_bmp_rle4_decode():
     bad[28] = 8
     with _pytest.raises(NotImplementedError, match="compression=2"):
         decode_image(bytes(bad))
+
+
+def test_bmp_dimension_bomb_capped_before_allocation():
+    """A crafted BMP RLE header with huge dimensions must be rejected by
+    the 268 Mpx cap BEFORE the index plane is allocated (same posture as
+    the TIFF/TGA caps) — the RLE paths size np.zeros((h, w)) from header
+    fields alone, so without the cap a 60-byte payload requests
+    terabytes."""
+    import pytest
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    def hdr(w, h, bpp, compression):
+        off = 14 + 40 + (1 << bpp) * 4
+        return (
+            b"BM" + (off + 8).to_bytes(4, "little") + bytes(4)
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+            + compression.to_bytes(4, "little")
+            + bytes(12) + (1 << bpp).to_bytes(4, "little") + bytes(4)
+            + bytes(4 * (1 << bpp))  # palette
+            + b"\x00\x01" * 4  # RLE stream (never reached)
+        )
+
+    for w, h in ((1 << 20, 1 << 20), (65535, 65535)):
+        with pytest.raises(ValueError, match="exceed the decoder cap"):
+            decode_image(hdr(w, h, 8, 1))
+    with pytest.raises(ValueError, match="exceed the decoder cap"):
+        decode_image(hdr(0, 4, 8, 1))  # zero-width is degenerate too
