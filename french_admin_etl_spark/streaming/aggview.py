@@ -419,15 +419,19 @@ class AggregateView:
     def _bootstrap(self, to_v: int) -> dict:
         live = self.source.read(version=to_v)
         if self.mins or self.maxs:
+            # OVERWRITE, not merge (same as _resync): a bootstrap that
+            # crashed before the view's marker commit retries at a LATER
+            # source version, and an insert-only merge would leave any
+            # (group, bucket) pair that existed at the first attempt but
+            # not the second standing live — a stale extreme corrupting
+            # MIN/MAX reads (review finding). Overwrite replaces the whole
+            # state, so the retry is idempotent at whatever version it
+            # runs; the bucket-layout property rides the same commit.
             snap = self.source.snapshot(to_v)
-            fresh = self._subextremes(live, snap["key_cols"], snap["num_buckets"])
-            gb = self.group_cols + ["_vb"]
-            batch = fresh.select(
-                *gb, *self._mm_outs(),
-                F.lit(to_v).alias("lsn"), F.lit("I").alias("op"),
+            self.mm.overwrite(
+                self._subextremes(live, snap["key_cols"], snap["num_buckets"]),
+                extra_properties={"aggview.mm.source_buckets": snap["num_buckets"]},
             )
-            # fenced like the view write: a replayed bootstrap is a no-op
-            self.mm.merge(batch, batch_id=to_v, writer_id=self.writer_id)
         inc = self._increments(self._contrib(live, +1))
         stats = self.view.merge_add(
             inc,
@@ -460,24 +464,16 @@ class AggregateView:
         return {"from": from_v, "to": to_v, "mode": "resync"}
 
     def _mark_synced(self, from_v: int, to_v: int, mode: str) -> dict:
-        """Advance the marker with a metadata-only commit (bounded retry
-        against concurrent view writers)."""
-        from french_admin_etl_spark.table.lake_table import CommitConflict
+        """Advance the marker with a metadata-only commit (OCC retry via
+        the table's one shared property-commit loop)."""
 
-        for attempt in range(10):
-            if self.synced_version() >= to_v:
-                break
-            snap = self.view.snapshot()
-            new = dict(snap)
-            props = dict(snap["properties"])
+        def mutate(props: dict) -> dict | None:
+            if int(props.get(self._synced_key, 0)) >= to_v:
+                return None  # a racing sync already advanced the marker
             props[self._synced_key] = to_v
-            new.update(version=snap["version"] + 1, properties=props, parent=snap["version"])
-            try:
-                self.view._commit(new)
-                break
-            except CommitConflict:
-                if attempt == 9:
-                    raise
+            return props
+
+        self.view.update_properties(mutate)
         return {"from": from_v, "to": to_v, "mode": mode}
 
     # --------------------------------------------------------------- read

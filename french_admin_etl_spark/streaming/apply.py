@@ -251,7 +251,18 @@ class CDCApplyJob:
         t0 = time.monotonic()
         if self.cache_batches:
             events = events.cache()
+        try:
+            return self._apply_batch_inner(events, batch_id, fence_writer, t0)
+        finally:
+            # release the batch cache even when a stage fails mid-batch —
+            # a driver retrying batches in a loop would otherwise
+            # accumulate one orphaned cached frame per failed attempt
+            # (review finding); unpersist on an uncached frame is a no-op
+            events.unpersist()
 
+    def _apply_batch_inner(
+        self, events: DataFrame, batch_id: int, fence_writer: str | None, t0: float
+    ) -> BatchResult:
         # 1. one driver action does triple duty: collect the SCHEMA markers
         #    (applied in LSN order; data events split into schema epochs so
         #    evolution lands between the right events — SURVEY §7 hard-part
@@ -279,9 +290,7 @@ class CDCApplyJob:
         # 2. validate-and-split (dead-letter rejects; batch survives — P5/S9)
         valid, rejects = validate_split(data, rules, cache=False)
         if n_rejects and self.dead_letter_dir:
-            rejects.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                self.dead_letter_dir
-            )
+            self._write_dead_letter(rejects, batch_id)
 
         evolutions = 0
         merge_stats: MergeStats | None = None
@@ -305,7 +314,6 @@ class CDCApplyJob:
         wall_ms = int((time.monotonic() - t0) * 1000)
         if self.lineage_dir and merge_stats is not None:
             self._write_lineage(valid, batch_id, merge_stats, wall_ms)
-        events.unpersist()
         return BatchResult(batch_id, n_events, n_rejects, merge_stats, evolutions, wall_ms)
 
     def _merge_epoch(
@@ -356,6 +364,18 @@ class CDCApplyJob:
             stats.rows_deleted += prev.rows_deleted
         return stats if not stats.fenced else (prev or stats)
 
+    def _write_dead_letter(self, rejects: DataFrame, batch_id: int) -> None:
+        """Quarantine a batch's rejects under ``batch_id=<id>/`` with
+        OVERWRITE semantics: the validation split is deterministic over
+        the (pinned) replay window, so a crash-replayed batch rewrites the
+        same partition with identical content instead of appending
+        duplicates — the fenced table merge was exactly-once but the
+        append-mode audit sink was not (review finding). Readers recover
+        ``batch_id`` as a partition column from the directory name."""
+        rejects.write.mode("overwrite").parquet(
+            os.path.join(self.dead_letter_dir, f"batch_id={batch_id}")
+        )
+
     def _write_lineage(
         self, valid: DataFrame, batch_id: int, stats: MergeStats, wall_ms: int
     ) -> None:
@@ -375,11 +395,16 @@ class CDCApplyJob:
                 F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_applied"),
                 F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
             )
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .withColumn("commit_snapshot_id", F.lit(stats.snapshot_version).cast("long"))
             .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
         )
-        lineage.write.mode("append").parquet(self.lineage_dir)
+        # same idempotent per-batch overwrite as the dead-letter sink:
+        # replaying a batch rewrites batch_id=<id>/ instead of appending a
+        # second copy of its lineage rows; batch_id rides the directory
+        # name and comes back as a partition column
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(self.lineage_dir, f"batch_id={batch_id}")
+        )
 
     # ---------------------------------------------------------------- drivers
 

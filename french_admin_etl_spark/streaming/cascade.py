@@ -62,12 +62,38 @@ class CascadeJob:
         self.transform = transform
         self.writer_id = writer_id
 
-    def _merge_stream(self, df: DataFrame, batch_id: int) -> MergeStats:
+    def _merge_stream(self, df: DataFrame, batch_id: int, resync: bool = False) -> MergeStats:
         """df: logical columns + lsn + op. Dedup per key, then the fenced
-        exactly-once merge under the cascade's writer namespace."""
+        exactly-once merge under the cascade's writer namespace.
+
+        ``resync=True`` (full-resync windows only) also RETRACTS: a source
+        key whose delete tombstone was vacuumed between the cascade's last
+        sync and this resync is simply ABSENT from the replayed state, so
+        without an explicit retraction the target row would survive
+        forever (review finding — permanent source/target divergence).
+        Every live target key missing from the transformed stream is
+        tombstoned at one LSN past its own row's — minimal shadowing, and
+        it wins the merge's seq guard. Skipped when the target holds no
+        file groups yet (bootstrap): nothing can be stale, and the skip
+        spares the corpus-wide key distinct."""
         if self.transform is not None:
             df = self.transform(df)
-        keys = self.target.snapshot()["key_cols"]
+        snap = self.target.snapshot()
+        keys = snap["key_cols"]
+        if resync and snap["file_groups"]:
+            live = self.target.read_raw().filter(~F.col("_deleted"))
+            missing = live.select(*keys, (F.col("_lsn") + 1).alias("lsn")).join(
+                df.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            gone_cols = []
+            for c in df.columns:
+                if c in keys or c == "lsn":
+                    gone_cols.append(F.col(c))
+                elif c == "op":
+                    gone_cols.append(F.lit("D").alias("op"))
+                else:
+                    gone_cols.append(F.lit(None).cast(df.schema[c].dataType).alias(c))
+            df = df.unionByName(missing.select(*gone_cols))
         deduped = dedup_max_seq(df, keys, "lsn")
         return self.target.merge(
             deduped, seq_col="lsn", op_col="op", batch_id=batch_id,
@@ -98,9 +124,31 @@ class CascadeJob:
         pending = state.get("pending")
         if pending is not None:
             cur = pending["to_version"]  # replay the previously planned window
+            try:
+                snap = self.source.snapshot(cur)
+            except FileNotFoundError:
+                # the pinned window's snapshot was EXPIRED before the replay
+                # ran (crash + expire_snapshots racing recovery) — without a
+                # fallback every rerun re-raises and the cascade is wedged
+                # until the checkpoint is hand-edited (review finding; the
+                # aggview sync handles the same class). Whether the pending
+                # merge COMMITTED decides the recovery:
+                fence = self.target.snapshot()["properties"].get(
+                    f"last_batch_id.{self.writer_id}"
+                )
+                if fence is not None and fence >= batch_id:
+                    # it landed — only the checkpoint write was lost; advance
+                    # past it and let the next run plan a fresh window
+                    checkpoint.save({"from_version": cur, "batch_id": batch_id + 1})
+                    return CascadeResult(batch_id, from_v, cur, "recovered", None)
+                # it never committed: re-plan from the live snapshot (the
+                # fresh pending is persisted below like any first attempt)
+                pending = None
+                cur = self.source.current_version()
+                snap = self.source.snapshot(cur)
         else:
             cur = self.source.current_version()
-        snap = self.source.snapshot(cur)
+            snap = self.source.snapshot(cur)
         logical = [
             f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
         ]
@@ -130,7 +178,7 @@ class CascadeJob:
             stream = self._as_stream(self.source.read_raw(version=cur), logical)
             mode = "full_resync"
 
-        stats = self._merge_stream(stream, batch_id)
+        stats = self._merge_stream(stream, batch_id, resync=(mode == "full_resync"))
         checkpoint.save({"from_version": cur, "batch_id": batch_id + 1})
         return CascadeResult(batch_id, from_v, cur, mode, stats)
 

@@ -65,6 +65,7 @@ The per-window gate runs in one of two placements (``gate=``):
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -269,8 +270,24 @@ class DagApplyJob:
                     p["name"], T._parse_datatype_string(p["type"]), True
                 )
             elif p["action"] == "rename_column":
-                old = fields[p["from"]]
-                fields[p["to"]] = T.StructField(p["to"], old.dataType, True)
+                old = fields.get(p["from"])
+                if old is not None:
+                    fields[p["to"]] = T.StructField(p["to"], old.dataType, True)
+                elif p["to"] in fields:
+                    # crash replay AFTER the evolve already applied: the
+                    # current snapshot carries only the NEW name, so
+                    # indexing fields[from] raised KeyError and wedged the
+                    # stream on every rerun (review finding). Re-expose the
+                    # OLD name for the window's pre-rename events — their
+                    # epochs are fenced, but they must still PARSE.
+                    fields[p["from"]] = T.StructField(
+                        p["from"], fields[p["to"]].dataType, True
+                    )
+                else:
+                    raise ValueError(
+                        f"rename_column {p['from']!r}->{p['to']!r}: neither "
+                        f"name exists in table {name!r}'s schema"
+                    )
         return T.StructType(list(fields.values()))
 
     def apply_window(
@@ -367,6 +384,32 @@ class DagApplyJob:
                 window.unpersist()
         return res
 
+    def _audit_backfill(
+        self, job: CDCApplyJob, data: DataFrame, batch_id: int, stats: MergeStats
+    ) -> None:
+        """Crash-replay audit repair for the fast path: the table's merge
+        is already fenced, so staging never re-runs — but the original
+        attempt may have crashed before an audit write landed. Recompute
+        and rewrite ONLY the missing ``batch_id=<id>/`` partitions (both
+        sinks are per-batch overwrite directories, so the rewrite is
+        idempotent; a batch with zero rejects backfills one empty
+        partition the first time and probes as present after that). The
+        backfilled lineage row carries the CURRENT snapshot version (the
+        original commit version is not recoverable from a fenced replay)
+        and wall_ms=0 — disclosed rather than fabricated."""
+        dl = job.dead_letter_dir
+        lin = job.lineage_dir
+        need_dl = dl and not os.path.isdir(os.path.join(dl, f"batch_id={batch_id}"))
+        need_lin = lin and not os.path.isdir(os.path.join(lin, f"batch_id={batch_id}"))
+        if not (need_dl or need_lin):
+            return
+        rules = validation_rules(job.merge_mode, job.keys, job._payload_cols(data))
+        valid, rej = validate_split(data, rules, cache=False)
+        if need_dl:
+            job._write_dead_letter(rej, batch_id)
+        if need_lin:
+            job._write_lineage(valid, batch_id, stats, 0)
+
     def _apply_window_fast(
         self,
         window: DataFrame,
@@ -394,8 +437,10 @@ class DagApplyJob:
         for a window with no schema epochs — so a window applied fast and
         replayed sequentially (or vice versa) still fences to a no-op.
         Reject counting rides the stage job as an Observation; dead-letter
-        and lineage writes (when configured) run after the commit, same
-        as the sequential path.
+        partitions are written BEFORE each table's commit and lineage just
+        after it (both idempotent per-batch overwrites; a fenced replay
+        backfills any lineage partition lost to a crash between commit and
+        write — see :meth:`_audit_backfill`).
 
         With ``gate='pre'`` the FK gate runs HERE, between staging and
         the commits, against synthetic snapshots (current state + staged
@@ -417,10 +462,14 @@ class DagApplyJob:
             fence_key = f"last_batch_id.{ns}.{name}"
             fence = snap["properties"].get(fence_key)
             if fence is not None and fid <= fence:
-                res.tables[name] = BatchResult(
-                    batch_id, n_events, 0,
-                    MergeStats(fid, snap["version"], 0, 0, 0, fenced=True), 0, 0,
-                )
+                stats = MergeStats(fid, snap["version"], 0, 0, 0, fenced=True)
+                # the original attempt may have crashed between its commit
+                # and its after-commit lineage write (dead-letter writes
+                # pre-commit, but lineage needs the commit version) —
+                # rewrite any missing per-batch audit partition from the
+                # replayed window; one extra job only on crash replay
+                self._audit_backfill(job, typed[name], batch_id, stats)
+                res.tables[name] = BatchResult(batch_id, n_events, 0, stats, 0, 0)
                 continue
             work.append((name, job, snap, fence_key, n_events))
         if not work:
@@ -517,6 +566,13 @@ class DagApplyJob:
         for name, job, snap, fence_key, n_events in work:
             t0 = time.monotonic()
             st = staged.get(name)
+            # dead-letter lands BEFORE the commit: written after, a crash
+            # between commit and write lost the window's rejects forever —
+            # the replay fences the table out above and never re-stages
+            # (review finding). Pre-commit, a replay simply overwrites the
+            # same batch_id=<fid> partition with identical content.
+            if n_rej[name] and job.dead_letter_dir:
+                job._write_dead_letter(rejects[name], batch_id)
             if st is None:  # empty after validation: skip commit AND fence
                 stats = MergeStats(fid, job.table.snapshot()["version"], 0, 0, 0)
             else:
@@ -531,10 +587,6 @@ class DagApplyJob:
                     # the stage-time bucket list would be the old layout)
                     gate_buckets[name] = sorted({g["bucket"] for g in st["groups"]})
             wall_ms = int((walls[name] + time.monotonic() - t0) * 1000)
-            if n_rej[name] and job.dead_letter_dir:
-                rejects[name].withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(job.dead_letter_dir)
             if job.lineage_dir:
                 job._write_lineage(valids[name], batch_id, stats, wall_ms)
             res.tables[name] = BatchResult(
@@ -616,7 +668,9 @@ class DagApplyJob:
             e: FKEdge, ref_vals: DataFrame, materialize: bool
         ) -> DataFrame:
             """The parent side of a gate leg, restricted to the window's
-            referenced values. When the FK targets the parent's key (the
+            referenced values. Returns ``(frame, broadcastable)`` —
+            broadcastable is False only for the large composite-keyed /
+            non-key-referencing fallback, which must shuffle-join. When the FK targets the parent's key (the
             reference's FK shape, and the overwhelmingly common one) AND
             the parent is large, the referenced values ride BELOW the
             parent's MOR resolution via ``key_filter`` — the gate resolves
@@ -644,15 +698,19 @@ class DagApplyJob:
             pjob = self.jobs[e.parent]
             psnap = (synthetic or {}).get(e.parent) or pjob.table.snapshot()
             physical_rows = sum(g.get("rows", 0) for g in psnap["file_groups"])
-            if (
-                psnap["key_cols"] != [e.parent_key]
-                or physical_rows < self.gate_keyfilter_min_rows
-            ):
-                return live(pjob, e.parent)
+            small = physical_rows < self.gate_keyfilter_min_rows
+            if psnap["key_cols"] != [e.parent_key] or small:
+                # full live read; the second element says whether this
+                # side may ride a broadcast — a LARGE composite-keyed /
+                # non-key-referencing parent must shuffle-join instead
+                # (broadcasting a 10^8-key dimension fails the driver —
+                # review finding)
+                return live(pjob, e.parent), small
             kf = ref_vals.select(F.col(ref_vals.columns[0]).alias(e.parent_key))
             if materialize:
                 kf = kf.localCheckpoint(eager=True)
-            return live(pjob, e.parent, key_filter=F.broadcast(kf))
+            # key-filtered to the window's referenced values → window-sized
+            return live(pjob, e.parent, key_filter=F.broadcast(kf)), True
 
         def tagged(df: DataFrame, violation: str) -> DataFrame:
             return df.limit(5).select(
@@ -697,15 +755,17 @@ class DagApplyJob:
                 # pre-window rows would otherwise miss the live fk values and
                 # false-positive. The O(window) probe subtree appears twice in
                 # the one gate job — still no full-table work anywhere.
+                probe, bcast = parent_probe(
+                    e, refs.select(e.fk_col).distinct(), materialize=True
+                )
                 legs.append(
                     tagged(
                         fk_orphans(
                             refs,
-                            parent_probe(
-                                e, refs.select(e.fk_col).distinct(), materialize=True
-                            ),
+                            probe,
                             e.fk_col,
                             e.parent_key,
+                            broadcast_dim=bcast,
                         ),
                         f"window events of {e.child}.{e.fk_col} reference missing "
                         f"{e.parent}.{e.parent_key}",
@@ -724,7 +784,7 @@ class DagApplyJob:
             # liveness of exactly the deleted keys — same key_filter
             # restriction as the insert leg's parent probe
             still_absent = deleted.join(
-                parent_probe(e, deleted, materialize=False).select(
+                parent_probe(e, deleted, materialize=False)[0].select(
                     F.col(e.parent_key).alias(e.fk_col)
                 ),
                 [e.fk_col],
@@ -889,11 +949,17 @@ class DagApplyJob:
                 child_side = idx.table.read()
             else:
                 child_side = self.jobs[e.child].table.read()
+            psnap = self.jobs[e.parent].table.snapshot()
+            parent_rows = sum(g.get("rows", 0) for g in psnap["file_groups"])
             n = fk_orphans(
                 child_side,
                 self.jobs[e.parent].table.read(),
                 e.fk_col,
                 e.parent_key,
+                # a 10^8-key dimension's distinct key set is multiple GB —
+                # broadcast only small parents, shuffle-join the rest
+                # (physical-row estimate from snapshot metadata, free)
+                broadcast_dim=parent_rows < self.gate_keyfilter_min_rows,
             ).count()
             counts[f"{e.child}.{e.fk_col}->{e.parent}.{e.parent_key}"] = n
         bad = {k: v for k, v in counts.items() if v}

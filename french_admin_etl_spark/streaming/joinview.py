@@ -322,24 +322,16 @@ class JoinView:
         return {"mode": "resync", "left": to_l, "right": to_r}
 
     def _mark_synced(self, to_l: int, to_r: int, mode: str) -> dict:
-        from french_admin_etl_spark.table.lake_table import CommitConflict
-
-        for attempt in range(10):
-            cur_l, cur_r = self.synced_versions()
-            if cur_l >= to_l and cur_r >= to_r:
-                break
-            snap = self.view.snapshot()
-            new = dict(snap)
-            props = dict(snap["properties"])
+        def mutate(props: dict) -> dict | None:
+            if int(props.get(self._synced_l, 0)) >= to_l and int(
+                props.get(self._synced_r, 0)
+            ) >= to_r:
+                return None  # a racing sync already advanced the markers
             props[self._synced_l] = to_l
             props[self._synced_r] = to_r
-            new.update(version=snap["version"] + 1, properties=props, parent=snap["version"])
-            try:
-                self.view._commit(new)
-                break
-            except CommitConflict:
-                if attempt == 9:
-                    raise
+            return props
+
+        self.view.update_properties(mutate)
         return {"mode": mode, "left": to_l, "right": to_r}
 
     # --------------------------------------------------------------- read

@@ -290,6 +290,38 @@ class LakeTable:
         # cache the serialized form (callers may go on mutating their dicts)
         self._cache_snap(snap["version"], payload)
 
+    def update_properties(self, mutate, retries: int = 10) -> bool:
+        """Metadata-only commit under optimistic concurrency — THE one
+        implementation of the re-read → mutate → commit → retry loop
+        (review finding: four hand-rolled copies across the view markers,
+        fence pruning and clone registration had already diverged in
+        retry counts and give-up behavior).
+
+        ``mutate(props)`` receives a private copy of the current
+        properties and returns the NEW dict, or ``None`` to signal
+        "already satisfied — no commit needed" (the idempotence check
+        re-runs against the freshest snapshot on every retry, so a racing
+        writer that already landed the change turns the loop into a
+        no-op). Returns True when a commit landed, False when ``mutate``
+        declined. Re-raises the final ``CommitConflict`` after
+        ``retries`` lost races."""
+        for attempt in range(retries):
+            snap = self.snapshot()
+            props = mutate(dict(snap["properties"]))
+            if props is None:
+                return False
+            new = dict(snap)
+            new.update(
+                version=snap["version"] + 1, properties=props, parent=snap["version"]
+            )
+            try:
+                self._commit(new)
+                return True
+            except CommitConflict:
+                if attempt == retries - 1:
+                    raise
+        return False
+
     def history(self) -> list[dict]:
         """All RETAINED snapshots, oldest first (expiration leaves gaps)."""
         return [self.snapshot(v) for v in self._versions()]
@@ -2113,22 +2145,14 @@ class LakeTable:
         dest_root = os.path.abspath(dest_root)
         uid = hashlib.sha256(dest_root.encode()).hexdigest()[:12]
         key = f"clone.outstanding.{uid}"
-        for attempt in range(10):
-            snap = self.snapshot()
-            if snap["properties"].get(key) == dest_root:
-                return
-            props = dict(snap["properties"])
+
+        def mutate(props: dict) -> dict | None:
+            if props.get(key) == dest_root:
+                return None  # a retried clone already registered itself
             props[key] = dest_root
-            new = dict(snap)
-            new.update(
-                version=snap["version"] + 1, properties=props, parent=snap["version"]
-            )
-            try:
-                self._commit(new)
-                return
-            except CommitConflict:
-                if attempt == 9:
-                    raise
+            return props
+
+        self.update_properties(mutate)
 
     def clones(self) -> dict[str, str]:
         """Outstanding registered shallow clones: ``{uid: dest_root}``."""
@@ -2320,28 +2344,21 @@ class LakeTable:
         Returns the number of properties removed (0 = nothing to do, no
         commit). Optimistic-concurrency: retries on CommitConflict."""
         keep_set = set(keep or [])
-        for _ in range(5):
-            snap = self.snapshot()
-            props = dict(snap["properties"])
-            doomed = [
-                k for k in props if k.startswith(prefix) and k not in keep_set
-            ]
+        removed = 0
+
+        def mutate(props: dict) -> dict | None:
+            nonlocal removed
+            doomed = [k for k in props if k.startswith(prefix) and k not in keep_set]
             if not doomed:
-                return 0
+                removed = 0
+                return None
             for k in doomed:
                 del props[k]
-            new = dict(snap)
-            new.update(
-                version=snap["version"] + 1,
-                properties=props,
-                parent=snap["version"],
-            )
-            try:
-                self._commit(new)
-                return len(doomed)
-            except CommitConflict:
-                continue  # racing writer won; re-read and retry
-        raise CommitConflict("prune_fences lost 5 commit races; retry later")
+            removed = len(doomed)
+            return props
+
+        self.update_properties(mutate, retries=5)
+        return removed
 
     def vacuum_orphans(self, min_age_sec: float = 300.0) -> int:
         """Delete data files not referenced by ANY snapshot (lost commits).

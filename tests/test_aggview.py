@@ -493,3 +493,54 @@ def test_aggview_integer_sums_stay_exact_past_2_53(spark, tmp_root):
     assert rep["mode"] == "incremental"
     [row] = view.read().collect()
     assert row["total_size"] == big + 2  # float64 would round to 2**53 + 2 != big + 2
+
+
+def test_minmax_bootstrap_crash_retry_drops_stale_pairs(spark, tmp_root):
+    """A bootstrap that crashed AFTER writing the sub-extremes but BEFORE
+    the view's marker commit retries at a LATER source version. The old
+    insert-only mm merge left any (group, bucket) pair present at the
+    first attempt but absent at the retry standing live — a stale extreme
+    corrupting MIN/MAX (review finding); the overwrite-based bootstrap
+    replaces the state wholesale."""
+    from french_admin_etl_spark.table.lake_table import _bucket_expr
+
+    source = _mk_source(spark, os.path.join(tmp_root, "bc_src"))
+    view = AggregateView.create(
+        spark, source, os.path.join(tmp_root, "bc_view"),
+        group_cols=["lang"], mins={"min_size": "size"}, maxs={"max_size": "size"},
+        num_buckets=2,
+    )
+    keys = [chr(ord("a") + i) for i in range(8)]
+    source.merge(_src(spark, [
+        (i + 1, "I", k, "f", "go", (i + 1) * 10) for i, k in enumerate(keys)
+    ]), batch_id=0)
+
+    # first bootstrap attempt: the mm half lands, then we "crash" before
+    # the view's merge_add carries the synced marker
+    to_v = source.current_version()
+    live = source.read(version=to_v)
+    snap = source.snapshot(to_v)
+    view.mm.overwrite(
+        view._subextremes(live, snap["key_cols"], snap["num_buckets"]),
+        extra_properties={"aggview.mm.source_buckets": snap["num_buckets"]},
+    )
+    assert view.synced_version() == 0  # the crash left the marker behind
+
+    # the source advances: delete every key in the bucket that holds the
+    # current MIN, emptying that (group, bucket) pair entirely
+    by_b = {
+        r["repo"]: r["_b"]
+        for r in source.read()
+        .select("repo", _bucket_expr(snap["key_cols"], snap["num_buckets"]).alias("_b"))
+        .collect()
+    }
+    min_bucket = by_b[keys[0]]  # 'a' holds size 10, the global min
+    doomed = [k for k in keys if by_b[k] == min_bucket]
+    assert doomed and len(doomed) < len(keys)
+    source.merge(_src(spark, [
+        (100 + i, "D", k, "f", None, None) for i, k in enumerate(doomed)
+    ]), batch_id=1)
+
+    rep = view.sync()  # bootstrap retry at the later version
+    assert rep["mode"] == "bootstrap"
+    assert _view_mm(view) == _truth_mm(source)

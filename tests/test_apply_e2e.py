@@ -526,3 +526,33 @@ def test_crash_plus_grown_log_replays_pinned_window(spark, tmp_root):
     assert len(results) == 2
     allev = pd.concat([ev1, ev2], ignore_index=True)
     assert _sha_state(table) == _oracle_state(allev)
+
+
+def test_audit_sinks_idempotent_across_replay(spark, tmp_root):
+    """Replaying a fully-fenced batch must not duplicate its audit rows:
+    dead-letter and lineage are per-batch OVERWRITE partitions, so the
+    replay rewrites batch_id=<id>/ with the same content instead of
+    appending a second copy (review finding — the table merge was
+    exactly-once but the append-mode audit sinks were not)."""
+    dead = os.path.join(tmp_root, "dead")
+    lin = os.path.join(tmp_root, "lin")
+    table, job = _mk(spark, tmp_root, dead_letter_dir=dead, lineage_dir=lin)
+    rows = [
+        (1, "I", "a", "f", "ok", 1, None),
+        (2, "X", "a", "g", "badop", 1, None),
+        (3, "I", "b", "h", "more", 1, None),
+    ]
+    ev = spark.createDataFrame(
+        [(l, None, op, r, p, None, None, c, sv, props) for (l, op, r, p, c, sv, props) in rows],
+        schema=EVENT_SCHEMA,
+    )
+    job.apply_batch(ev, batch_id=0)
+    dl1 = sorted(r["_reject_reason"] for r in spark.read.parquet(dead).collect())
+    lin1 = spark.read.parquet(lin).count()
+    state1 = _sha_state(table)
+
+    res2 = job.apply_batch(ev, batch_id=0)  # crash replay: fully fenced
+    assert res2.merge is not None and res2.merge.fenced
+    assert sorted(r["_reject_reason"] for r in spark.read.parquet(dead).collect()) == dl1
+    assert spark.read.parquet(lin).count() == lin1
+    assert _sha_state(table) == state1

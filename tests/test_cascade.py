@@ -274,3 +274,91 @@ def test_two_hop_medallion_pipeline(spark, tmp_root):
         (r.repo, r.path) for r in exp.itertuples() if r.lang.upper() == "PYTHON"
     }
     assert g_state  # the filter actually kept something
+
+
+def test_cascade_resync_retracts_vacuumed_deletes(spark, tmp_root):
+    """A delete whose tombstone was compacted + vacuumed away BEFORE the
+    lagging cascade consumed it is invisible to the resync replay (the
+    key is simply absent from the source state) — the resync must
+    therefore RETRACT target keys missing from the source, or the
+    target's live row survives forever (review finding)."""
+    source = _mk(spark, tmp_root, "vsrc")
+    target = _mk(spark, tmp_root, "vdst")
+    job = CascadeJob(spark, source, target)
+    ckpt = CheckpointStore(os.path.join(tmp_root, "vcascade.ck"))
+    source.merge(
+        spark.createDataFrame(
+            [("r", "a", "c", "py", "v1", "s1", 1, "I"),
+             ("r", "b", "c", "go", "w1", "t1", 2, "I")], _COLS
+        ),
+        batch_id=0,
+    )
+    job.run_once(ckpt)
+    assert _state(target) == _state(source)
+
+    # the delete lands, then compaction folds the cascade's pending
+    # window AND the tombstone is vacuumed — all before the cascade runs
+    source.merge(
+        spark.createDataFrame([("r", "b", None, None, None, None, 3, "D")], _COLS),
+        batch_id=1,
+    )
+    source.compact()
+    source.vacuum_tombstones(watermark_lsn=10)
+    assert not [
+        r for r in source.read_raw().collect() if r["_deleted"]
+    ], "tombstone should be physically gone"
+
+    r = job.run_once(ckpt)
+    assert r.mode == "full_resync"
+    assert _state(target) == _state(source) == {("r", "a"): ("v1", "py")}
+
+
+def test_cascade_expired_pending_snapshot_recovers(spark, tmp_root):
+    """A crash leaves a pending window pinned to version V; before the
+    replay runs, expire_snapshots drops V's metadata. Every rerun used to
+    re-raise FileNotFoundError forever (review finding). Two recoveries:
+    if the pending merge COMMITTED (fence advanced), the checkpoint jumps
+    past it; if it never committed, the window is re-planned live."""
+    source = _mk(spark, tmp_root, "esrc", properties={"compact.max-delta-files": 999})
+    target = _mk(spark, tmp_root, "edst")
+    job = CascadeJob(spark, source, target)
+    ck_path = os.path.join(tmp_root, "ecascade.ck")
+    ckpt = CheckpointStore(ck_path)
+    source.merge(
+        spark.createDataFrame([("r", "a", "c", "py", "v1", "s1", 1, "I")], _COLS),
+        batch_id=0,
+    )
+    r0 = job.run_once(ckpt)  # bootstrap committed at some version V
+    v_pinned = r0.to_version
+
+    # CASE 1: crash between merge and checkpoint — rewind to pending@V,
+    # then advance the source far enough that expire_snapshots drops V
+    ckpt.save({"from_version": r0.from_version, "batch_id": r0.batch_id,
+               "pending": {"to_version": v_pinned}})
+    for i in range(12):
+        source.merge(
+            spark.createDataFrame(
+                [("r", f"k{i}", "c", "py", f"x{i}", f"h{i}", 10 + i, "I")], _COLS
+            ),
+            batch_id=2 + i,
+        )
+    source.expire_snapshots(keep_last=3)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        source.snapshot(v_pinned)  # the pin is really gone
+    r1 = job.run_once(ckpt)
+    assert r1.mode == "recovered" and r1.to_version == v_pinned
+    r2 = job.run_once(ckpt)
+    assert r2.mode in ("incremental", "full_resync")
+    assert _state(target) == _state(source)
+
+    # CASE 2: pending pinned to an expired version whose merge NEVER
+    # committed (fence behind the pending batch_id) → re-plan live
+    st = ckpt.load()
+    gone = v_pinned  # expired version; batch_id far ahead of the fence
+    ckpt.save({"from_version": st["from_version"], "batch_id": 999,
+               "pending": {"to_version": gone}})
+    r3 = job.run_once(ckpt)
+    assert r3.mode in ("noop", "incremental", "full_resync")
+    assert _state(target) == _state(source)

@@ -1252,3 +1252,106 @@ def test_dag_requeue_out_of_order_drain_loses_nothing(spark, tmp_root):
     }
     assert got == {"CA": ("D000", 7), "C2": ("D999", 2)}
     assert set(dag.deep_fk_check().values()) == {0}
+
+
+def test_dag_rename_window_replays_after_crash(spark, tmp_root):
+    """Crash AFTER a mid-window rename evolve applied but BEFORE the
+    checkpoint advanced: the replayed window's _parse_schema sees only the
+    NEW name in the snapshot — indexing fields[from] raised KeyError and
+    wedged the stream on every rerun (review finding). The replay must
+    parse (old name re-exposed for the fenced pre-rename epochs) and leave
+    the state unchanged."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            (
+                "SCHEMA", "commune", None, 2,
+                json.dumps({"action": "rename_column", "from": "name", "to": "label"}),
+            ),
+            ("U", "commune", {"code": "C1", "department_code": "D000", "label": "Renamed", "population": 12}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    ck = os.path.join(tmp_root, "c.json")
+    dag.run_incremental(log, CheckpointStore(ck), batch_lsns=10**9)
+    want = jobs["commune"].table.read().collect()[0].asDict()
+    assert want["label"] == "Renamed"
+    os.remove(ck)  # simulated crash before any checkpoint write
+    dag.run_incremental(log, CheckpointStore(ck), batch_lsns=10**9)  # must not raise
+    assert jobs["commune"].table.read().collect()[0].asDict() == want
+
+
+def test_dag_fast_path_audit_idempotent_and_backfilled(spark, tmp_root):
+    """Fast-path audit sinks across a crash replay: dead-letter partitions
+    must not duplicate (per-batch overwrite), and a lineage partition lost
+    between a table's commit and its after-commit write must be BACKFILLED
+    by the fenced replay (review findings, both directions)."""
+    import shutil
+
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+            ("I", "commune", {"code": None, "department_code": "D000", "name": "bad", "population": 1}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs = {}
+    for name, schema in (("region", REGION), ("department", DEPARTMENT), ("commune", COMMUNE)):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_root, name), schema, ["code"],
+            num_buckets=4, write_mode="mor",
+        )
+        jobs[name] = CDCApplyJob(
+            spark, t,
+            dead_letter_dir=os.path.join(tmp_root, f"dl_{name}"),
+            lineage_dir=os.path.join(tmp_root, f"lin_{name}"),
+        )
+    dag = DagApplyJob(jobs, EDGES, writer_id="dag")
+    ck = os.path.join(tmp_root, "c.json")
+    dag.run_incremental(log, CheckpointStore(ck), batch_lsns=10**9)
+
+    dl_dir = jobs["commune"].dead_letter_dir
+    lin_dir = jobs["commune"].lineage_dir
+    assert spark.read.parquet(dl_dir).count() == 1
+    lin_part = os.path.join(lin_dir, "batch_id=0")
+    assert os.path.isdir(lin_part)
+    lin_before = spark.read.parquet(lin_dir).count()
+
+    # simulate a crash between the commune commit and its lineage write:
+    # the partition is gone, the fence is advanced
+    shutil.rmtree(lin_part)
+    os.remove(ck)
+    dag.run_incremental(log, CheckpointStore(ck), batch_lsns=10**9)
+    assert spark.read.parquet(dl_dir).count() == 1  # no duplicate rejects
+    assert os.path.isdir(lin_part)  # lineage backfilled by the fenced replay
+    assert spark.read.parquet(lin_dir).count() == lin_before
+
+
+def test_deep_fk_check_large_parent_shuffle_joins(spark, tmp_root):
+    """With the size threshold forced to 0 every parent counts as LARGE:
+    deep_fk_check must shuffle-join instead of broadcasting the full
+    parent key set (at a 10^8-key dimension the broadcast fails the
+    driver — review finding), and the audit result is unchanged."""
+    ev = _envelope(
+        [
+            ("I", "region", {"code": "REG00", "name": "R"}),
+            ("I", "department", {"code": "D000", "region_code": "REG00", "name": "D"}),
+            ("I", "commune", {"code": "C1", "department_code": "D000", "name": "X", "population": 10}),
+        ]
+    )
+    log = _write_log(spark, tmp_root, ev)
+    jobs, dag = _mk_dag(spark, tmp_root)
+    dag.run_incremental(
+        log, CheckpointStore(os.path.join(tmp_root, "c.json")), batch_lsns=10**9
+    )
+    dag.gate_keyfilter_min_rows = 0  # force the no-broadcast audit path
+    counts = dag.deep_fk_check()
+    assert all(v == 0 for v in counts.values())
+    # sanity: the small-parent default still audits identically
+    dag.gate_keyfilter_min_rows = 2_000_000
+    assert dag.deep_fk_check() == counts
