@@ -2189,7 +2189,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM (
               SELECT doc_id, lang,
-                     CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     CAST(('0x' || substr(md5('42|' || length(CAST(doc_id AS VARCHAR))::VARCHAR || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                        / 4294967296.0 AS u
               FROM documents
             )
@@ -2253,7 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         "t9_stratified_sample": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
-                     CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     CAST(('0x' || substr(md5('7|' || length(CAST(doc_id AS VARCHAR))::VARCHAR || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                        / 4294967296.0 AS u
               FROM documents
             )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from french_admin_etl_spark.operators.similarity import cosine, sign_bucket
+from french_admin_etl_spark.operators.similarity import cosine, probe_buckets, sign_bucket
 from french_admin_etl_spark.table.lake_table import LakeTable
 
 
@@ -153,14 +153,11 @@ class AnnIndex:
                 F.col("bucket").alias("_qb"),
             )
             if probe_flips:
-                probes = F.array(
-                    F.col("_qb"),
-                    *[
-                        F.col("_qb").bitwiseXOR(F.lit(1 << i))
-                        for i in range(probe_flips)
-                    ],
-                )
-                q = q.withColumn("bucket", F.explode(probes)).drop("_qb")
+                # shared multiprobe definition (similarity.probe_buckets)
+                # — probe results must match the batch ANN's
+                q = q.withColumn(
+                    "bucket", F.explode(probe_buckets(F.col("_qb"), probe_flips))
+                ).drop("_qb")
             else:
                 q = q.withColumnRenamed("_qb", "bucket")
             hits = (

@@ -29,13 +29,23 @@ from pyspark.sql import Window
 def uniform_hash(cols: list[str], seed: str = "0") -> Column:
     """Deterministic per-row uniform in [0, 1) from the key columns.
 
-    Null key columns are encoded as an explicit ``\\x00`` sentinel —
-    ``concat_ws`` SKIPS nulls, which would collapse distinct keys like
-    ('x', NULL, 'y') and ('x', 'y', NULL) onto one draw (reviewer
-    finding). For non-null keys the string is unchanged
-    (``seed|v1|v2``), which is what the DuckDB oracles mirror."""
+    Each value is LENGTH-PREFIXED (``len:value``) before joining on
+    ``|`` — a bare separator join is injectable: ('x|y', 'z') and
+    ('x', 'y|z') would concatenate identically and always co-assign
+    (review finding; the earlier null-sentinel fix covered NULLs but not
+    the delimiter). Length prefixes make the encoding bijective with no
+    escape-character corner cases, and both engines count characters the
+    same way, so the DuckDB oracle twin is
+    ``length(v)::VARCHAR || ':' || v``. Null key columns remain the
+    explicit ``\\x00`` sentinel (``concat_ws`` SKIPS nulls, which would
+    collapse ('x', NULL, 'y') and ('x', 'y', NULL) onto one draw)."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+        F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s),
+            F.lit("\x00"),
+        )
+        for c in cols
+        for s in (F.col(c).cast("string"),)
     ]
     key = F.concat_ws("|", F.lit(seed), *parts)
     u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")

@@ -54,26 +54,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _topk(scored: DataFrame, k: int, id_col: str, per_query: bool) -> DataFrame:
+    """Top-k of a scored (q_id, id, cos_sim) frame. The default
+    (``per_query=False``) keeps the single-query plan — a global
+    TakeOrderedAndProject, the 100-TB-right top-k with no shuffle — and
+    is ONLY correct for a ONE-ROW query frame; ``per_query=True`` ranks
+    within each q_id (one shuffle of the scored candidates, still
+    corpus-scan dominated) for batched query frames. Review finding: the
+    global limit over a multi-row query silently returned the UNION's
+    top-k, starving all but the densest query."""
+    if per_query:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_topk(
     corpus: DataFrame,
     query: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    per_query: bool = False,
 ) -> DataFrame:
     """Exact brute-force cosine top-k of ``corpus`` against one query row
     (columns ``q_id``, ``q_emb``). Query side is broadcast; corpus scan is
-    embarrassingly parallel; the final top-k is a k-row sort."""
+    embarrassingly parallel; the final top-k is a k-row sort. Pass
+    ``per_query=True`` for a MULTI-row query frame (see :func:`_topk`)."""
     joined = corpus.crossJoin(F.broadcast(query))
-    return (
-        joined.select(
-            F.col("q_id"),
-            F.col(id_col),
-            cosine(F.col(vec_col), F.col("q_emb")).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
+    scored = joined.select(
+        F.col("q_id"),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("q_emb")).alias("cos_sim"),
     )
+    return _topk(scored, k, id_col, per_query)
 
 
 def sign_bucket(vec_col: str | Column, bits: int = 8) -> Column:
@@ -86,6 +106,17 @@ def sign_bucket(vec_col: str | Column, bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def probe_buckets(bucket_col: Column, flips: int) -> Column:
+    """Multiprobe bucket array: the bucket itself plus its first ``flips``
+    hamming-1 neighbors (bit i flipped). ONE definition shared by the
+    batch ANN (:func:`signature_bucket_ann`) and the incremental
+    ``AnnIndex.probe`` so the two probe expansions cannot drift (review
+    finding — they were previously duplicated inline)."""
+    return F.array(
+        bucket_col, *[bucket_col.bitwiseXOR(F.lit(1 << i)) for i in range(flips)]
+    )
+
+
 def signature_bucket_ann(
     corpus: DataFrame,
     query: DataFrame,
@@ -94,31 +125,29 @@ def signature_bucket_ann(
     k: int = 10,
     bits: int = 8,
     probe_flips: int = 0,
+    per_query: bool = False,
 ) -> DataFrame:
     """ANN via sign-bucket pruning: score only corpus vectors whose bucket
     matches the query's (optionally also buckets at hamming distance 1 —
-    ``probe_flips`` of them — to trade recall for scan size)."""
+    ``probe_flips`` of them — to trade recall for scan size). ``query``
+    is ONE row (q_id, q_emb) unless ``per_query=True`` (see
+    :func:`_topk`)."""
     c = corpus.withColumn("_bucket", sign_bucket(vec_col, bits))
     q = query.withColumn("_qbucket", sign_bucket("q_emb", bits))
     if probe_flips:
-        probes = F.array(
-            F.col("_qbucket"),
-            *[F.col("_qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(probe_flips)],
-        )
-        q = q.withColumn("_probe", F.explode(probes)).drop("_qbucket")
+        q = q.withColumn(
+            "_probe", F.explode(probe_buckets(F.col("_qbucket"), probe_flips))
+        ).drop("_qbucket")
         cond = c["_bucket"] == q["_probe"]
     else:
         cond = c["_bucket"] == q["_qbucket"]
     joined = c.join(F.broadcast(q), cond)
-    return (
-        joined.select(
-            F.col("q_id"),
-            F.col(id_col),
-            cosine(F.col(vec_col), F.col("q_emb")).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
+    scored = joined.select(
+        F.col("q_id"),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("q_emb")).alias("cos_sim"),
     )
+    return _topk(scored, k, id_col, per_query)
 
 
 def near_dup_pairs_cosine(
@@ -269,10 +298,13 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 1,
+    per_query: bool = False,
 ) -> DataFrame:
     """IVF ANN: train a k-list inverted file over the corpus, probe the
     ``nprobe`` centroids nearest the query, exact cosine top-k over only
-    those lists' vectors. ``query``: one row (q_id, q_emb).
+    those lists' vectors. ``query``: one row (q_id, q_emb) unless
+    ``per_query=True``, which ranks probes AND results within each q_id
+    (see :func:`_topk`).
 
     The 100-TB shape: write the corpus partitioned by ``list_id`` → a
     query scans nprobe/k_lists of the data (partition pruning does the
@@ -286,18 +318,29 @@ def ivf_ann(
     cents = ivf_train(corpus, k_lists, id_col, vec_col, iterations=iterations)
     cents = cents.localCheckpoint(eager=True)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    probes = (
-        query.crossJoin(F.broadcast(cents))
-        .select("q_id", "q_emb", "list_id", cosine(F.col("q_emb"), F.col("centroid")).alias("_csim"))
-        .orderBy(F.col("_csim").desc(), F.col("list_id"))
-        .limit(nprobe)
-        .select("q_id", "q_emb", "list_id")
+    probes_scored = query.crossJoin(F.broadcast(cents)).select(
+        "q_id", "q_emb", "list_id",
+        cosine(F.col("q_emb"), F.col("centroid")).alias("_csim"),
     )
-    cand = assigned.join(F.broadcast(probes), "list_id")
-    return (
-        cand.select(
-            "q_id", id_col, cosine(F.col(vec_col), F.col("q_emb")).alias("cos_sim")
+    if per_query:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("_csim").desc(), F.col("list_id")
         )
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
+        probes = (
+            probes_scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= nprobe)
+            .select("q_id", "q_emb", "list_id")
+        )
+    else:
+        probes = (
+            probes_scored.orderBy(F.col("_csim").desc(), F.col("list_id"))
+            .limit(nprobe)
+            .select("q_id", "q_emb", "list_id")
+        )
+    cand = assigned.join(F.broadcast(probes), "list_id")
+    scored = cand.select(
+        "q_id", id_col, cosine(F.col(vec_col), F.col("q_emb")).alias("cos_sim")
     )
+    return _topk(scored, k, id_col, per_query)

@@ -88,7 +88,16 @@ def kmv_distinct(
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     gcols = [F.col(c) for c in group_cols]
-    hashed = df.select(*gcols, hash32(F.col(value_col)).alias("_h")).distinct()
+    # NULL values are excluded (COUNT(DISTINCT) semantics): md5(NULL)
+    # hashes to NULL, which sorts NULLS FIRST under both row_number
+    # windows — it would occupy a bottom-k slot and shift kmv_kth to the
+    # (k-1)-th real hash, a systematic ~k/(k-1) overestimate (review
+    # finding)
+    hashed = (
+        df.select(*gcols, hash32(F.col(value_col)).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
     counts = hashed.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
     # phase 1: bounded bottom-k inside each deterministic salt cell
     cell_w = Window.partitionBy(*group_cols, "_s").orderBy("_h")

@@ -102,6 +102,11 @@ def banded_signature(
     re-runs the upstream shingle explode + groupBy per band). Shared by
     :func:`lsh_candidate_pairs` (batch) and the incremental
     :mod:`.neardup_index` so the two banding definitions cannot drift."""
+    if bands < 1 or num_hashes % bands:
+        # silently flooring r would index a 15-hash family when 16 were
+        # requested (trailing minhashes dropped) — same guard as
+        # NearDupIndex.__init__ (review finding)
+        raise ValueError(f"bands must divide num_hashes ({num_hashes} % {bands} != 0)")
     r = num_hashes // bands
     band_structs = [
         F.struct(
@@ -136,8 +141,14 @@ def lsh_candidate_pairs(
     banded = banded_signature(sig, id_col, num_hashes, bands)
     if persist:
         # banded feeds three consumers (bucket sizing + both self-join
-        # sides); without this the signature explode+agg runs three times
-        banded = banded.persist()
+        # sides); without this the signature explode+agg runs three
+        # times. localCheckpoint, NOT persist: a df.persist cache is
+        # keyed by logical plan in the CacheManager and survives until
+        # an explicit unpersist — one leaked cache per call for the
+        # session's lifetime (review finding) — while checkpoint blocks
+        # are reference-tracked and reclaimed by the ContextCleaner once
+        # the returned frame is dropped.
+        banded = banded.localCheckpoint(eager=True)
 
     sized = banded.join(
         banded.groupBy("band_id", "band_hash")

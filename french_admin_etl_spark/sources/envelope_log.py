@@ -23,9 +23,11 @@ changes stay totally ordered against the data events they precede.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from french_admin_etl_spark.sources.event_log import LsnLog
 
 ENVELOPE_SCHEMA = T.StructType(
     [
@@ -40,35 +42,13 @@ ENVELOPE_SCHEMA = T.StructType(
 )
 
 
-class MultiTableLog:
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.path = path
+class MultiTableLog(LsnLog):
+    """Envelope-log access: the shared :class:`LsnLog` quartet over
+    ``ENVELOPE_SCHEMA`` plus the per-table typed projection. The
+    stream's monotone-LSN property (base ``read_stream``) is what the
+    DAG driver's per-window FK gates rely on."""
 
-    def read(self) -> DataFrame:
-        return self.spark.read.schema(ENVELOPE_SCHEMA).parquet(self.path)
-
-    def max_lsn(self) -> int:
-        row = self.read().agg(F.max("lsn").alias("m")).collect()[0]
-        return int(row["m"] or 0)
-
-    def lsn_range(self, lo: int, hi: int) -> DataFrame:
-        """Events with lo <= lsn < hi (parquet min/max row-group pruning)."""
-        return self.read().filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-
-    def read_stream(self, max_files_per_trigger: int = 4) -> DataFrame:
-        """Structured Streaming tail of the envelope log directory.
-
-        The file source admits files oldest-first, so a producer that lands
-        its segments in LSN order (the universal binlog/WAL contract — a
-        segment is sealed before the next is written) yields micro-batches
-        whose LSN ranges are monotone, which the per-window FK gates of the
-        DAG driver rely on."""
-        return (
-            self.spark.readStream.schema(ENVELOPE_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(self.path)
-        )
+    SCHEMA = ENVELOPE_SCHEMA
 
     @staticmethod
     def for_table(window: DataFrame, name: str, schema: T.StructType) -> DataFrame:

@@ -37,13 +37,21 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-class EventLog:
+class LsnLog:
+    """Parquet-backed ordered-log access, parameterized by schema — ONE
+    implementation of the read / max_lsn / lsn_range / read_stream
+    quartet (review finding: ``EventLog`` and ``MultiTableLog``
+    hand-rolled identical copies, double maintenance for the log-access
+    layer). Subclasses set ``SCHEMA``."""
+
+    SCHEMA: T.StructType = EVENT_SCHEMA
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
     def read(self) -> DataFrame:
-        return self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+        return self.spark.read.schema(self.SCHEMA).parquet(self.path)
 
     def max_lsn(self) -> int:
         row = self.read().agg(F.max("lsn").alias("m")).collect()[0]
@@ -52,6 +60,22 @@ class EventLog:
     def lsn_range(self, lo: int, hi: int) -> DataFrame:
         """Events with lo <= lsn < hi (pushed to the scan as min/max pruning)."""
         return self.read().filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+    def read_stream(self, max_files_per_trigger: int = 4) -> DataFrame:
+        """Structured Streaming tail of the log directory. The file source
+        admits files oldest-first, so a producer that lands its segments
+        in LSN order (the universal binlog/WAL contract — a segment is
+        sealed before the next is written) yields micro-batches whose LSN
+        ranges are monotone."""
+        return (
+            self.spark.readStream.schema(self.SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(self.path)
+        )
+
+
+class EventLog(LsnLog):
+    SCHEMA = EVENT_SCHEMA
 
     def count_events(self) -> int:
         return self.read().count()
@@ -104,10 +128,3 @@ class EventLog:
             hi = lo + batch_lsns
             yield lo, hi, self.lsn_range(lo, hi)
             lo = hi
-
-    def read_stream(self, max_files_per_trigger: int = 4) -> DataFrame:
-        return (
-            self.spark.readStream.schema(EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(self.path)
-        )

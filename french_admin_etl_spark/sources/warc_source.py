@@ -107,6 +107,12 @@ def _dechunk(body: bytes) -> bytes:
         if pos + size > len(body):
             raise ValueError("chunked body: chunk overruns payload")
         out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            # RFC 9112 §7.1 requires the CRLF terminator; skipping two
+            # arbitrary bytes instead can resynchronize on garbage and
+            # emit silently corrupted payloads (review finding) — raise
+            # so the record dead-letters like any other malformed body
+            raise ValueError("chunked body: missing chunk terminator")
         pos += size + 2  # chunk data + CRLF
 
 
@@ -144,10 +150,23 @@ def _parse_http_payload(body: bytes):
             payload = _dechunk(payload)
         cenc = hdrs.get("content-encoding", "").lower()
         if cenc in ("gzip", "x-gzip"):
-            d = zlib.decompressobj(wbits=31)
-            payload = d.decompress(payload, _HTTP_BODY_CAP)
-            if d.unconsumed_tail:
-                raise ValueError("gzip body exceeds the decode cap")
+            # member loop + explicit eof check: a TRUNCATED gzip body
+            # decompresses to a partial (often empty) prefix with no
+            # exception — without the eof probe it flowed on as content
+            # with error=None (review finding, verified empirically);
+            # multi-member bodies (legal, servers concatenate) previously
+            # dropped everything past the first member via unused_data
+            out = bytearray()
+            data = payload
+            while data:
+                d = zlib.decompressobj(wbits=31)
+                out += d.decompress(data, _HTTP_BODY_CAP - len(out))
+                if d.unconsumed_tail:
+                    raise ValueError("gzip body exceeds the decode cap")
+                if not d.eof:
+                    raise ValueError("truncated gzip body")
+                data = d.unused_data.lstrip(b"\x00")  # trailing pad bytes
+            payload = bytes(out)
         elif cenc == "deflate":
             try:
                 d = zlib.decompressobj(wbits=15)  # zlib-wrapped (common)
@@ -157,6 +176,8 @@ def _parse_http_payload(body: bytes):
                 payload = d.decompress(payload, _HTTP_BODY_CAP)
             if d.unconsumed_tail:
                 raise ValueError("deflate body exceeds the decode cap")
+            if not d.eof:
+                raise ValueError("truncated deflate body")
         elif cenc not in ("", "identity"):
             raise ValueError(f"unsupported Content-Encoding {cenc}")
     except Exception as exc:  # noqa: BLE001 — per-record dead-letter

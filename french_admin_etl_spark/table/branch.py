@@ -101,13 +101,24 @@ class Branch:
         mode: str = "overwrite",
         writer_id: str | None = None,
     ) -> MergeStats:
-        """Stage a (pre-deduped) CDC batch on the branch — same contract
+        """Stage a (pre-deduped) CDC batch on the branch — merge semantics
         as ``LakeTable.merge`` on a MOR table, invisible to main readers
-        until ``publish()``. Fenced within the branch by the same
-        per-writer batch ids."""
+        until ``publish()``. Fencing is BRANCH-SCOPED (the branch owns
+        its batch-id sequence; fences max-fold into main at publish) —
+        see the inline note below for how sequences that continue main's
+        get parent-aware fencing."""
         state = self._state()
         fence_key = "last_batch_id" if writer_id is None else f"last_batch_id.{writer_id}"
         if batch_id is not None:
+            # BRANCH-SCOPED fence by design: a branch owns its batch-id
+            # sequence, and its fences move to main (max-folded) only at
+            # publish. A caller whose sequence CONTINUES main's — the
+            # WAP driver flow — gets parent-aware fencing for free by
+            # driving CDCApplyJob at the branch (apply_batch checks
+            # snapshot()["properties"], and Branch.snapshot() overlays
+            # the pinned parent's fences); a direct Branch.merge caller
+            # sharing main's namespace across both sinks must pass a
+            # distinct writer_id, same as two log partitions on main.
             fence = state["properties"].get(fence_key)
             if fence is not None and batch_id <= fence:
                 return MergeStats(batch_id, state["parent_version"], 0, 0, 0, fenced=True)

@@ -140,3 +140,39 @@ def test_ivf_lloyd_iterations_fix_bad_seeding(spark):
     p1, p2 = purity(1), purity(2)
     assert p1 < 0.95  # bad seeding visibly hurts a single step
     assert p2 == 1.0  # a second Lloyd step separates the clusters
+
+
+def test_per_query_topk_multi_row_query(spark):
+    """Review finding: the default global orderBy().limit(k) is the
+    single-query plan; a multi-row query frame silently returned the
+    UNION's top-k (one dense query starves the rest). per_query=True
+    must rank within each q_id across all three batch functions."""
+    from french_admin_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann,
+        signature_bucket_ann,
+    )
+
+    # two clusters far apart: q0 near cluster A (high sims), q1 near
+    # cluster B (lower sims) — global top-k would be all-A
+    a = [(i, [10.0 + i * 0.01, 1.0, 0.0, 0.0]) for i in range(20)]
+    b = [(100 + i, [0.0, 0.0, 5.0, 2.0 + i]) for i in range(20)]
+    corpus = spark.createDataFrame(a + b, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [10.0, 1.0, 0.0, 0.0]), (1, [0.0, 0.0, 5.0, 10.0])],
+        "q_id long, q_emb array<float>",
+    )
+    for fn, kw in (
+        (cosine_topk, {}),
+        (signature_bucket_ann, {"bits": 4}),
+        (ivf_ann, {"k_lists": 2, "nprobe": 1}),
+    ):
+        rows = fn(corpus, q, k=3, per_query=True, **kw).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["q_id"], []).append(r["vec_id"])
+        assert set(per_q) == {0, 1}, (fn.__name__, per_q)
+        assert all(len(v) == 3 for v in per_q.values()), (fn.__name__, per_q)
+        # each query's neighbors come from its own cluster
+        assert all(v < 100 for v in per_q[0]), (fn.__name__, per_q)
+        assert all(v >= 100 for v in per_q[1]), (fn.__name__, per_q)

@@ -90,3 +90,17 @@ def test_stratified_quota_exact_and_stable(spark, docs):
     assert counts == {k: min(30, v) for k, v in base.items()}
     again = stratified_quota(docs.repartition(5), ["lang"], 30, ["doc_id"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_uniform_hash_separator_injection_resistant(spark):
+    """Review finding: a bare '|' join let ('x|y', 'z') and ('x', 'y|z')
+    concatenate identically — distinct keys with perfectly correlated
+    draws. Length-prefixed encoding must give them independent draws."""
+    from french_admin_etl_spark.operators.sampling import uniform_hash
+
+    df = spark.createDataFrame(
+        [("x|y", "z"), ("x", "y|z"), ("x|", "y|z"), ("x", "|y|z")],
+        "a string, b string",
+    )
+    u = [r["u"] for r in df.select(uniform_hash(["a", "b"]).alias("u")).collect()]
+    assert len(set(u)) == 4, u

@@ -115,3 +115,29 @@ def test_sketch_parameter_validation(spark):
         cms_build(df, "v", depth=0)
     with pytest.raises(ValueError):
         cms_build(df, "v", width=1)
+
+
+def test_kmv_nulls_excluded_count_distinct_semantics(spark):
+    """Review finding: md5(NULL) hashes to NULL, which sorts NULLS FIRST
+    and used to occupy a bottom-k slot (shifting kmv_kth to the (k-1)-th
+    real hash — systematic overestimate) and count as a distinct value in
+    the small-group exact path. KMV must match COUNT(DISTINCT): nulls
+    contribute nothing."""
+    from french_admin_etl_spark.operators.sketches import kmv_distinct
+
+    rows = [("g", str(i)) for i in range(40)] + [("g", None)] * 3
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = kmv_distinct(df, "v", ["grp"], k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    # small group (< k distinct): exact path must equal COUNT(DISTINCT v)
+    assert r["kmv_kth"] is None and r["distinct_est"] == 40
+
+    # large group: the k-th hash must be the k-th REAL hash (same result
+    # with and without null rows present)
+    big = [("g", str(i)) for i in range(200)]
+    with_nulls = spark.createDataFrame(big + [("g", None)] * 5, "grp string, v string")
+    without = spark.createDataFrame(big, "grp string, v string")
+    a = kmv_distinct(with_nulls, "v", ["grp"], k=64).collect()[0]
+    b = kmv_distinct(without, "v", ["grp"], k=64).collect()[0]
+    assert (a["kmv_kth"], a["distinct_est"]) == (b["kmv_kth"], b["distinct_est"])

@@ -289,3 +289,50 @@ def test_warc_documents_excludes_undecodable_bodies(spark, tmp_path):
     (d / "seg.warc").write_bytes(_sample_warc() + rec)
     docs = warc_documents(spark, str(d)).collect()
     assert {r.doc_id for r in docs} == {"<urn:uuid:2>"}
+
+
+def test_truncated_and_multimember_http_bodies():
+    """Review findings: (1) a TRUNCATED gzip/deflate body decompresses to
+    a partial prefix with no exception — it must dead-letter, not flow on
+    as content with error=None; (2) multi-member gzip bodies (legal —
+    servers concatenate) must decode ALL members, not silently drop
+    everything after the first; (3) a chunked body whose chunk terminator
+    is not CRLF must dead-letter, not resynchronize on garbage."""
+    import zlib as _z
+
+    def _resp(headers: bytes, body: bytes, uid: str):
+        return _record(
+            "response",
+            {"WARC-Type": "response", "WARC-Record-ID": f"<urn:uuid:{uid}>",
+             "WARC-Target-URI": f"http://example.org/{uid}",
+             "Content-Type": "application/http"},
+            b"HTTP/1.1 200 OK\r\n" + headers + b"\r\n" + body,
+        )
+
+    # truncated gzip: cut mid-stream — zlib yields a prefix, eof=False
+    gz = gzip.compress(b"x" * 4096)
+    rows = list(parse_warc_bytes(
+        _resp(b"Content-Encoding: gzip\r\n", gz[: len(gz) // 2], "tg"), "t.warc"
+    ))
+    assert rows[0]["error"] is not None and "truncated" in rows[0]["error"]
+
+    # truncated zlib-deflate
+    df = _z.compress(b"y" * 4096)
+    rows = list(parse_warc_bytes(
+        _resp(b"Content-Encoding: deflate\r\n", df[: len(df) // 2], "td"), "t.warc"
+    ))
+    assert rows[0]["error"] is not None and "truncated" in rows[0]["error"]
+
+    # multi-member gzip: both members decode, concatenated
+    two = gzip.compress(b"first ") + gzip.compress(b"second")
+    rows = list(parse_warc_bytes(
+        _resp(b"Content-Encoding: gzip\r\n", two, "mm"), "t.warc"
+    ))
+    assert rows[0]["error"] is None and rows[0]["payload"] == b"first second"
+
+    # chunked body with garbage where the chunk CRLF terminator belongs
+    bad = b"5\r\nHELLOXY6\r\nWORLD!\r\n0\r\n\r\n"
+    rows = list(parse_warc_bytes(
+        _resp(b"Transfer-Encoding: chunked\r\n", bad, "ck"), "t.warc"
+    ))
+    assert rows[0]["error"] is not None and "terminator" in rows[0]["error"]
