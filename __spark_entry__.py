@@ -890,13 +890,26 @@ def g2_neardup_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     w1 = ev(docs.filter(F.col("doc_id") % 3 != 2), "I", 0)
+    # merge contract: ONE row per key per batch (review finding — the
+    # overlapping classes only worked because MOR resolution takes max
+    # LSN; a COW merge would fan duplicate source keys out). Leg
+    # priority D > U > I mirrors the max-LSN winner, so the final state
+    # and the declarative oracle are unchanged.
     w2 = (
-        ev(docs.filter(F.col("doc_id") % 3 == 2), "I", N)
+        ev(
+            docs.filter(
+                (F.col("doc_id") % 3 == 2)
+                & (F.col("doc_id") % 5 != 0)
+                & (F.col("doc_id") % 7 != 3)
+            ),
+            "I",
+            N,
+        )
         .unionByName(
             ev(
-                docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-                    "text", F.concat(F.col("text"), F.lit(" v2"))
-                ),
+                docs.filter(
+                    (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 3)
+                ).withColumn("text", F.concat(F.col("text"), F.lit(" v2"))),
                 "U",
                 2 * N,
             )
@@ -1335,7 +1348,12 @@ def _lang_id_sql() -> str:
         WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
         scored AS (SELECT doc_id, {scores} FROM toks)
         SELECT doc_id,
-               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+               -- NULL text: every score is NULL, so without the explicit
+               -- guard each WHEN is NULL and the CASE falls through to
+               -- ELSE 'de' while the engine returns 'und' (review
+               -- finding; latent — the corpus has no NULL texts)
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                      OR greatest(s_de, s_en, s_es, s_fr) IS NULL THEN 'und'
                     WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
                     WHEN s_es > greatest(s_de, s_en) THEN 'es'
                     WHEN s_en > s_de THEN 'en'
@@ -1376,11 +1394,22 @@ def g3_ann_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     w1 = ev(vecs.filter(F.col("vec_id") % 3 != 2), "I", 0)
+    # one row per key per batch (leg priority D > U > I — see g2's note)
     w2 = (
-        ev(vecs.filter(F.col("vec_id") % 3 == 2), "I", N)
+        ev(
+            vecs.filter(
+                (F.col("vec_id") % 3 == 2)
+                & (F.col("vec_id") % 5 != 0)
+                & (F.col("vec_id") % 7 != 3)
+            ),
+            "I",
+            N,
+        )
         .unionByName(
             ev(
-                vecs.filter(F.col("vec_id") % 5 == 0).withColumn(
+                vecs.filter(
+                    (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 7 != 3)
+                ).withColumn(
                     "embedding",
                     F.transform("embedding", lambda x: -x).cast("array<float>"),
                 ),
@@ -1468,11 +1497,22 @@ def g4_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     w1 = ev(ev0.filter(F.col("event_id") % 3 != 2), "I", 0)
+    # one row per key per batch (leg priority D > U > I — see g2's note)
     w2 = (
-        ev(ev0.filter(F.col("event_id") % 3 == 2), "I", N)
+        ev(
+            ev0.filter(
+                (F.col("event_id") % 3 == 2)
+                & (F.col("event_id") % 5 != 0)
+                & (F.col("event_id") % 7 != 3)
+            ),
+            "I",
+            N,
+        )
         .unionByName(
             ev(
-                ev0.filter(F.col("event_id") % 5 == 0)
+                ev0.filter(
+                    (F.col("event_id") % 5 == 0) & (F.col("event_id") % 7 != 3)
+                )
                 .withColumn("event_type", F.concat(F.col("event_type"), F.lit("_v2")))
                 .withColumn("amount", F.col("amount") * 2),
                 "U",
@@ -1720,8 +1760,10 @@ def g7_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates for %3==0, deletes for %7==2, late inserts were held back
     from wave 1) stages on an audit BRANCH as two separate staged
     commits — including an equal-LSN overwrite pair whose intra-branch
-    commit order must decide the winner — then an audit gate (no
-    negative balances reach serving) passes and ONE atomic publish makes
+    commit order must decide the winner — then an audit gate (every
+    live row carries a balance — no NULL acctbal reaches serving; the
+    update legs always set it, so a NULL would mean a staging bug)
+    passes and ONE atomic publish makes
     it all visible. The result is the final live table; the oracle
     restates it declaratively, so the hash-match proves staged+published
     == recompute-from-truth, tie-break included."""
@@ -1807,7 +1849,11 @@ def g7_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def audit(df):
-            assert df.filter(F.col("s_acctbal").isNull()).count() == 0
+            # a real gate, not a bare assert (which vanishes under
+            # python -O — review finding)
+            n_bad = df.filter(F.col("s_acctbal").isNull()).count()
+            if n_bad:
+                raise ValueError(f"audit: {n_bad} live rows with NULL acctbal")
 
         br.publish(audit=audit)
         out = t.read()
@@ -2466,7 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "m1_media_metadata": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,
-                   lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+                   lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
                    sha256(text) AS sha256
             FROM documents
         """,

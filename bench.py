@@ -446,6 +446,7 @@ def bench_joinview(spark, sf_dir: str, sf: float, workdir: str) -> dict:
     N = 10_000_000
     changed = 0
     inc_wall = 0.0
+    modes: list = []
     for wave in range(2):
         lw = orders.filter(F.col("o_orderkey") % 31 == wave).select(
             "o_orderkey", "o_custkey",
@@ -464,6 +465,11 @@ def bench_joinview(spark, sf_dir: str, sf: float, workdir: str) -> dict:
         t0 = time.monotonic()
         r = jv.sync()
         inc_wall += time.monotonic() - t0
+        # sync() returns no 'upserts' on the resync/empty/noop paths — a
+        # silent fallback would corrupt the recorded O(changed-keys) rate
+        # (review finding); record the per-wave modes so the artifact
+        # discloses what the wall actually measured
+        modes.append(r.get("mode", "incremental"))
         changed += r.get("upserts", 0)
     return {
         "jv_rows": n_orders,
@@ -471,6 +477,7 @@ def bench_joinview(spark, sf_dir: str, sf: float, workdir: str) -> dict:
         "jv_incremental_rows": changed,
         "jv_incremental_wall_sec": round(inc_wall, 3),
         "jv_incremental_rows_per_sec": round(changed / inc_wall, 1) if inc_wall else 0.0,
+        "jv_incremental_modes": modes,
     }
 
 

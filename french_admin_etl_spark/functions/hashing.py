@@ -15,8 +15,6 @@ Never a row-at-a-time Python UDF.
 
 from __future__ import annotations
 
-import hashlib
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F

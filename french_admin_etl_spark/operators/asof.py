@@ -95,10 +95,18 @@ def point_in_interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join each point to every interval with lo <= point < hi, via
-    coarse-bucket equi-join + exact filter (no cross product)."""
+    coarse-bucket equi-join + exact filter (no cross product).
+
+    Degenerate intervals (hi <= lo, i.e. [lo, hi) empty — swapped columns
+    or corrupt rows) are dropped up front: they match nothing by
+    definition, and letting them reach ``F.sequence`` would generate a
+    DESCENDING bucket sequence — one bad row exploding into
+    O(|hi-lo|/width) spurious rows before the exact filter discards them
+    (review finding)."""
     p = points.withColumn(
         "_b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
+    intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
     i = intervals.withColumn(
         "_bs",
         F.sequence(
@@ -143,6 +151,9 @@ def point_in_interval_join_exact(
     if w <= 0:
         raise ValueError(f"bucket_width must be a positive int, got {bucket_width}")
     p = points.withColumn("_b", _floordiv_expr(point_col, w))
+    # empty intervals match nothing and would make F.sequence descend
+    # (same guard as the real-valued variant)
+    intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
     i = (
         intervals.withColumn(
             "_bs",

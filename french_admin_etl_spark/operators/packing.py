@@ -58,10 +58,21 @@ def prefix_sum(
     Cost: one percentile agg + one totals agg (both combinable) + the
     partition-local windows.
     """
-    n = int(
-        num_partitions
-        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    if num_partitions is not None:
+        if num_partitions < 1:
+            raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+        n = int(num_partitions)
+    else:
+        # shuffle.partitions can be non-numeric under AQE auto-tuning
+        # (e.g. 'auto' on some platforms) — fall back to the cluster's
+        # default parallelism instead of crashing on int() (review
+        # finding; `num_partitions or conf` also mistreated an explicit
+        # 0, now rejected above)
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n = int(conf)
+        except (TypeError, ValueError):
+            n = df.sparkSession.sparkContext.defaultParallelism
     first_t = df.schema[order_cols[0]].dataType.typeName()
     if first_t not in (
         "byte", "short", "integer", "long", "float", "double", "decimal",

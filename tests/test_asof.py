@@ -131,3 +131,31 @@ def test_exact_range_join_boundary_no_epsilon_leak(spark):
         ).collect()
     }
     assert got == {(2, 0)}  # 10 excluded (hi-exclusive), 9 included
+
+
+def test_degenerate_intervals_dropped_not_exploded(spark):
+    """Review finding: an interval with hi <= lo (swapped/corrupt bounds)
+    made F.sequence generate a DESCENDING bucket list — one bad row
+    exploding into O(|hi-lo|/width) spurious rows. Empty intervals match
+    nothing by definition and must simply be dropped."""
+    from french_admin_etl_spark.operators.asof import (
+        point_in_interval_join,
+        point_in_interval_join_exact,
+    )
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    iv = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 1e9, 0.0), (12, 5.0, 5.0)],
+        "iid long, lo double, hi double",
+    )
+    got = point_in_interval_join(pts, iv, "x", "lo", "hi", bucket_width=5.0).collect()
+    assert [r["iid"] for r in got] == [10]
+
+    pts_i = spark.createDataFrame([(1, 5)], "pid long, x long")
+    iv_i = spark.createDataFrame(
+        [(10, 0, 10), (11, 10**9, 0), (12, 5, 5)], "iid long, lo long, hi long"
+    )
+    got_i = point_in_interval_join_exact(
+        pts_i, iv_i, "x", "lo", "hi", bucket_width=5
+    ).collect()
+    assert [r["iid"] for r in got_i] == [10]
