@@ -475,6 +475,10 @@ def _decode_png(payload: bytes):
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
+    # bomb cap BEFORE the inflate and the canvas allocation (same
+    # 268 Mpx posture as BMP/TIFF/TGA/GIF): IHDR dims are 32-bit fields
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"PNG dimensions {w}x{h} exceed the decoder cap")
     depth, ctype, _comp, _filt, interlace = ihdr[8:13]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     legal_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(ctype, (8, 16))
@@ -484,11 +488,31 @@ def _decode_png(payload: bytes):
         )
     if ctype == 3 and (plte is None or len(plte) % 3):
         raise ValueError("malformed PNG: palette image missing/bad PLTE")
-    raw = zlib.decompress(b"".join(idat))
     bpp = max(1, (channels * depth) // 8)  # filter byte distance
 
     def stride_for(pw: int) -> int:
         return (pw * channels * depth + 7) // 8
+
+    # bounded inflate: the raw scanline size is fully determined by the
+    # (capped) header, so a max-ratio IDAT stream cannot balloon past it
+    # (same posture as TIFF's capped decompressobj)
+    want = 0
+    if interlace == 0:
+        want = h * (1 + stride_for(w))
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw and ph:
+                want += ph * (1 + stride_for(pw))
+    d = zlib.decompressobj()
+    # want+1: with max_length=want exactly, zlib stops at the output cap
+    # BEFORE consuming the stream-end marker + adler trailer, so a legit
+    # stream would look truncated; one spare byte lets it finish, and a
+    # bomb is then detected by producing that extra byte
+    raw = d.decompress(b"".join(idat), want + 1)
+    if len(raw) > want or d.unconsumed_tail:
+        raise ValueError("PNG IDAT inflates past the header's raw size")
 
     img = np.zeros((h, w, channels), dtype=np.int32)
     if interlace == 0:
@@ -603,6 +627,11 @@ def _gif_read_frame(payload: bytes, pos: int, gct, np):
     top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
     w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
     h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    # bomb cap BEFORE any allocation (same 268 Mpx posture as BMP/TIFF/
+    # TGA): dims are 16-bit so 4.29 Gpx is expressible, and the LZW
+    # output buffer + index plane + float64 RGB expansion multiply it
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"GIF dimensions {w}x{h} exceed the decoder cap")
     ipacked = payload[pos + 9]
     pos += 10
     ct = gct
@@ -1075,8 +1104,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             # 8/24/32-bit PCM, extensible headers (round 5)
             try:
                 return featurize(*_decode_wav_generic(p))
-            except Exception:  # noqa: BLE001
-                return (None, None, None, None, None, f"not a PCM WAV: {type(e).__name__}: {e}")
+            except Exception as e2:  # noqa: BLE001
+                # report BOTH failures: the generic decoder's diagnostic
+                # is usually the root cause (e.g. 'bad IMA ADPCM step
+                # index'), and swallowing it misattributed every such
+                # dead-letter to the stdlib module's vaguer refusal
+                # (review finding)
+                return (
+                    None, None, None, None, None,
+                    f"not a PCM WAV: {type(e).__name__}: {e}; generic "
+                    f"decode: {type(e2).__name__}: {e2}",
+                )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

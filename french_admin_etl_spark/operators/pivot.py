@@ -27,7 +27,14 @@ def pivot_last_write_wins(
     """One wide row per group; cell (g, v) = value of the last row (by
     seq_col; arbitrary-but-last-wins if None, matching the reference's
     in-batch overwrite) whose pivot_col == v.
-    """
+
+    Both modes share one null semantic: the chosen MATCHING ROW's value
+    wins even when that value is NULL. The seq-less arm wraps the cell
+    in a struct so ``last(ignorenulls=True)`` skips only NON-MATCHING
+    rows, not matching rows that happen to carry a null value — a bare
+    ``last(cell, ignorenulls=True)`` silently resurrected the previous
+    non-null write, diverging from the seq mode's max_by (review
+    finding)."""
     aggs = []
     for v in pivot_values:
         cell = F.when(F.col(pivot_col) == v, F.col(value_col))
@@ -36,6 +43,14 @@ def pivot_last_write_wins(
                 F.max_by(cell, F.when(F.col(pivot_col) == v, F.col(seq_col))).alias(v)
             )
         else:
-            aggs.append(F.last(cell, ignorenulls=True).alias(v))
+            aggs.append(
+                F.last(
+                    F.when(
+                        F.col(pivot_col) == v,
+                        F.struct(F.col(value_col).alias("v")),
+                    ),
+                    ignorenulls=True,
+                )["v"].alias(v)
+            )
     aggs.append(F.count(F.lit(1)).alias(count_alias))
     return df.groupBy(*group_cols).agg(*aggs)

@@ -29,14 +29,19 @@ def hot_keys(
 ) -> DataFrame:
     """Sampled per-key counts; returns keys whose sampled share ≥ min_share.
 
-    One narrow sample + one small agg — never a full-data count.
+    ONE scan of the sample: the grouped counts are materialized
+    (localCheckpoint) and the total derived by summing them — the
+    earlier separate ``s.count()`` re-scanned the whole source applying
+    the sampler a second time, and silently relied on ``sample(seed=)``
+    re-evaluating identically across the two jobs (review finding).
     """
     s = df.sample(fraction=sample_fraction, seed=seed)
-    total = s.count() or 1
+    grouped = (
+        s.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(eager=True)
+    )
+    total = (grouped.agg(F.sum("_n")).collect()[0][0] or 0) or 1
     return (
-        s.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_share * total)
+        grouped.filter(F.col("_n") >= min_share * total)
         .select(*keys, (F.col("_n") / F.lit(total)).alias("sampled_share"))
     )
 

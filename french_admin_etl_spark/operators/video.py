@@ -35,16 +35,22 @@ from __future__ import annotations
 
 import numpy as np
 
-_CHROMA_FACTOR = {
-    # bytes of BOTH chroma planes as a fraction of the luma plane
-    "420": 0.5,
-    "420jpeg": 0.5,
-    "420mpeg2": 0.5,
-    "420paldv": 0.5,
-    "422": 1.0,
-    "444": 2.0,
-    "mono": 0.0,
-}
+def _chroma_bytes(chroma: str, w: int, h: int) -> int | None:
+    """Bytes of BOTH chroma planes for one frame. Computed with CEILING
+    division per plane — ``int(ysize * factor)`` was wrong for odd
+    dimensions (a 3x3 C420 frame has 2x ceil(3/2)*ceil(3/2) = 8 chroma
+    bytes, not int(9*0.5) = 4), drifting every frame's read position and
+    rejecting valid odd-dimension clips as corrupt (review finding;
+    ffmpeg emits ceil-sized planes). Returns None for unsupported tags."""
+    if chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        return 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    if chroma == "422":
+        return 2 * ((w + 1) // 2) * h
+    if chroma == "444":
+        return 2 * w * h
+    if chroma == "mono":
+        return 0
+    return None
 
 
 def _iter_y4m(payload: bytes):
@@ -61,10 +67,12 @@ def _iter_y4m(payload: bytes):
             chroma = tok[1:].decode("ascii")
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    if chroma not in _CHROMA_FACTOR:
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"Y4M dimensions {w}x{h} exceed the decoder cap")
+    csize = _chroma_bytes(chroma, w, h)
+    if csize is None:
         raise NotImplementedError(f"Y4M chroma mode C{chroma}")
     ysize = w * h
-    csize = int(ysize * _CHROMA_FACTOR[chroma])
     pos = nl + 1
     idx = 0
     n = len(payload)
@@ -104,11 +112,18 @@ def _iter_avi(payload: bytes):
             continue
         kind = payload[start : start + 4]
         if kind == b"hdrl":
-            # find the first stream's strf (BITMAPINFOHEADER)
+            # find the VIDEO stream's strf (BITMAPINFOHEADER): stream
+            # order is unconstrained, so an audio-first AVI's
+            # WAVEFORMATEX must not be misread as video dimensions
+            # (review finding) — select the strl whose strh fccType is
+            # 'vids'
             for f2, s2, z2 in _riff_chunks(payload, start + 4, start + size):
                 if f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    is_video = False
                     for f3, s3, z3 in _riff_chunks(payload, s2 + 4, s2 + z2):
-                        if f3 == b"strf":
+                        if f3 == b"strh":
+                            is_video = payload[s3 : s3 + 4] == b"vids"
+                        elif f3 == b"strf" and is_video:
                             strf = payload[s3 : s3 + z3]
                             break
                 if strf:
@@ -133,9 +148,22 @@ def _iter_avi(payload: bytes):
         )
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"AVI dimensions {w}x{h} exceed the decoder cap")
     stride = (w * 3 + 3) & ~3
     idx = 0
-    for fourcc, start, size in _riff_chunks(payload, movi[0], movi[1]):
+
+    def movi_chunks(pos, end):
+        # interleaved AVIs (CD-ROM pacing) wrap frame chunks in LIST
+        # 'rec ' sublists — skipping them yielded ZERO frames for a
+        # fully valid video with no error (review finding); recurse
+        for fourcc, start, size in _riff_chunks(payload, pos, end):
+            if fourcc == b"LIST" and payload[start : start + 4] == b"rec ":
+                yield from movi_chunks(start + 4, start + size)
+            else:
+                yield fourcc, start, size
+
+    for fourcc, start, size in movi_chunks(movi[0], movi[1]):
         if fourcc[2:4] not in (b"db", b"dc"):
             continue  # index/audio chunks
         if mjpeg:

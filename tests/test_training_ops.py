@@ -634,11 +634,24 @@ def test_png_decode_all_filters(spark):
     _, _, gray_ppm = decode_image(ppm)
     assert np.allclose(gray_ppm, want)
     # an all-zero Adam7 stream decodes to black (interlace was a seam
-    # until round 5; the real round-trip lives in test_png_depths_palette_adam7)
+    # until round 5; the real round-trip lives in test_png_depths_palette_adam7).
+    # Exactly the Adam7 raw size for 5x7 RGB — the decoder's bounded
+    # inflate (review finding: bomb cap) rejects over-length streams, and
+    # a compliant encoder never emits slack bytes.
     z_ihdr = struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 1)
+    z_raw = sum(
+        ph * (1 + (pw * 3 * 8 + 7) // 8)
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        for pw in [(5 - x0 + dx - 1) // dx]
+        for ph in [(7 - y0 + dy - 1) // dy]
+        if pw and ph
+    )
     zeros = (
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", z_ihdr)
-        + chunk(b"IDAT", zlib.compress(b"\x00" * (7 * 20)))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * z_raw))
         + chunk(b"IEND", b"")
     )
     wz, hz, gz = decode_image(zeros)
@@ -1598,3 +1611,66 @@ def test_bmp_dimension_bomb_capped_before_allocation():
             decode_image(hdr(w, h, 8, 1))
     with pytest.raises(ValueError, match="exceed the decoder cap"):
         decode_image(hdr(0, 4, 8, 1))  # zero-width is degenerate too
+
+
+def test_gif_png_dimension_bombs_capped():
+    """Review findings: GIF dims are 16-bit (4.29 Gpx expressible) and
+    PNG dims 32-bit — both paths must reject past the shared 268 Mpx cap
+    BEFORE allocating, and a PNG IDAT inflating past the header's raw
+    size must be rejected (bounded decompressobj, like TIFF)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    # GIF: 65535x65535 header, tiny LZW stream
+    gif = (
+        b"GIF89a" + (65535).to_bytes(2, "little") * 2 + b"\xf0\x00\x00"
+        + bytes(6)  # 2-entry global color table
+        + b"\x2c" + bytes(4) + (65535).to_bytes(2, "little") * 2 + b"\x00"
+        + b"\x02\x01\x00\x00"  # min code size 2, 1-byte sub-block, term
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="exceed the decoder cap"):
+        decode_image(gif)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # PNG: 2^16 x 2^16 header
+    big = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", big)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceed the decoder cap"):
+        decode_image(png)
+
+    # PNG: sane dims but an IDAT that inflates past the raw size
+    small = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", small)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_image(bomb)
+
+
+def test_pivot_seqless_null_write_wins(spark):
+    """Review finding: without seq_col, a matching row whose value is
+    NULL must still win the cell (same null semantic as the seq mode's
+    max_by) — bare last(ignorenulls=True) silently resurrected the
+    previous non-null write."""
+    from french_admin_etl_spark.operators.pivot import pivot_last_write_wins
+
+    df = spark.createDataFrame(
+        [("g", "a", "x"), ("g", "a", None)], "grp string, p string, v string"
+    ).coalesce(1)
+    out = pivot_last_write_wins(df, ["grp"], "p", ["a"], "v").collect()[0]
+    assert out["a"] is None

@@ -301,3 +301,66 @@ def test_gif_animation_compositing():
     # truncation mid-frame is a row-local ValueError
     with pytest.raises(ValueError):
         list(decode_video_frames(gif[: len(gif) // 2]))
+
+
+def test_avi_audio_first_and_rec_lists():
+    """Review findings: (1) stream order is unconstrained — an AVI whose
+    AUDIO strl comes first must not have its WAVEFORMATEX misread as
+    video dimensions (select the strl with strh fccType 'vids'); (2)
+    interleaved AVIs wrap frame chunks in LIST 'rec ' sublists — they
+    must be recursed into, not skipped (which silently yielded zero
+    frames)."""
+    rng = np.random.RandomState(3)
+    w, h = 4, 3
+    frames = [rng.randint(0, 255, (h, w, 3)).astype(np.uint8) for _ in range(2)]
+    stride = (w * 3 + 3) & ~3
+    strf_v = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + bytes(20)
+    )
+    # audio stream first: strf is a WAVEFORMATEX (not a BITMAPINFOHEADER)
+    strf_a = (1).to_bytes(2, "little") + (2).to_bytes(2, "little") + \
+        (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little") + \
+        (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", bytes(56))
+        + _list(b"strl", _chunk(b"strh", b"auds" + bytes(52)) + _chunk(b"strf", strf_a))
+        + _list(b"strl", _chunk(b"strh", b"vids" + bytes(52)) + _chunk(b"strf", strf_v)),
+    )
+    recs = b""
+    for bgr in frames:
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):
+            rows += bytes(bgr[y].astype(np.uint8).tobytes()) + bytes(stride - w * 3)
+        # each frame inside its own LIST 'rec ' sublist
+        recs += _list(b"rec ", _chunk(b"00db", bytes(rows)))
+    body = b"AVI " + hdrl + _list(b"movi", recs)
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got = list(decode_video_frames(avi))
+    assert len(got) == 2
+    for (idx, fw, fh, gray), bgr in zip(got, frames):
+        assert (fw, fh) == (w, h)
+        want = 0.299 * bgr[:, :, 2] + 0.587 * bgr[:, :, 1] + 0.114 * bgr[:, :, 0]
+        assert np.allclose(gray, want)
+
+
+def test_y4m_odd_dimensions_c420():
+    """Review finding: C420 chroma planes are 2*ceil(w/2)*ceil(h/2)
+    bytes — int(w*h*0.5) drifted the read position on odd dims and
+    rejected valid clips as corrupt."""
+    w, h = 3, 3
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 255, (h, w)) for _ in range(3)]
+    csize = 2 * ((w + 1) // 2) * ((h + 1) // 2)  # 8, not int(9*0.5)=4
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 C420jpeg\n".encode())
+    for y in frames:
+        out += b"FRAME\n" + bytes(np.asarray(y, np.uint8).tobytes()) + bytes(csize)
+    got = list(decode_video_frames(bytes(out)))
+    assert len(got) == 3
+    for (idx, fw, fh, gray), y in zip(got, frames):
+        assert (fw, fh) == (w, h) and np.array_equal(gray, y.astype(np.float64))
