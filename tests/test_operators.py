@@ -151,3 +151,28 @@ def test_hot_keys_and_salt(spark):
     again = {r["lsn"]: r["_salt"] for r in add_salt(df, 8).collect()}
     first = {r["lsn"]: r["_salt"] for r in salted.collect()}
     assert again == first
+
+
+def test_lsh_banded_cache_bounded_to_one(spark):
+    """Review finding (round 5): every lsh_candidate_pairs call persisted
+    its banded frame and never released it — a driver looping over
+    corpora leaked one CacheManager entry per call for the session's
+    lifetime. The bounded form keeps AT MOST ONE outstanding cache:
+    repeated calls over the same corpus share it (the fast path), a
+    different corpus retires the previous entry."""
+    from french_admin_etl_spark.operators.textdedup import (
+        _BANDED_CACHE,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    for tag in ("x", "y", "z"):
+        docs = spark.createDataFrame(
+            [(i, f"{tag} doc {i} common tail words here") for i in range(30)],
+            ["doc_id", "text"],
+        )
+        sig = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+        lsh_candidate_pairs(sig, "doc_id").count()
+        assert len(_BANDED_CACHE) == 1
+        n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert n_cached <= 1, f"leaked {n_cached} cached frames"

@@ -114,11 +114,11 @@ def main() -> None:
     sig = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     p = plan_of(pairs)
-    # banded is an eager localCheckpoint (round-5 review: df.persist
-    # leaked one CacheManager entry per call) — consumers scan the
-    # materialized RDD instead of re-deriving the explode per consumer
-    check("LSH banding computed once, consumers read the checkpoint", p,
-          ["ExistingRDD"], ["InMemoryTableScan"])
+    # banded is a bounded persist (round-5 review: one outstanding cache,
+    # retired when a different corpus arrives) — consumers scan the
+    # columnar cache instead of re-deriving the explode per consumer
+    check("LSH banding computed once, consumers read the cache", p,
+          ["InMemoryTableScan"])
     sections.append(("LSH banding (single-pass explode, cached fan-out)", p))
 
     # 7. IVF assignment: broadcast nested-loop over k centroids — one
