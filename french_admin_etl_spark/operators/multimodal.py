@@ -443,6 +443,58 @@ _ADAM7 = [
 ]
 
 
+def _png_raster(
+    data: bytes, w: int, h: int, depth: int, channels: int, interlace: int
+):
+    """Inflate + unfilter + sample ONE compressed PNG raster — a still
+    image's joined IDAT stream or an APNG frame's joined fdAT stream
+    (identical wire format per the APNG spec, each frame its own zlib
+    stream). Bounded inflate: the raw scanline size is fully determined
+    by the (caller-capped) dimensions, so a max-ratio stream cannot
+    balloon past it (same posture as TIFF's capped decompressobj).
+    Returns (h, w, channels) int32 samples at native depth."""
+    import zlib
+
+    import numpy as np
+
+    bpp = max(1, (channels * depth) // 8)  # filter byte distance
+
+    def stride_for(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
+    want = 0
+    if interlace == 0:
+        want = h * (1 + stride_for(w))
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw and ph:
+                want += ph * (1 + stride_for(pw))
+    d = zlib.decompressobj()
+    # want+1: with max_length=want exactly, zlib stops at the output cap
+    # BEFORE consuming the stream-end marker + adler trailer, so a legit
+    # stream would look truncated; one spare byte lets it finish, and a
+    # bomb is then detected by producing that extra byte
+    raw = d.decompress(data, want + 1)
+    if len(raw) > want or d.unconsumed_tail:
+        raise ValueError("PNG raster inflates past the header's raw size")
+
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, stride_for(w), h, bpp)
+        return _png_samples(rows, w, channels, depth)
+    img = np.zeros((h, w, channels), dtype=np.int32)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass at small dims (no scanlines at all)
+        rows, off = _png_unfilter(raw, off, stride_for(pw), ph, bpp)
+        img[y0::dy, x0::dx] = _png_samples(rows, pw, channels, depth)
+    return img
+
+
 def _decode_png(payload: bytes):
     """REAL PNG decode, stdlib-only (zlib inflate + numpy unfiltering):
     bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette,
@@ -453,8 +505,6 @@ def _decode_png(payload: bytes):
     16-bit samples scale by 255/65535 so the gray contract stays
     [0, 255]. Malformed files raise ValueError (per-row err isolation
     upstream, S9)."""
-    import zlib
-
     import numpy as np
 
     pos, ihdr, idat, plte = 8, None, [], None
@@ -488,45 +538,7 @@ def _decode_png(payload: bytes):
         )
     if ctype == 3 and (plte is None or len(plte) % 3):
         raise ValueError("malformed PNG: palette image missing/bad PLTE")
-    bpp = max(1, (channels * depth) // 8)  # filter byte distance
-
-    def stride_for(pw: int) -> int:
-        return (pw * channels * depth + 7) // 8
-
-    # bounded inflate: the raw scanline size is fully determined by the
-    # (capped) header, so a max-ratio IDAT stream cannot balloon past it
-    # (same posture as TIFF's capped decompressobj)
-    want = 0
-    if interlace == 0:
-        want = h * (1 + stride_for(w))
-    else:
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw and ph:
-                want += ph * (1 + stride_for(pw))
-    d = zlib.decompressobj()
-    # want+1: with max_length=want exactly, zlib stops at the output cap
-    # BEFORE consuming the stream-end marker + adler trailer, so a legit
-    # stream would look truncated; one spare byte lets it finish, and a
-    # bomb is then detected by producing that extra byte
-    raw = d.decompress(b"".join(idat), want + 1)
-    if len(raw) > want or d.unconsumed_tail:
-        raise ValueError("PNG IDAT inflates past the header's raw size")
-
-    img = np.zeros((h, w, channels), dtype=np.int32)
-    if interlace == 0:
-        rows, _ = _png_unfilter(raw, 0, stride_for(w), h, bpp)
-        img = _png_samples(rows, w, channels, depth)
-    else:
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue  # empty pass at small dims (no scanlines at all)
-            rows, off = _png_unfilter(raw, off, stride_for(pw), ph, bpp)
-            img[y0::dy, x0::dx] = _png_samples(rows, pw, channels, depth)
+    img = _png_raster(b"".join(idat), w, h, depth, channels, interlace)
     if ctype == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.float64)
         idx = img[:, :, 0]
@@ -789,6 +801,171 @@ _IMA_STEP_TABLE = (
 _IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
 
+def _g711_table(alaw: bool):
+    """G.711 code → float64 [-1, 1) expansion table (256 entries), shared
+    by the WAV (tags 6/7), AIFF (``ulaw``/``alaw``) and AU (encodings
+    1/27) paths.
+
+    - A-law: toggle the even bits, segment-expand; the sign bit SET means
+      POSITIVE (0xD5 → +8, 0x55 → −8).
+    - µ-law: complement, biased segment-expand; the sign bit of the
+      COMPLEMENT set means NEGATIVE (0xFF → 0, 0x00 → −32124)."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.int64)
+    if alaw:
+        c = codes ^ 0x55
+        sign = (c & 0x80) != 0
+        exp = (c >> 4) & 0x07
+        mant = c & 0x0F
+        mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+        return np.where(sign, mag, -mag).astype(np.float64) / 32768.0
+    c = ~codes & 0xFF
+    sign = (c & 0x80) != 0
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float64) / 32768.0
+
+
+def _pcm_be(data: bytes, bits: int):
+    """Big-endian signed PCM → float64 in [-1, 1) (AIFF/AU sample path;
+    the WAV decoder keeps its little-endian twin inline)."""
+    import numpy as np
+
+    if bits == 8:  # AIFF 'twos'/AU: 8-bit linear is SIGNED
+        return np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    if bits == 16:
+        return np.frombuffer(data, ">i2", count=len(data) // 2).astype(np.float64) / 32768.0
+    if bits == 24:
+        n = len(data) // 3
+        b = np.frombuffer(data, np.uint8, count=n * 3).reshape(n, 3).astype(np.int64)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float64) / float(1 << 23)
+    if bits == 32:
+        return np.frombuffer(data, ">i4", count=len(data) // 4).astype(np.float64) / float(1 << 31)
+    raise ValueError(f"PCM width {bits} unsupported")
+
+
+def _decode_au(payload: bytes):
+    """REAL Sun/NeXT AU (``.snd``) decode (round 5) — the classic
+    big-endian telephony container. Header: magic, data offset, data
+    size (0xFFFFFFFF = unknown → rest of file), encoding, sample rate,
+    channels, all u32 BE. Encodings: 1 µ-law, 2-5 linear PCM
+    (8/16/24/32-bit signed BE), 6/7 IEEE float BE, 27 A-law — the
+    formulaic set; ADPCM variants raise (S9 upstream). Returns the
+    (nch, rate, n_frames, mono float64) shape the WAV decoders share."""
+    import numpy as np
+
+    if payload[:4] != b".snd" or len(payload) < 24:
+        raise ValueError("not an AU file")
+    off = int.from_bytes(payload[4:8], "big")
+    size = int.from_bytes(payload[8:12], "big")
+    enc = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    nch = int.from_bytes(payload[20:24], "big")
+    if off < 24 or off > len(payload):
+        raise ValueError(f"AU data offset {off} out of range")
+    if nch < 1 or rate < 1:
+        raise ValueError(f"AU channels={nch} rate={rate} malformed")
+    data = payload[off:] if size == 0xFFFFFFFF else payload[off : off + size]
+    if enc == 1:
+        x = _g711_table(alaw=False)[np.frombuffer(data, np.uint8)]
+    elif enc in (2, 3, 4, 5):
+        x = _pcm_be(data, 8 * (enc - 1))
+    elif enc == 6:
+        x = np.frombuffer(data, ">f4", count=len(data) // 4).astype(np.float64)
+    elif enc == 7:
+        x = np.frombuffer(data, ">f8", count=len(data) // 8).astype(np.float64)
+    elif enc == 27:
+        x = _g711_table(alaw=True)[np.frombuffer(data, np.uint8)]
+    else:
+        raise ValueError(f"AU encoding {enc} unsupported")
+    n = len(x) // nch
+    if n == 0:
+        raise ValueError("AU data holds no complete frame")
+    return nch, rate, n, x[: n * nch].reshape(n, nch).mean(axis=1)
+
+
+def _f80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF's sample-rate field): sign(1)
+    + biased exponent(15) + mantissa(64, integer bit EXPLICIT) — value =
+    ±m · 2^(e − 16383 − 63)."""
+    if len(b) < 10:
+        raise ValueError("truncated 80-bit float")
+    e = int.from_bytes(b[0:2], "big")
+    m = int.from_bytes(b[2:10], "big")
+    sign = -1.0 if e & 0x8000 else 1.0
+    e &= 0x7FFF
+    if e == 0 and m == 0:
+        return 0.0
+    if e == 0x7FFF:
+        raise ValueError("AIFF sample rate is inf/nan")
+    return sign * m * 2.0 ** (e - 16383 - 63)
+
+
+def _decode_aiff(payload: bytes):
+    """REAL AIFF / AIFF-C decode (round 5), stdlib+numpy only (the stdlib
+    ``aifc`` module was removed in Python 3.13): big-endian IFF chunk
+    walk, COMM (channels, frame count, bits, 80-bit extended sample
+    rate, AIFC compression fourcc), SSND (offset/blockSize preamble).
+    Compression types NONE/``twos`` (BE PCM 8/16/24/32), ``sowt`` (the
+    little-endian 16-bit variant Apple emits), ``fl32``/``fl64`` (IEEE
+    float), ``ulaw``/``alaw`` (G.711), ``raw `` (unsigned 8-bit) — the
+    formulaic set; compressed AIFC codecs (ima4, MACE, GSM) raise per
+    row (S9). Returns (nch, rate, n_frames, mono float64)."""
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC file")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks pad to even
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("AIFF missing/short COMM or SSND chunk")
+    nch = int.from_bytes(comm[0:2], "big")
+    n_frames = int.from_bytes(comm[2:6], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    rate = _f80(comm[8:18])
+    if nch < 1 or rate <= 0:
+        raise ValueError(f"AIFF channels={nch} rate={rate} malformed")
+    comp = comm[18:22] if payload[8:12] == b"AIFC" and len(comm) >= 22 else b"NONE"
+    data_off = int.from_bytes(ssnd[0:4], "big")  # alignment preamble
+    data = ssnd[8 + data_off :]
+    if comp in (b"NONE", b"twos"):
+        x = _pcm_be(data, bits)
+    elif comp == b"sowt":
+        if bits != 16:
+            raise ValueError(f"AIFC sowt at {bits} bits unsupported")
+        x = np.frombuffer(data, "<i2", count=len(data) // 2).astype(np.float64) / 32768.0
+    elif comp in (b"fl32", b"FL32"):
+        x = np.frombuffer(data, ">f4", count=len(data) // 4).astype(np.float64)
+    elif comp in (b"fl64", b"FL64"):
+        x = np.frombuffer(data, ">f8", count=len(data) // 8).astype(np.float64)
+    elif comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        x = _g711_table(alaw=(comp.lower() == b"alaw"))[np.frombuffer(data, np.uint8)]
+    elif comp == b"raw ":
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"AIFC compression {comp!r} unsupported")
+    n = len(x) // nch
+    n = min(n, n_frames) if n_frames else n
+    if n == 0:
+        raise ValueError("AIFF data holds no complete frame")
+    rr = int(round(rate))
+    return nch, rr if abs(rate - rr) < 1e-6 else rate, n, (
+        x[: n * nch].reshape(-1, nch)[:n].mean(axis=1)
+    )
+
+
 def _wave_chunks(payload: bytes):
     """RIFF WAVE chunk walk shared by the non-stdlib WAV decoders:
     returns (fmt chunk bytes, data chunk bytes, fact-chunk frame count or
@@ -863,27 +1040,7 @@ def _decode_wav_generic(payload: bytes):
         else:
             raise ValueError(f"float WAVE width {bits} unsupported")
     elif tag in (6, 7):  # G.711 A-law / µ-law: expand via a 256-code table
-        codes = np.arange(256, dtype=np.int64)
-        if tag == 6:
-            # A-law (G.711): toggle the even bits, segment-expand; the
-            # sign bit SET means POSITIVE (0xD5 → +8, 0x55 → −8)
-            c = codes ^ 0x55
-            sign = (c & 0x80) != 0
-            exp = (c >> 4) & 0x07
-            mant = c & 0x0F
-            mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
-            table = np.where(sign, mag, -mag).astype(np.float64) / 32768.0
-        else:
-            # µ-law (G.711): complement, biased segment-expand; the sign
-            # bit of the COMPLEMENT set means NEGATIVE (0xFF → 0, 0x00 →
-            # −32124, 0x80 → +32124)
-            c = ~codes & 0xFF
-            sign = (c & 0x80) != 0
-            exp = (c >> 4) & 0x07
-            mant = c & 0x0F
-            mag = (((mant << 3) + 0x84) << exp) - 0x84
-            table = np.where(sign, -mag, mag).astype(np.float64) / 32768.0
-        x = table[np.frombuffer(data, np.uint8)]
+        x = _g711_table(alaw=(tag == 6))[np.frombuffer(data, np.uint8)]
     else:
         raise ValueError(f"WAVE format tag {tag} unsupported")
     n = len(x) // nch
@@ -1051,11 +1208,12 @@ def _decode_ima_adpcm_wav(payload: bytes):
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """REAL audio decode (PCM WAV via the stdlib ``wave`` module, IMA/MS
     ADPCM compressed WAV via the from-scratch decoders above, FLAC via
-    the from-scratch operators/flac.py decoder — no external libraries)
-    + featurize: channel/rate/length metadata and an 8-segment
-    RMS-energy profile (the coarse loudness contour). Other compressed
-    payloads (MP3, …) get a per-row ``err`` (S9 isolation) — the seam
-    where torchaudio/ffmpeg would take over."""
+    the from-scratch operators/flac.py decoder, AIFF/AIFC and Sun AU via
+    the big-endian decoders above — no external libraries) + featurize:
+    channel/rate/length metadata and an 8-segment RMS-energy profile
+    (the coarse loudness contour). Other compressed payloads (MP3, …)
+    get a per-row ``err`` (S9 isolation) — the seam where
+    torchaudio/ffmpeg would take over."""
 
     def decode_row(p):
         if p is None:
@@ -1081,6 +1239,16 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 return featurize(*decode_flac_audio(p))
             except Exception as e:  # noqa: BLE001
                 return (None, None, None, None, None, f"bad FLAC: {e}")
+        if p[:4] == b".snd":
+            try:
+                return featurize(*_decode_au(p))
+            except Exception as e:  # noqa: BLE001
+                return (None, None, None, None, None, f"bad AU: {e}")
+        if p[:4] == b"FORM" and p[8:12] in (b"AIFF", b"AIFC"):
+            try:
+                return featurize(*_decode_aiff(p))
+            except Exception as e:  # noqa: BLE001
+                return (None, None, None, None, None, f"bad AIFF: {e}")
         try:
             with wave.open(io.BytesIO(p)) as wf:
                 nch = wf.getnchannels()

@@ -264,6 +264,168 @@ def _iter_gif(payload: bytes):
         raise ValueError("truncated GIF") from None
 
 
+def _png_chunk_iter(payload: bytes):
+    """Yield (type, data) for each chunk; ValueError on a truncated one."""
+    pos, n = 8, len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        yield typ, data
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+
+
+def _iter_apng(payload: bytes):
+    """APNG frame iteration (round 5): composites every frame onto the
+    logical-screen canvas per the APNG spec (PNG third edition §4.6 /
+    the original Mozilla spec) — ``fcTL`` sub-rectangles, ``dispose_op``
+    0/1/2 (none / clear-to-transparent / restore-previous), ``blend_op``
+    0/1 (source / alpha-over), strict shared fcTL+fdAT sequence numbers,
+    each frame its own zlib stream decoded through the SAME raster core
+    as the still decoder (``multimodal._png_raster``). The canvas starts
+    fully transparent and frames yield as BT.601 gray of the composited
+    canvas with alpha multiplied through (composite over black) —
+    consistent with the gray contract; palette/gray/RGB frames are
+    opaque (tRNS is ignored, as in the still path). A PNG WITHOUT an
+    ``acTL`` chunk yields its still image as one frame (same convention
+    as a non-animated GIF87a through ``_iter_gif``)."""
+    import struct
+
+    from .multimodal import _decode_png, _png_raster
+
+    ihdr = plte = actl = None
+    frames: list[list] = []  # [fctl tuple, [zlib parts]] in play order
+    idat_parts: list[bytes] = []
+    idat_fctl = None
+    idat_seen = False
+    seq_next = 0
+    for typ, data in _png_chunk_iter(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"acTL":
+            actl = data
+        elif typ == b"fcTL":
+            if len(data) < 26:
+                raise ValueError("APNG fcTL chunk too short")
+            seq = int.from_bytes(data[0:4], "big")
+            if seq != seq_next:
+                raise ValueError(f"APNG sequence gap: fcTL {seq} != {seq_next}")
+            seq_next += 1
+            f = struct.unpack(">IIIIHHBB", data[4:26])
+            if not idat_seen:
+                if idat_fctl is not None:
+                    raise ValueError("APNG: two fcTL chunks before IDAT")
+                idat_fctl = f  # the IDAT image IS frame 0
+            else:
+                frames.append([f, []])
+        elif typ == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("APNG fdAT chunk too short")
+            seq = int.from_bytes(data[0:4], "big")
+            if seq != seq_next:
+                raise ValueError(f"APNG sequence gap: fdAT {seq} != {seq_next}")
+            seq_next += 1
+            if not frames:
+                raise ValueError("APNG fdAT before its fcTL")
+            frames[-1][1].append(data[4:])
+        elif typ == b"IDAT":
+            idat_seen = True
+            idat_parts.append(data)
+    if actl is None:
+        w, h, gray = _decode_png(payload)  # plain PNG: one still frame
+        yield 0, w, h, gray
+        return
+    if ihdr is None or not idat_seen:
+        raise ValueError("malformed APNG: missing IHDR/IDAT")
+    sw = int.from_bytes(ihdr[0:4], "big")
+    sh = int.from_bytes(ihdr[4:8], "big")
+    if sw <= 0 or sh <= 0 or sw * sh > 1 << 28:
+        raise ValueError(f"APNG dimensions {sw}x{sh} exceed the decoder cap")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    legal_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(ctype, (8, 16))
+    if channels is None or depth not in legal_depths or interlace > 1:
+        raise NotImplementedError(
+            f"APNG depth={depth} colortype={ctype} interlace={interlace}"
+        )
+    pal = None
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("malformed APNG: palette image missing/bad PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.float64)
+    if idat_fctl is not None:
+        frames.insert(0, [idat_fctl, idat_parts])
+    n_frames = int.from_bytes(actl[0:4], "big")
+    if n_frames != len(frames):
+        raise ValueError(
+            f"APNG acTL declares {n_frames} frames, stream carries {len(frames)}"
+        )
+    scale = 255.0 / ((1 << depth) - 1)
+
+    def rgba(img, fh, fw):
+        out = np.empty((fh, fw, 4), dtype=np.float64)
+        if ctype == 3:
+            idx = img[:, :, 0]
+            if int(idx.max()) >= pal.shape[0]:
+                raise ValueError("malformed APNG: palette index out of range")
+            out[:, :, :3] = pal[idx]
+            out[:, :, 3] = 255.0
+        elif ctype == 0:
+            out[:, :, :3] = img[:, :, :1].astype(np.float64) * scale
+            out[:, :, 3] = 255.0
+        elif ctype == 2:
+            out[:, :, :3] = img.astype(np.float64) * scale
+            out[:, :, 3] = 255.0
+        elif ctype == 4:
+            out[:, :, :3] = img[:, :, :1].astype(np.float64) * scale
+            out[:, :, 3] = img[:, :, 1].astype(np.float64) * scale
+        else:  # 6: RGBA
+            out[:, :, :3] = img[:, :, :3].astype(np.float64) * scale
+            out[:, :, 3] = img[:, :, 3].astype(np.float64) * scale
+        return out
+
+    canvas = np.zeros((sh, sw, 4), dtype=np.float64)  # fully transparent
+    for i, (fctl, parts) in enumerate(frames):
+        fw, fh, fx, fy, _dnum, _dden, dispose, blend = fctl
+        if fw <= 0 or fh <= 0 or fx + fw > sw or fy + fh > sh:
+            raise ValueError(f"APNG frame {i} rectangle outside the canvas")
+        if i == 0 and idat_fctl is not None and (fw != sw or fh != sh or fx or fy):
+            raise ValueError("APNG IDAT frame must cover the full canvas")
+        if dispose > 2 or blend > 1:
+            raise ValueError(f"APNG frame {i}: bad dispose/blend op")
+        if dispose == 2 and i == 0:
+            dispose = 1  # spec: PREVIOUS on the first frame acts as BACKGROUND
+        img = _png_raster(b"".join(parts), fw, fh, depth, channels, interlace)
+        src = rgba(img, fh, fw)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        prev = region.copy() if dispose == 2 else None
+        if blend == 0:  # SOURCE: replace, alpha included
+            region[:] = src
+        else:  # OVER: standard straight-alpha src-over
+            sa = src[:, :, 3:4] / 255.0
+            da = region[:, :, 3:4] / 255.0
+            oa = sa + da * (1.0 - sa)
+            num = src[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)
+            region[:, :, :3] = np.where(oa > 0, num / np.maximum(oa, 1e-12), 0.0)
+            region[:, :, 3:4] = oa * 255.0
+        lum = (
+            0.299 * canvas[:, :, 0]
+            + 0.587 * canvas[:, :, 1]
+            + 0.114 * canvas[:, :, 2]
+        )
+        yield i, sw, sh, lum * (canvas[:, :, 3] / 255.0)
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0.0
+        elif dispose == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = prev
+
+
 def decode_video_frames(payload: bytes):
     """Lazily yield (frame_idx, width, height, gray float64 HxW) for a
     library-free container; NotImplementedError marks the ffmpeg seam."""
@@ -273,6 +435,8 @@ def decode_video_frames(payload: bytes):
         return _iter_avi(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _iter_gif(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _iter_apng(payload)
     raise NotImplementedError(
         f"video container not decodable without ffmpeg (magic {payload[:4]!r})"
     )

@@ -209,6 +209,18 @@ def test_fuzz_audio_decoder_terminates():
     ok, err = _drive(_decode_wav_generic, _mutations(wav, rng))
     assert ok + err == 41
 
+    from french_admin_etl_spark.operators.multimodal import _decode_aiff, _decode_au
+    from test_training_ops import _aiff, _au
+
+    au = _au(3, 1, 8000, rng.integers(-30000, 30000, 200, dtype=np.int16).astype(">i2").tobytes())
+    assert _decode_au(au)[2] == 200
+    ok, err = _drive(_decode_au, _mutations(au, rng))
+    assert ok + err == 41
+    aiff = _aiff(1, 150, 16, 22050, rng.integers(-30000, 30000, 150, dtype=np.int16).astype(">i2").tobytes(), comp=b"sowt")
+    assert _decode_aiff(aiff)[2] == 150
+    ok, err = _drive(_decode_aiff, _mutations(aiff, rng))
+    assert ok + err == 41
+
 
 def test_fuzz_flac_decoder_terminates():
     from french_admin_etl_spark.operators.flac import decode_flac, encode_flac
@@ -267,6 +279,15 @@ def test_fuzz_gif_png_avi_terminate():
         7, 9, pal,
         [(idx, 0, 0, 0, None), (idx[:4, :3].copy(), 2, 1, 2, 3)],
     )
+    from test_video import _apng
+
+    apng = _apng(
+        5, 4, 6,
+        [
+            (rng0.randint(0, 256, (4, 5, 4)).astype(np.uint8), 0, 0, 0, 0),
+            (rng0.randint(0, 256, (2, 3, 4)).astype(np.uint8), 1, 1, 2, 1),
+        ],
+    )
 
     for name, p, fn in (
         ("gif", gif, decode_image),
@@ -274,6 +295,7 @@ def test_fuzz_gif_png_avi_terminate():
         ("avi", avi, decode_video_frames),
         ("mjpeg", mjpeg, decode_video_frames),
         ("gif_anim", anim, decode_video_frames),
+        ("apng", apng, decode_video_frames),
     ):
         res = fn(p)  # pristine must decode / iterate
         if hasattr(res, "__iter__") and not isinstance(res, tuple):

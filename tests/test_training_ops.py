@@ -1674,3 +1674,157 @@ def test_pivot_seqless_null_write_wins(spark):
     ).coalesce(1)
     out = pivot_last_write_wins(df, ["grp"], "p", ["a"], "v").collect()[0]
     assert out["a"] is None
+
+
+def _f80_bytes(rate: float) -> bytes:
+    """Encode a positive rate as the 80-bit extended float COMM carries."""
+    import math
+
+    if rate == 0:
+        return bytes(10)
+    m, e = math.frexp(rate)  # rate = m * 2^e with m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return (e - 1 + 16383).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _au(enc, nch, rate, data, size=None):
+    import struct
+
+    return b".snd" + struct.pack(
+        ">IIIII", 24, len(data) if size is None else size, enc, rate, nch
+    ) + data
+
+
+def _iff_chunk(cid, body):
+    return cid + len(body).to_bytes(4, "big") + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _aiff(nch, n_frames, bits, rate, data, comp=None, ssnd_off=0):
+    import struct
+
+    comm = struct.pack(">hIh", nch, n_frames, bits) + _f80_bytes(rate)
+    form_type = b"AIFF"
+    if comp is not None:
+        form_type = b"AIFC"
+        comm += comp + b"\x00\x00"  # empty pstring codec name, even-padded
+    ssnd = struct.pack(">II", ssnd_off, 0) + bytes(ssnd_off) + data
+    body = form_type + _iff_chunk(b"COMM", comm) + _iff_chunk(b"SSND", ssnd)
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
+def test_au_decode_formats():
+    """Round 5: Sun/NeXT AU — µ-law/A-law anchors shared with the WAV
+    G.711 table, big-endian PCM widths, float, unknown-size header."""
+    import numpy as np
+    import pytest as _pytest
+
+    from french_admin_etl_spark.operators.multimodal import _decode_au
+
+    rng = np.random.RandomState(3)
+
+    # µ-law anchors ride the shared G.711 table
+    _, _, _, x = _au_x = _decode_au(_au(1, 1, 8000, bytes([0xFF, 0x7F, 0x00, 0x80])))
+    assert np.allclose(x * 32768, [0, 0, -32124, 32124])
+    _, _, _, x = _decode_au(_au(27, 1, 8000, bytes([0xD5, 0x55, 0xAA, 0x2A])))
+    assert np.allclose(x * 32768, [8, -8, 32256, -32256])
+
+    # 16-bit BE PCM stereo: exact, channel-meaned
+    v = rng.randint(-30000, 30000, (60, 2))
+    nch, rate, n, x = _decode_au(_au(3, 2, 44100, v.astype(">i2").tobytes()))
+    assert (nch, rate, n) == (2, 44100, 60)
+    assert np.allclose(x, v.mean(axis=1) / 32768.0)
+
+    # 24-bit BE PCM with negatives
+    v24 = rng.randint(-(1 << 23), 1 << 23, 40)
+    raw = b"".join(int(q).to_bytes(3, "big", signed=True) for q in v24)
+    _, _, n, x = _decode_au(_au(4, 1, 8000, raw))
+    assert n == 40 and np.allclose(x, v24 / float(1 << 23))
+
+    # float32 with the unknown-size sentinel (rest of file)
+    f32 = (rng.rand(25) * 2 - 1).astype(">f4")
+    _, _, n, x = _decode_au(_au(6, 1, 16000, f32.tobytes(), size=0xFFFFFFFF))
+    assert n == 25 and np.allclose(x, f32.astype(np.float64))
+
+    # signed 8-bit linear (encoding 2) — AU's 8-bit is SIGNED, unlike WAV
+    v8 = rng.randint(-128, 128, 30).astype(np.int8)
+    _, _, n, x = _decode_au(_au(2, 1, 8000, v8.tobytes()))
+    assert n == 30 and np.allclose(x, v8.astype(np.float64) / 128.0)
+
+    with _pytest.raises(ValueError, match="encoding 23"):
+        _decode_au(_au(23, 1, 8000, bytes(16)))  # G.721 ADPCM: honest seam
+    with _pytest.raises(ValueError, match="offset"):
+        _decode_au(b".snd" + (10).to_bytes(4, "big") + bytes(20))
+
+
+def test_aiff_decode_formats():
+    """Round 5: AIFF/AIFC — 80-bit extended sample rate, BE PCM,
+    little-endian 'sowt', float, G.711, SSND offset preamble,
+    frame-count trim; compressed AIFC codecs stay the seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from french_admin_etl_spark.operators.multimodal import _decode_aiff, _f80
+
+    rng = np.random.RandomState(7)
+
+    # the 80-bit rate field round-trips common and odd rates exactly
+    for r in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert _f80(_f80_bytes(r)) == r
+
+    # plain AIFF 16-bit BE PCM stereo
+    v = rng.randint(-30000, 30000, (50, 2))
+    nch, rate, n, x = _decode_aiff(_aiff(2, 50, 16, 44100, v.astype(">i2").tobytes()))
+    assert (nch, rate, n) == (2, 44100, 50)
+    assert np.allclose(x, v.mean(axis=1) / 32768.0)
+
+    # AIFC sowt: the SAME samples little-endian decode identically
+    _, _, n, x2 = _decode_aiff(
+        _aiff(2, 50, 16, 44100, v.astype("<i2").tobytes(), comp=b"sowt")
+    )
+    assert n == 50 and np.allclose(x2, x)
+
+    # 24-bit BE PCM + SSND alignment preamble (offset skipped)
+    v24 = rng.randint(-(1 << 23), 1 << 23, 40)
+    raw = b"".join(int(q).to_bytes(3, "big", signed=True) for q in v24)
+    _, _, n, x = _decode_aiff(_aiff(1, 40, 24, 8000, raw, ssnd_off=4))
+    assert n == 40 and np.allclose(x, v24 / float(1 << 23))
+
+    # AIFC fl32 and G.711 alaw anchors
+    f32 = (rng.rand(30) * 2 - 1).astype(">f4")
+    _, _, n, x = _decode_aiff(_aiff(1, 30, 32, 48000, f32.tobytes(), comp=b"fl32"))
+    assert n == 30 and np.allclose(x, f32.astype(np.float64))
+    _, _, _, x = _decode_aiff(
+        _aiff(1, 4, 16, 8000, bytes([0xD5, 0x55, 0xAA, 0x2A]), comp=b"alaw")
+    )
+    assert np.allclose(x * 32768, [8, -8, 32256, -32256])
+
+    # COMM frame count trims trailing pad frames
+    _, _, n, _ = _decode_aiff(_aiff(1, 15, 16, 8000, bytes(2 * 20)))
+    assert n == 15
+
+    with _pytest.raises(ValueError, match="ima4"):
+        _decode_aiff(_aiff(1, 8, 16, 8000, bytes(64), comp=b"ima4"))
+
+
+def test_au_aiff_through_audio_features(spark):
+    """e2e: AU and AIFF payloads flow through extract_audio_features'
+    magic dispatch beside WAV; a corrupt FORM dead-letters alone (S9)."""
+    import numpy as np
+
+    from french_admin_etl_spark.operators.multimodal import extract_audio_features
+
+    rng = np.random.RandomState(11)
+    au = _au(3, 1, 8000, rng.randint(-30000, 30000, 300).astype(">i2").tobytes())
+    aiff = _aiff(1, 250, 16, 22050, rng.randint(-30000, 30000, 250).astype(">i2").tobytes())
+    rows = [
+        (1, "audio", bytearray(au)),
+        (2, "audio", bytearray(aiff)),
+        (3, "audio", bytearray(b"FORM\x00\x00\x00\x04AIFF")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["err"] is None and got[1]["n_frames"] == 300
+    assert got[1]["sample_rate"] == 8000
+    assert got[2]["err"] is None and got[2]["n_frames"] == 250
+    assert got[2]["sample_rate"] == 22050
+    assert got[3]["err"] is not None and "AIFF" in got[3]["err"]

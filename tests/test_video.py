@@ -364,3 +364,194 @@ def test_y4m_odd_dimensions_c420():
     assert len(got) == 3
     for (idx, fw, fh, gray), y in zip(got, frames):
         assert (fw, fh) == (w, h) and np.array_equal(gray, y.astype(np.float64))
+
+
+# --------------------------------------------------------------------- APNG
+
+
+def _png_chunk(typ, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_stream(px):
+    """(h, w, ch) uint8 → filter-0 scanlines, zlib-compressed."""
+    import zlib
+
+    h = px.shape[0]
+    raw = b"".join(b"\x00" + px[y].astype(np.uint8).tobytes() for y in range(h))
+    return zlib.compress(raw)
+
+
+def _apng(sw, sh, ctype, frames, idat_in_animation=True, actl_frames=None,
+          fdat_seq_shift=0, default_px=None):
+    """Build an APNG. frames: (px, x, y, dispose, blend) tuples; the first
+    frame rides IDAT when ``idat_in_animation`` (its fcTL precedes IDAT),
+    otherwise ``default_px`` is the non-animated default image and every
+    frame is fcTL+fdAT."""
+    import struct
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", sw, sh, 8, ctype, 0, 0, 0)
+    )
+    out += _png_chunk(
+        b"acTL",
+        struct.pack(">II", len(frames) if actl_frames is None else actl_frames, 0),
+    )
+    seq = 0
+
+    def fctl(px, x, y, dispose, blend):
+        nonlocal seq
+        c = _png_chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, px.shape[1], px.shape[0], x, y, 1, 10,
+                dispose, blend,
+            ),
+        )
+        seq += 1
+        return c
+
+    rest = frames
+    if idat_in_animation:
+        px0, x0, y0, d0, b0 = frames[0]
+        assert px0.shape == (sh, sw, nch) and x0 == 0 and y0 == 0
+        out += fctl(px0, x0, y0, d0, b0) + _png_chunk(b"IDAT", _png_stream(px0))
+        rest = frames[1:]
+    else:
+        out += _png_chunk(b"IDAT", _png_stream(default_px))
+    for px, x, y, dispose, blend in rest:
+        out += fctl(px, x, y, dispose, blend)
+        out += _png_chunk(
+            b"fdAT",
+            struct.pack(">I", seq + fdat_seq_shift) + _png_stream(px),
+        )
+        seq += 1
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _lum(rgb):
+    return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+
+def test_apng_composite_blend_and_background_dispose():
+    """3-frame RGBA animation: full-canvas base, a SOURCE sub-rectangle
+    whose BACKGROUND dispose clears its region to transparent, then an
+    alpha-OVER pixel — canvas gray checked against hand-computed
+    compositing at every frame."""
+    sw = sh = 4
+    f0 = np.zeros((4, 4, 4), np.uint8)
+    f0[..., 0] = 100
+    f0[..., 3] = 255
+    f1 = np.zeros((2, 2, 4), np.uint8)
+    f1[..., 1] = 200
+    f1[..., 3] = 255
+    f2 = np.zeros((1, 1, 4), np.uint8)
+    f2[..., 2] = 255
+    f2[..., 3] = 128
+    payload = _apng(
+        sw, sh, 6,
+        [(f0, 0, 0, 0, 0), (f1, 1, 1, 1, 0), (f2, 0, 0, 0, 1)],
+    )
+    got = list(decode_video_frames(payload))
+    assert [g[0] for g in got] == [0, 1, 2]
+    assert all((g[1], g[2]) == (sw, sh) for g in got)
+
+    base = _lum(np.array([100.0, 0.0, 0.0]))  # 29.9 everywhere
+    want0 = np.full((4, 4), base)
+    assert np.allclose(got[0][3], want0)
+
+    want1 = want0.copy()
+    want1[1:3, 1:3] = _lum(np.array([0.0, 200.0, 0.0]))
+    assert np.allclose(got[1][3], want1)
+
+    # frame 1's region disposed to transparent (gray 0), then (0,0) gets
+    # straight-alpha OVER of (0,0,255,128) onto opaque (100,0,0)
+    sa = 128.0 / 255.0
+    over = _lum(np.array([100.0 * (1 - sa), 0.0, 255.0 * sa]))
+    want2 = want0.copy()
+    want2[1:3, 1:3] = 0.0
+    want2[0, 0] = over
+    assert np.allclose(got[2][3], want2)
+
+
+def test_apng_dispose_previous_restores_region():
+    """dispose_op=2: after the sub-frame, its region reverts to the
+    pre-frame canvas."""
+    sw = sh = 3
+    f0 = np.full((3, 3, 3), 50, np.uint8)
+    f1 = np.full((2, 2, 3), 250, np.uint8)
+    f2 = np.full((1, 1, 3), 10, np.uint8)
+    payload = _apng(
+        sw, sh, 2,
+        [(f0, 0, 0, 0, 0), (f1, 0, 0, 2, 0), (f2, 2, 2, 0, 0)],
+    )
+    got = list(decode_video_frames(payload))
+    assert len(got) == 3
+    g50, g250, g10 = (_lum(np.array([v, v, v], float)) for v in (50, 250, 10))
+    want1 = np.full((3, 3), g50)
+    want1[0:2, 0:2] = g250
+    assert np.allclose(got[1][3], want1)
+    want2 = np.full((3, 3), g50)  # f1's region restored
+    want2[2, 2] = g10
+    assert np.allclose(got[2][3], want2)
+
+
+def test_apng_default_image_not_in_animation():
+    """No fcTL before IDAT: the IDAT image is the still fallback only;
+    the animation is the fdAT frames, composited onto a TRANSPARENT
+    canvas (gray 0 outside the first frame's rectangle)."""
+    sw = sh = 3
+    still = np.full((3, 3, 3), 77, np.uint8)
+    f0 = np.full((2, 2, 3), 200, np.uint8)
+    payload = _apng(
+        sw, sh, 2, [(f0, 1, 1, 0, 0)],
+        idat_in_animation=False, default_px=still,
+    )
+    got = list(decode_video_frames(payload))
+    assert len(got) == 1
+    want = np.zeros((3, 3))
+    want[1:3, 1:3] = _lum(np.array([200.0, 200.0, 200.0]))
+    assert np.allclose(got[0][3], want)
+
+
+def test_apng_sequence_gap_and_count_mismatch_raise():
+    sw = sh = 2
+    f0 = np.full((2, 2, 3), 9, np.uint8)
+    f1 = np.full((1, 1, 3), 9, np.uint8)
+    frames = [(f0, 0, 0, 0, 0), (f1, 0, 0, 0, 0)]
+    with pytest.raises(ValueError, match="sequence gap"):
+        list(decode_video_frames(_apng(sw, sh, 2, frames, fdat_seq_shift=1)))
+    with pytest.raises(ValueError, match="acTL declares"):
+        list(decode_video_frames(_apng(sw, sh, 2, frames, actl_frames=5)))
+    bad = _apng(sw, sh, 2, [(np.full((2, 2, 3), 1, np.uint8), 1, 1, 0, 0)],
+                idat_in_animation=False, default_px=f0)
+    with pytest.raises(ValueError, match="outside the canvas"):
+        list(decode_video_frames(bad))
+
+
+def test_plain_png_yields_one_still_frame():
+    """A PNG without acTL iterates as a single-frame video whose gray
+    matches the still decoder (the GIF87a convention)."""
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    import struct
+
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _png_stream(px))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = list(decode_video_frames(payload))
+    assert len(got) == 1
+    w, h, gray = decode_image(payload)
+    assert got[0][1:3] == (w, h)
+    assert np.allclose(got[0][3], gray)
