@@ -102,9 +102,18 @@ def point_in_interval_join(
     definition, and letting them reach ``F.sequence`` would generate a
     DESCENDING bucket sequence — one bad row exploding into
     O(|hi-lo|/width) spurious rows before the exact filter discards them
-    (review finding)."""
+    (review finding).
+
+    The range predicate rides INSIDE the join condition (Catalyst still
+    extracts the bucket equality as the hash-join key and evaluates the
+    rest as the join's residual filter), so ``how='left'`` has true
+    left-outer semantics: a point inside no interval survives as ONE
+    null-extended row. A post-join ``.filter`` would silently drop those
+    rows — left degrading to inner (review finding)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"how={how!r}: use 'inner' or 'left'")
     p = points.withColumn(
-        "_b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+        "_pb", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
     intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
     i = intervals.withColumn(
@@ -113,11 +122,13 @@ def point_in_interval_join(
             F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
             F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)).cast("long"),
         ),
-    ).withColumn("_b", F.explode("_bs")).drop("_bs")
-    joined = p.join(i, "_b", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    ).withColumn("_ib", F.explode("_bs")).drop("_bs")
+    cond = (
+        (F.col("_pb") == F.col("_ib"))
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col))
     )
-    return joined.drop("_b")
+    return p.join(i, cond, how).drop("_pb", "_ib")
 
 
 def _floordiv_expr(sql: str, width: int):
@@ -146,11 +157,14 @@ def point_in_interval_join_exact(
     [lo, hi) touches is exactly ``floor((hi-1)/w)``, computed in pure
     integer arithmetic (floor-division via pmod, correct for negatives),
     so no float ever enters the bucketing. Same scale shape: equi-join on
-    bucket id, intervals spanning b buckets emit b rows."""
+    bucket id, intervals spanning b buckets emit b rows; same in-join
+    range predicate, so ``how='left'`` is a true left-outer join."""
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be a positive int, got {bucket_width}")
-    p = points.withColumn("_b", _floordiv_expr(point_col, w))
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"how={how!r}: use 'inner' or 'left'")
+    p = points.withColumn("_pb", _floordiv_expr(point_col, w))
     # empty intervals match nothing and would make F.sequence descend
     # (same guard as the real-valued variant)
     intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
@@ -162,10 +176,12 @@ def point_in_interval_join_exact(
                 _floordiv_expr(f"({hi_col}) - 1", w),
             ),
         )
-        .withColumn("_b", F.explode("_bs"))
+        .withColumn("_ib", F.explode("_bs"))
         .drop("_bs")
     )
-    joined = p.join(i, "_b", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    cond = (
+        (F.col("_pb") == F.col("_ib"))
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col))
     )
-    return joined.drop("_b")
+    return p.join(i, cond, how).drop("_pb", "_ib")

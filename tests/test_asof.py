@@ -159,3 +159,47 @@ def test_degenerate_intervals_dropped_not_exploded(spark):
         pts_i, iv_i, "x", "lo", "hi", bucket_width=5
     ).collect()
     assert [r["iid"] for r in got_i] == [10]
+
+
+def test_range_join_left_outer_keeps_unmatched_points(spark):
+    """Review finding: the range predicate must ride INSIDE the join
+    condition — a post-join filter drops the null-extended rows and
+    how='left' silently degrades to inner. A point inside no interval
+    must survive as exactly ONE null row; matched points must not
+    duplicate across an interval's exploded buckets."""
+    import pytest as _pytest
+
+    from french_admin_etl_spark.operators.asof import (
+        point_in_interval_join,
+        point_in_interval_join_exact,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 7.0), (2, 93.0), (3, 12.0)], "pid long, x double"
+    )
+    iv = spark.createDataFrame(
+        # iid 20 spans buckets 0..3 at width 5 — still ONE match for pid 1/3
+        [(20, 0.0, 16.0), (21, 11.0, 13.0)], "iid long, lo double, hi double"
+    )
+    got = point_in_interval_join(
+        pts, iv, "x", "lo", "hi", bucket_width=5.0, how="left"
+    ).collect()
+    by_pid = {}
+    for r in got:
+        by_pid.setdefault(r["pid"], []).append(r["iid"])
+    assert sorted(by_pid[1]) == [20]
+    assert by_pid[2] == [None]  # unmatched point survives, null-extended
+    assert sorted(by_pid[3]) == [20, 21]
+    assert len(got) == 4
+
+    pts_i = spark.createDataFrame([(1, 7), (2, 93)], "pid long, x long")
+    iv_i = spark.createDataFrame([(20, 0, 16)], "iid long, lo long, hi long")
+    got_i = point_in_interval_join_exact(
+        pts_i, iv_i, "x", "lo", "hi", bucket_width=5, how="left"
+    ).collect()
+    assert {(r["pid"], r["iid"]) for r in got_i} == {(1, 20), (2, None)}
+
+    with _pytest.raises(ValueError, match="how="):
+        point_in_interval_join(pts, iv, "x", "lo", "hi", 5.0, how="full")
+    with _pytest.raises(ValueError, match="how="):
+        point_in_interval_join_exact(pts_i, iv_i, "x", "lo", "hi", 5, how="right")
