@@ -495,6 +495,25 @@ def _png_raster(
     return img
 
 
+def _png_chunk_iter(payload: bytes):
+    """Yield (type, data) per PNG chunk, stopping at IEND. ONE walk shared
+    by the still decoder and the APNG frame iterator (review finding: two
+    copies with DIFFERENT truncation behavior made the same payload decode
+    as an image but error as a video). A truncated trailing chunk yields
+    its partial data and ends the walk — lenient like the still decoder
+    has always been (it only needs IHDR + IDAT); consumers needing exact
+    sizes (fcTL/fdAT headers, zlib streams) validate their own payloads."""
+    pos, n = 8, len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        yield typ, data
+        if typ == b"IEND" or len(data) < ln:
+            return
+        pos += 12 + ln  # len + type + data + crc
+
+
 def _decode_png(payload: bytes):
     """REAL PNG decode, stdlib-only (zlib inflate + numpy unfiltering):
     bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette,
@@ -507,20 +526,14 @@ def _decode_png(payload: bytes):
     upstream, S9)."""
     import numpy as np
 
-    pos, ihdr, idat, plte = 8, None, [], None
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos : pos + 4], "big")
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # len + type + data + crc
+    ihdr, idat, plte = None, [], None
+    for typ, data in _png_chunk_iter(payload):
         if typ == b"IHDR":
             ihdr = data
         elif typ == b"PLTE":
             plte = data
         elif typ == b"IDAT":
             idat.append(data)
-        elif typ == b"IEND":
-            break
     if ihdr is None or not idat:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     w = int.from_bytes(ihdr[0:4], "big")
@@ -867,7 +880,11 @@ def _decode_au(payload: bytes):
     nch = int.from_bytes(payload[20:24], "big")
     if off < 24 or off > len(payload):
         raise ValueError(f"AU data offset {off} out of range")
-    if nch < 1 or rate < 1:
+    # upper bound: the header field is u32, but a rate past int32 crashes
+    # the WHOLE Arrow batch at the IntegerType sample_rate column instead
+    # of dead-lettering this row (S9; review finding) — and no real audio
+    # approaches 2^31 Hz, so reject as malformed here
+    if nch < 1 or rate < 1 or rate > 0x7FFFFFFF:
         raise ValueError(f"AU channels={nch} rate={rate} malformed")
     data = payload[off:] if size == 0xFFFFFFFF else payload[off : off + size]
     if enc == 1:
@@ -935,7 +952,15 @@ def _decode_aiff(payload: bytes):
     n_frames = int.from_bytes(comm[2:6], "big")
     bits = int.from_bytes(comm[6:8], "big")
     rate = _f80(comm[8:18])
-    if nch < 1 or rate <= 0:
+    # sample_rate flows into an int32 Arrow column: fractional rates
+    # (classic-Mac 22254.5454 Hz) round to the nearest integer rather
+    # than silently truncating in the Arrow cast, and an unbounded 80-bit
+    # field past int32 must dead-letter THIS row, not crash the whole
+    # batch (S9; review finding)
+    if not (0 < rate <= 0x7FFFFFFF):
+        raise ValueError(f"AIFF channels={nch} rate={rate} malformed")
+    rate = int(round(rate))
+    if nch < 1 or rate < 1:
         raise ValueError(f"AIFF channels={nch} rate={rate} malformed")
     comp = comm[18:22] if payload[8:12] == b"AIFC" and len(comm) >= 22 else b"NONE"
     data_off = int.from_bytes(ssnd[0:4], "big")  # alignment preamble
@@ -960,10 +985,7 @@ def _decode_aiff(payload: bytes):
     n = min(n, n_frames) if n_frames else n
     if n == 0:
         raise ValueError("AIFF data holds no complete frame")
-    rr = int(round(rate))
-    return nch, rr if abs(rate - rr) < 1e-6 else rate, n, (
-        x[: n * nch].reshape(-1, nch)[:n].mean(axis=1)
-    )
+    return nch, rate, n, x[: n * nch].reshape(n, nch).mean(axis=1)
 
 
 def _wave_chunks(payload: bytes):

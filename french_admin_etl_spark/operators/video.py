@@ -264,21 +264,6 @@ def _iter_gif(payload: bytes):
         raise ValueError("truncated GIF") from None
 
 
-def _png_chunk_iter(payload: bytes):
-    """Yield (type, data) for each chunk; ValueError on a truncated one."""
-    pos, n = 8, len(payload)
-    while pos + 8 <= n:
-        ln = int.from_bytes(payload[pos : pos + 4], "big")
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        if len(data) < ln:
-            raise ValueError("truncated PNG chunk")
-        yield typ, data
-        pos += 12 + ln
-        if typ == b"IEND":
-            return
-
-
 def _iter_apng(payload: bytes):
     """APNG frame iteration (round 5): composites every frame onto the
     logical-screen canvas per the APNG spec (PNG third edition §4.6 /
@@ -295,7 +280,7 @@ def _iter_apng(payload: bytes):
     as a non-animated GIF87a through ``_iter_gif``)."""
     import struct
 
-    from .multimodal import _decode_png, _png_raster
+    from .multimodal import _decode_png, _png_chunk_iter, _png_raster
 
     ihdr = plte = actl = None
     frames: list[list] = []  # [fctl tuple, [zlib parts]] in play order
@@ -361,6 +346,11 @@ def _iter_apng(payload: bytes):
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.float64)
     if idat_fctl is not None:
         frames.insert(0, [idat_fctl, idat_parts])
+    if not frames:
+        # acTL with no fcTL at all (incl. a declared frame count of 0,
+        # which the spec forbids): yielding NOTHING would silently drop
+        # the media row with neither frames nor an err (review finding)
+        raise ValueError("APNG has an acTL but no animation frames")
     n_frames = int.from_bytes(actl[0:4], "big")
     if n_frames != len(frames):
         raise ValueError(

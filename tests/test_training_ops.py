@@ -1828,3 +1828,23 @@ def test_au_aiff_through_audio_features(spark):
     assert got[2]["err"] is None and got[2]["n_frames"] == 250
     assert got[2]["sample_rate"] == 22050
     assert got[3]["err"] is not None and "AIFF" in got[3]["err"]
+
+
+def test_au_aiff_rate_bounds_and_rounding():
+    """Review findings: sample rates flow into an int32 Arrow column —
+    an out-of-int32 header rate must dead-letter THIS row (ValueError),
+    not crash the whole batch; fractional AIFF rates (classic-Mac
+    22254.5454 Hz) round to the nearest int instead of relying on the
+    Arrow cast's silent truncation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from french_admin_etl_spark.operators.multimodal import _decode_aiff, _decode_au
+
+    pcm = np.zeros(40, dtype=">i2").tobytes()
+    with _pytest.raises(ValueError, match="malformed"):
+        _decode_au(_au(3, 1, 3_000_000_000, pcm))
+    nch, rate, n, _ = _decode_aiff(_aiff(1, 40, 16, 22254.5454, pcm))
+    assert rate == 22255 and isinstance(rate, int)
+    with _pytest.raises(ValueError, match="malformed"):
+        _decode_aiff(_aiff(1, 40, 16, 5e9, pcm))

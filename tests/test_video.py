@@ -555,3 +555,43 @@ def test_plain_png_yields_one_still_frame():
     w, h, gray = decode_image(payload)
     assert got[0][1:3] == (w, h)
     assert np.allclose(got[0][3], gray)
+
+
+def test_apng_actl_without_frames_raises():
+    """Review finding: acTL declaring 0 frames with no fcTL yielded
+    NOTHING — the media row vanished with neither frames nor an err."""
+    import struct
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"acTL", struct.pack(">II", 0, 0))
+        + _png_chunk(b"IDAT", _png_stream(px))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="no animation frames"):
+        list(decode_video_frames(payload))
+
+
+def test_truncated_trailing_chunk_parity_with_still_decoder():
+    """Review finding: the video path's chunk walk was STRICT about a
+    truncated trailing ancillary chunk while the still decoder was
+    lenient — the same payload decoded as an image but errored as a
+    video. Both now share one walk (multimodal._png_chunk_iter)."""
+    import struct
+
+    from french_admin_etl_spark.operators.multimodal import decode_image
+
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    good = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _png_stream(px))
+    )
+    # a tEXt chunk whose declared length exceeds the remaining bytes
+    truncated = good + (20).to_bytes(4, "big") + b"tEXthalf"
+    w, h, gray = decode_image(truncated)  # still path: lenient
+    got = list(decode_video_frames(truncated))  # video path: same payload
+    assert len(got) == 1 and got[0][1:3] == (w, h)
+    assert np.allclose(got[0][3], gray)
