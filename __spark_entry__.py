@@ -1262,8 +1262,11 @@ def _cdc_chunk_sql(mod: int = 32, gram: int = 4, min_docs: int = 2) -> str:
     """DuckDB twin of operators.textdedup.shared_chunks: identical base-31
     window hash, cut positions, and chunk extraction (lists + lateral
     unnest instead of Spark's higher-order array functions)."""
+    # BIGINT per term, matching the Spark side's long arithmetic: an
+    # emoji codepoint x 31^3 overflows INT32 in both engines otherwise
     poly = " + ".join(
-        f"ascii(substr(text, CAST(i AS INTEGER) + {k}, 1)) * {31 ** (gram - 1 - k)}"
+        f"CAST(ascii(substr(text, CAST(i AS INTEGER) + {k}, 1)) AS BIGINT)"
+        f" * {31 ** (gram - 1 - k)}"
         for k in range(gram)
     )
     return f"""

@@ -26,11 +26,16 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from french_admin_etl_spark.operators.similarity import cosine, probe_buckets, sign_bucket
+from french_admin_etl_spark.operators.similarity import (
+    _topk,
+    cosine,
+    probe_buckets,
+    sign_bucket,
+)
 from french_admin_etl_spark.table.lake_table import LakeTable
 
 
@@ -114,18 +119,26 @@ class AnnIndex:
         self, vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
     ) -> DataFrame:
         """Index rows from a full corpus from scratch — the parity
-        oracle the maintained index must equal."""
+        oracle the maintained index must equal. The bucket is computed on
+        the CAST float embedding, exactly as ``transform`` computes it: on
+        the raw column a double component inside the float-denormal gap
+        (e.g. +1e-46) is > 0 before the cast and 0.0 after, so hashing the
+        raw column could disagree with the maintained index by one bit
+        (review finding)."""
         return vectors.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<float>").alias("embedding"),
-            sign_bucket(vec_col, self.bits).alias("bucket"),
+        ).select(
+            "vec_id",
+            "embedding",
+            sign_bucket("embedding", self.bits).alias("bucket"),
         )
 
     # ------------------------------------------------------------------ probe
 
     def probe(
         self, new_ids: DataFrame, k: int = 10, probe_flips: int = 0,
-        materialize: bool = True,
+        materialize: bool = True, id_col: str | None = None,
     ) -> DataFrame:
         """Top-``k`` cosine neighbors per NEW vector against the standing
         index: (q_id, vec_id, cos_sim), scored only inside the query's
@@ -135,15 +148,29 @@ class AnnIndex:
         resolution each time, the exact cost measured and fixed in the
         near-dup probe (reviewer finding).
 
+        The probe id column is ``id_col`` if given, else ``new_ids`` must
+        have EXACTLY one column — a silent positional ``columns[0]`` pick
+        on a wide frame probed the wrong column with no error (review
+        finding; same contract as ``SecondaryIndex.search_in``).
+
         ``materialize=False`` skips the eager localCheckpoint and returns
         the LAZY plan (the plan audit asserts its join shape, which the
         checkpointed RDD would hide); lazy results recompute the index
         resolution per action since the persist is released on return."""
+        if id_col is None:
+            if len(new_ids.columns) != 1:
+                raise ValueError(
+                    f"probe id frame has {len(new_ids.columns)} columns "
+                    f"{new_ids.columns!r}; pass id_col= or a single-column frame"
+                )
+            id_col = new_ids.columns[0]
+        elif id_col not in new_ids.columns:
+            raise ValueError(f"id_col {id_col!r} not in {new_ids.columns!r}")
         idx = self.table.read().persist()
         try:
             q = idx.join(
                 F.broadcast(
-                    new_ids.select(F.col(new_ids.columns[0]).alias("vec_id"))
+                    new_ids.select(F.col(id_col).alias("vec_id"))
                 ),
                 ["vec_id"],
                 "left_semi",
@@ -169,12 +196,11 @@ class AnnIndex:
                     cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
                 )
             )
-            w = Window.partitionBy("q_id").orderBy(
-                F.col("cos_sim").desc(), F.col("vec_id")
-            )
-            out = hits.withColumn("_rk", F.row_number().over(w)).filter(
-                F.col("_rk") <= k
-            ).drop("_rk")
+            # ONE top-k implementation (similarity._topk, per_query) —
+            # a hand-rolled window here could drift from the batch ANN's
+            # tiebreak/ranking rules (review finding; same consolidation
+            # rationale as probe_buckets)
+            out = _topk(hits, k, "vec_id", per_query=True)
             return out.localCheckpoint() if materialize else out
         finally:
             idx.unpersist()

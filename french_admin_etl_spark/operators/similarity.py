@@ -51,7 +51,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an error) when either vector has zero norm: cosine is
+    undefined there, and under Spark 4's default ANSI mode a bare divide
+    would raise DIVIDE_BY_ZERO and kill the WHOLE job on one all-zeros
+    embedding — a padding row or failed embedding call becomes a poison
+    pill in every ANN path (review finding, reproduced). NULL scores
+    sort last under the descending top-k orderings, so zero-norm rows
+    simply never rank."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def _topk(scored: DataFrame, k: int, id_col: str, per_query: bool) -> DataFrame:
@@ -98,11 +106,19 @@ def cosine_topk(
 
 def sign_bucket(vec_col: str | Column, bits: int = 8) -> Column:
     """Coarse LSH bucket: bit i set iff component i > 0 (axis-aligned
-    hyperplane signs). Deterministic, SQL-expressible, partition-prunable."""
+    hyperplane signs). Deterministic, SQL-expressible, partition-prunable.
+
+    Components beyond the vector's length (or NULL) count as bit 0 —
+    ``try_element_at``, because under ANSI mode a plain ``element_at``
+    on an embedding shorter than ``bits`` raises and, flowing through
+    ``AnnIndex.transform``, would permanently wedge the CDC index
+    cascade on one corrupt row (review finding, reproduced)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     out = F.lit(0)
     for i in range(bits):
-        out = out + F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = out + F.when(
+            F.try_element_at(v, F.lit(i + 1)) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     return out.cast("int")
 
 

@@ -384,9 +384,16 @@ def content_defined_chunks(
     codes = F.transform(F.split(text, ""), lambda c: F.ascii(c))
 
     def _window_hash(cds: Column, i: Column) -> Column:
-        h = F.lit(0)
+        # LONG arithmetic: ascii() yields an int codepoint, and codepoint
+        # × weight overflows int32 for any codepoint > 72084 (every emoji)
+        # — an ANSI ARITHMETIC_OVERFLOW job-killer, and with ANSI off a
+        # silent wrap diverging from the numpy int64 twin in
+        # content_defined_chunks_clamped (review finding, reproduced).
+        # The DuckDB oracle (_cdc_chunk_sql) casts its terms to BIGINT in
+        # lockstep — all three implementations hash in 64-bit.
+        h = F.lit(0).cast("long")
         for k, w in enumerate(weights):
-            h = h + F.element_at(cds, i + F.lit(k)) * F.lit(w)
+            h = h + F.element_at(cds, i + F.lit(k)).cast("long") * F.lit(w)
         return h
 
     # cut positions: i in [2, n-gram+1] where the window hash vanishes

@@ -123,3 +123,57 @@ def test_ann_maintenance_is_exactly_once(spark, tmp_root):
     r = cascade.run_once(ckpt)
     assert r.merge is not None and r.merge.fenced
     assert _index_rows(idx) == before
+
+
+def test_probe_rejects_wide_id_frame_and_accepts_id_col(spark, tmp_root):
+    """Review finding: probe took new_ids.columns[0] positionally — a
+    (lsn, vec_id) frame silently probed lsn values as ids."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from french_admin_etl_spark.operators.ann_index import AnnIndex
+
+    idx = AnnIndex.create(spark, os.path.join(tmp_root, "annidx_wide"), num_buckets=2)
+    rows = idx.rebuild_rows(
+        spark.createDataFrame(
+            [(1, [1.0, 0.5]), (2, [1.0, 0.4]), (3, [-1.0, 0.2])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    idx.table.overwrite(rows)
+    wide = spark.createDataFrame([(999, 1)], "lsn long, vec_id long")
+    with _pytest.raises(ValueError, match="pass id_col"):
+        idx.probe(wide)
+    got = idx.probe(wide, k=2, id_col="vec_id").collect()
+    assert {r["q_id"] for r in got} == {1}
+    assert all(r["vec_id"] != 1 for r in got)
+
+
+def test_rebuild_bucket_matches_transform_on_denormal_doubles(spark, tmp_root):
+    """Review finding: rebuild_rows hashed the RAW vector column while
+    transform hashed the float-cast embedding — a double component inside
+    the float-denormal gap (+1e-46 -> float 0.0) flipped one bucket bit
+    between the maintained index and its parity oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from french_admin_etl_spark.operators.ann_index import AnnIndex
+    from french_admin_etl_spark.operators.similarity import sign_bucket
+
+    idx = AnnIndex.create(spark, os.path.join(tmp_root, "annidx_den"), num_buckets=2)
+    vecs = spark.createDataFrame(
+        [(1, [1e-46, 1.0]), (2, [1.0, -1e-46])], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["bucket"] for r in idx.rebuild_rows(vecs).collect()}
+    want = {
+        r["vec_id"]: r["b"]
+        for r in vecs.select(
+            "vec_id",
+            sign_bucket(F.col("embedding").cast("array<float>"), idx.bits).alias("b"),
+        ).collect()
+    }
+    assert got == want  # 1e-46 casts to float 0.0: bit must be CLEAR in both
+    assert got[1] & 1 == 0 and got[2] & 1 == 1

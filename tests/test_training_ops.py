@@ -1848,3 +1848,55 @@ def test_au_aiff_rate_bounds_and_rounding():
     assert rate == 22255 and isinstance(rate, int)
     with _pytest.raises(ValueError, match="malformed"):
         _decode_aiff(_aiff(1, 40, 16, 5e9, pcm))
+
+
+def test_ansi_poison_rows_zero_norm_short_vector_emoji(spark):
+    """Review findings (all three reproduced as job-killers under Spark
+    4's default ANSI mode before the fix): a zero-norm embedding scores
+    NULL instead of raising DIVIDE_BY_ZERO; an embedding shorter than
+    the bucket width hashes its missing components as bit 0 instead of
+    raising INVALID_ARRAY_INDEX; an emoji codepoint in the CDC window
+    hash computes in 64-bit instead of raising ARITHMETIC_OVERFLOW."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from french_admin_etl_spark.operators.similarity import (
+        cosine,
+        cosine_topk,
+        sign_bucket,
+    )
+    from french_admin_etl_spark.operators.textdedup import content_defined_chunks
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.8, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    query = spark.createDataFrame([(9, [1.0, 0.0])], "q_id long, q_emb array<float>")
+    got = cosine_topk(corpus, query, k=3).collect()
+    by_id = {r["vec_id"]: r["cos_sim"] for r in got}
+    assert by_id[1] is None  # zero-norm: NULL score, never a crash
+    assert abs(by_id[2] - 1.0) < 1e-9
+    # NULL sorts last under the desc ordering: top-1 is the exact match
+    assert got[0]["vec_id"] == 2
+
+    short = spark.createDataFrame(
+        [(1, [1.0]), (2, [-1.0]), (3, [])], "id long, v array<float>"
+    )
+    bks = {
+        r["id"]: r["b"]
+        for r in short.select("id", sign_bucket("v", 8).alias("b")).collect()
+    }
+    assert bks == {1: 1, 2: 0, 3: 0}  # missing components = bit 0
+
+    emoji_doc = "shared prefix text \U0001F600\U0001F680 tail " * 4
+    docs = spark.createDataFrame(
+        [(1, emoji_doc), (2, emoji_doc + " variant")], "doc_id long, text string"
+    )
+    chunks = content_defined_chunks(docs, "doc_id", "text").collect()
+    assert len(chunks) >= 2
+    # chunks reassemble each doc exactly (boundary math held in 64-bit)
+    by_doc: dict = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    assert "".join(by_doc[1]) == emoji_doc
+    assert "".join(by_doc[2]) == emoji_doc + " variant"
