@@ -244,12 +244,17 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
     n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    # non-whitespace chars per token: tokens split on \s+, so the length
+    # numerator must exclude ALL whitespace (newlines/tabs included) —
+    # n - n_space inflated the feature on multiline text (review finding;
+    # functions.text.quality_features and both oracles changed in lockstep)
+    n_nonws = F.length(F.regexp_replace("text", r"\s", ""))
     n_tok = F.expr(r"size(regexp_extract_all(text, '\\S+', 0))")
     return docs.select(
         "doc_id",
         F.round(n_alpha / F.greatest(F.length("text"), F.lit(1)), 4).alias("alpha_ratio"),
         F.round(n_space / F.greatest(F.length("text"), F.lit(1)), 4).alias("space_ratio"),
-        F.round((F.length("text") - n_space) / F.greatest(n_tok, F.lit(1)), 4).alias(
+        F.round(n_nonws / F.greatest(n_tok, F.lit(1)), 4).alias(
             "mean_token_len"
         ),
         n_tok.alias("n_tokens"),
@@ -280,14 +285,14 @@ def t7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     column exprs; at 100 TB this runs as the first pass that prunes the
     corpus before any expensive stage."""
     docs = _t(spark, sf_dir, "documents")
-    n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    n_nonws = F.length(F.regexp_replace("text", r"\s", ""))
     n_tok = F.expr(r"size(regexp_extract_all(text, '\\S+', 0))")
     alpha = F.round(
         F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
         / F.greatest(F.length("text"), F.lit(1)),
         4,
     )
-    mtl = F.round((F.length("text") - n_space) / F.greatest(n_tok, F.lit(1)), 4)
+    mtl = F.round(n_nonws / F.greatest(n_tok, F.lit(1)), 4)
     scored = docs.select(
         "doc_id",
         lang_id("text").alias("lang_guess"),
@@ -2090,7 +2095,7 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 4) AS alpha_ratio,
                    round(length(regexp_replace(text, '[^ ]', '', 'g'))
                          / greatest(length(text), 1), 4) AS space_ratio,
-                   round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                   round(length(regexp_replace(text, '\s', '', 'g'))
                          / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS mean_token_len,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens,
                    length(text) AS n_chars
@@ -2130,7 +2135,7 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '\\S+')) AS n_tokens,
                      round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                            / greatest(length(text), 1), 4) AS alpha_ratio,
-                     round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                     round(length(regexp_replace(text, '\\s', '', 'g'))
                            / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
                        AS mean_token_len
               FROM documents

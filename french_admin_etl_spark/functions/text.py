@@ -86,6 +86,12 @@ def quality_features(col: str | Column) -> dict[str, Column]:
     n1 = F.greatest(n, F.lit(1))
     n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
     n_space = F.length(F.regexp_replace(c, "[^ ]", ""))
+    # ALL whitespace, not just ASCII space: token_count splits on \s+, so
+    # mean token length must subtract the same class — n - n_space counted
+    # every newline/tab as token characters, systematically inflating the
+    # feature on multiline web text (review finding; 'a\nb\nc' read 5/3
+    # instead of 1). space_ratio keeps its own ASCII-space definition.
+    n_nonws = F.length(F.regexp_replace(c, r"\s", ""))
     n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
     n_tok = token_count(c)
     return {
@@ -94,7 +100,7 @@ def quality_features(col: str | Column) -> dict[str, Column]:
         "alpha_ratio": n_alpha / n1,
         "space_ratio": n_space / n1,
         "punct_ratio": n_punct / n1,
-        "mean_token_len": (n - n_space) / F.greatest(n_tok, F.lit(1)),
+        "mean_token_len": n_nonws / F.greatest(n_tok, F.lit(1)),
     }
 
 
@@ -111,10 +117,12 @@ def fingerprint(col: str | Column) -> Column:
 PII_PATTERNS = {
     "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "IPV4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
-    # international (+CC ...) OR French-style national (0X xx xx xx xx) —
-    # the reference domain is French administrative data, so the dominant
-    # national format must not leak (reviewer finding)
-    "PHONE": r"(\+[0-9]{1,3}([ .-][0-9]{1,4}){2,5}|0[1-9]([ .-][0-9]{2}){4})",
+    # international (+CC ...) OR French-style national (0X xx xx xx xx,
+    # separators OPTIONAL — the unseparated 0612345678 is the dominant
+    # written form and a mandatory separator let it leak unredacted;
+    # review finding) — the reference domain is French administrative
+    # data, so the national format must not leak (reviewer finding)
+    "PHONE": r"(\+[0-9]{1,3}([ .-][0-9]{1,4}){2,5}|0[1-9]([ .-]?[0-9]{2}){4})",
 }
 
 

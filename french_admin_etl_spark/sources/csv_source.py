@@ -57,7 +57,14 @@ def read_csv_stream_shaped(
         .option("ignoreLeadingWhiteSpace", "true")
         .schema(with_corrupt)
         .csv(path)
-        .cache()
+        # one parse for both consumers, WITHOUT pinning executor storage
+        # for the session: a .cache() here had no unpersist path (only the
+        # two filtered children are returned), so every dead-letter call
+        # leaked one cached copy of the parsed file until session end
+        # (review finding). localCheckpoint blocks are ContextCleaner-
+        # tracked — reclaimed when the frames are garbage-collected (the
+        # same fix as the LSH banded cache, round-5 session 7).
+        .localCheckpoint(eager=False)
     )
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")

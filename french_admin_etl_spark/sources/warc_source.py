@@ -73,22 +73,45 @@ def _gzip_chunks(data: bytes, chunk: int = 1 << 20) -> Iterator[bytes]:
     ``.warc.gz`` layout, but a whole-file single member must ALSO stay
     bounded, so decompression never materializes the full archive.
     Raises ValueError on a truncated/corrupt member; everything yielded
-    before the raise came from intact members and stands."""
-    pos = 0
-    while pos < len(data):
+    before the raise came from intact members and stands.
+
+    INPUT is fed in bounded windows too (review finding, measured):
+    feeding the whole remaining buffer per call made zlib copy the full
+    remaining tail into ``unconsumed_tail`` on every output chunk —
+    total memcpy QUADRATIC in archive size (tens of TB of copying for a
+    1 GiB archive). With ≤ ``chunk``-sized input windows the tail copy
+    is bounded and total work is O(archive)."""
+    view = memoryview(data)
+    n = len(data)
+    pos = 0  # next unfed input offset
+    pending = b""  # fed-but-unconsumed input (always < chunk window)
+    while pending or pos < n:
         d = zlib.decompressobj(wbits=31)
-        piece = d.decompress(data[pos:], chunk)
-        yield piece
-        while not d.eof:
-            tail = d.unconsumed_tail
-            if not tail:
-                raise ValueError("truncated gzip member in WARC")
-            yield d.decompress(tail, chunk)
-        yield d.flush()
-        consumed = (len(data) - pos) - len(d.unused_data)
+        consumed = 0
+        while True:
+            if not pending:
+                if pos >= n:
+                    raise ValueError("truncated gzip member in WARC")
+                pending = bytes(view[pos : pos + chunk])
+                pos += len(pending)
+            before = len(pending)
+            piece = d.decompress(pending, chunk)
+            pending = d.unconsumed_tail
+            consumed += before - len(pending)
+            if piece:
+                yield piece
+            if d.eof:
+                break
+        tail = d.flush()
+        if tail:
+            yield tail
+        # post-member bytes within the fed window start the next member
+        # (unconsumed_tail is empty once eof is reached)
+        leftover = d.unused_data + pending
+        consumed -= len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member consumed no input")
-        pos += consumed
+        pending = leftover
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -100,7 +123,14 @@ def _dechunk(body: bytes) -> bytes:
         if nl < 0:
             raise ValueError("chunked body: missing size line")
         size_tok = body[pos:nl].split(b";", 1)[0].strip()
-        size = int(size_tok, 16)  # ValueError propagates = malformed
+        # strict hex only: int(x, 16) also accepts '+', '-', '_' and
+        # unicode digits — a NEGATIVE size skipped backward over the size
+        # line and decoded a malformed body "successfully" with silently
+        # dropped content instead of dead-lettering (review finding,
+        # reproduced with b'-2')
+        if not size_tok or any(c not in b"0123456789abcdefABCDEF" for c in size_tok):
+            raise ValueError("chunked body: malformed chunk size")
+        size = int(size_tok, 16)
         pos = nl + 2
         if size == 0:
             return bytes(out)  # trailers (if any) are ignored
@@ -160,7 +190,14 @@ def _parse_http_payload(body: bytes):
             data = payload
             while data:
                 d = zlib.decompressobj(wbits=31)
-                out += d.decompress(data, _HTTP_BODY_CAP - len(out))
+                remaining = _HTTP_BODY_CAP - len(out)
+                if remaining <= 0:
+                    # guard BEFORE the call: max_length=0 means UNLIMITED
+                    # to zlib, so a body whose earlier members decoded to
+                    # exactly the cap would decompress a follow-on bomb
+                    # member without bound (review finding, verified)
+                    raise ValueError("gzip body exceeds the decode cap")
+                out += d.decompress(data, remaining)
                 if d.unconsumed_tail:
                     raise ValueError("gzip body exceeds the decode cap")
                 if not d.eof:
@@ -390,14 +427,18 @@ def warc_documents(
     from pyspark.sql import functions as F
 
     recs = read_warc(spark, path, payload_limit=payload_limit)
-    http_base = F.trim(F.split(F.col("http_content_type"), ";").getItem(0))
-    warc_base = F.trim(F.split(F.col("warc_content_type"), ";").getItem(0))
+    # media types compare case-insensitively (RFC 9110 §8.3.1): real
+    # crawl servers emit 'Text/HTML' etc., which a case-sensitive isin
+    # silently dropped from the corpus (review finding)
+    wanted = [t.lower() for t in text_types]
+    http_base = F.lower(F.trim(F.split(F.col("http_content_type"), ";").getItem(0)))
+    warc_base = F.lower(F.trim(F.split(F.col("warc_content_type"), ";").getItem(0)))
     is_http_text = (
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-        & http_base.isin(*text_types)
+        & http_base.isin(*wanted)
     )
-    is_wet_text = (F.col("warc_type") == "conversion") & warc_base.isin(*text_types)
+    is_wet_text = (F.col("warc_type") == "conversion") & warc_base.isin(*wanted)
     return (
         recs.where(F.col("error").isNull())
         .where(is_http_text | is_wet_text)

@@ -176,3 +176,33 @@ def test_lsh_banded_cache_bounded_to_one(spark):
         assert len(_BANDED_CACHE) == 1
         n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         assert n_cached <= 1, f"leaked {n_cached} cached frames"
+
+
+def test_mean_token_len_counts_all_whitespace(spark):
+    """Review finding: mean_token_len subtracted only ASCII spaces while
+    tokens split on \\s+ — 'a\\nb\\nc' read 5/3 instead of 1."""
+    from french_admin_etl_spark.functions.text import quality_features
+
+    df = spark.createDataFrame([("a\nb\nc",), ("aa\tbb  cc\r\ndd",)], "text string")
+    feats = quality_features("text")
+    got = df.select(
+        feats["mean_token_len"].alias("mtl"), feats["n_tokens"].alias("nt")
+    ).collect()
+    assert got[0]["nt"] == 3 and abs(got[0]["mtl"] - 1.0) < 1e-9
+    assert got[1]["nt"] == 4 and abs(got[1]["mtl"] - 2.0) < 1e-9
+
+
+def test_redact_pii_unseparated_french_number(spark):
+    """Review finding: the FR national pattern required a separator
+    between every digit pair, so the dominant written form 0612345678
+    leaked unredacted."""
+    from french_admin_etl_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("appelez 0612345678 svp",), ("tel: 06 12 34 56 78 ok",)], "t string"
+    )
+    got = df.select(redact_pii("t").alias("r")).collect()
+    assert all("<PHONE>" in r["r"] for r in got)
+    assert all("0612345678" not in r["r"] for r in got)
+    n = df.select(pii_counts("t")["n_phone"].alias("n")).collect()
+    assert [r["n"] for r in n] == [1, 1]

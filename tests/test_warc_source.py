@@ -336,3 +336,91 @@ def test_truncated_and_multimember_http_bodies():
         _resp(b"Transfer-Encoding: chunked\r\n", bad, "ck"), "t.warc"
     ))
     assert rows[0]["error"] is not None and "terminator" in rows[0]["error"]
+
+
+def test_gzip_chunks_windowed_input_members_straddle_windows():
+    """Review finding: feeding the whole remaining buffer per decompress
+    call made zlib re-copy the full tail into unconsumed_tail per output
+    chunk — O(archive^2) memcpy. The windowed rewrite must still decode
+    members exactly, including members far smaller AND far larger than
+    one input window, member boundaries mid-window, and trailing
+    truncation."""
+    import gzip as _gzip
+
+    import numpy as np
+    import pytest as _pytest
+
+    from french_admin_etl_spark.sources.warc_source import _gzip_chunks
+
+    rng = np.random.default_rng(3)
+    parts = [
+        rng.integers(0, 256, 37, dtype=np.uint8).tobytes(),        # tiny
+        rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes(),   # >> window
+        b"",                                                        # empty member
+        rng.integers(0, 256, 5_000, dtype=np.uint8).tobytes(),
+    ]
+    archive = b"".join(_gzip.compress(p) for p in parts)
+    # window far smaller than the archive exercises every straddle path
+    got = b"".join(_gzip_chunks(archive, chunk=1000))
+    assert got == b"".join(parts)
+    # default window too
+    assert b"".join(_gzip_chunks(archive)) == b"".join(parts)
+
+    with _pytest.raises(ValueError, match="truncated gzip member"):
+        list(_gzip_chunks(archive[:-7], chunk=1000))
+
+
+def test_http_gzip_cap_exact_boundary_not_unlimited(monkeypatch):
+    """Review finding: when decoded output reached EXACTLY the cap,
+    max_length=0 was passed to zlib — which means UNLIMITED — so a
+    follow-on bomb member decompressed without bound."""
+    import gzip as _gzip
+
+    from french_admin_etl_spark.sources import warc_source as ws
+
+    monkeypatch.setattr(ws, "_HTTP_BODY_CAP", 100)
+    first = _gzip.compress(b"x" * 100)  # decodes to exactly the cap
+    bomb = _gzip.compress(b"\x00" * 50_000)
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + first + bomb
+    )
+    status, ctype, payload, err = ws._parse_http_payload(body)
+    assert status == 200
+    assert err is not None and "decode cap" in err
+
+
+def test_dechunk_rejects_non_hex_and_negative_sizes():
+    """Review finding (reproduced): int(size_tok, 16) accepted '-2',
+    which skipped backward and decoded a malformed chunked body
+    'successfully' with silently dropped content."""
+    import pytest as _pytest
+
+    from french_admin_etl_spark.sources.warc_source import _dechunk
+
+    assert _dechunk(b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+    # (surrounding whitespace is stripped before validation — that
+    # leniency predates this fix and is harmless; signs/underscores are
+    # the resync hazard)
+    for bad in (b"-2", b"+3", b"1_0", b""):
+        with _pytest.raises(ValueError, match="malformed chunk size"):
+            _dechunk(b"3\r\nabc\r\n" + bad + b"\r\n0\r\n\r\n")
+
+
+def test_warc_documents_content_type_case_insensitive(spark, tmp_path):
+    """Review finding: media types compare case-insensitively (RFC 9110)
+    — 'Text/HTML' responses were silently dropped from the bridge."""
+    rec = _record(
+        "response",
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:cc>",
+         "WARC-Date": "2026-08-20T00:00:09Z",
+         "WARC-Target-URI": "http://example.org/cased",
+         "Content-Type": "application/http; msgtype=response"},
+        _http_response(200, "Text/HTML; charset=UTF-8", b"<html>cased</html>"),
+    )
+    p = tmp_path / "cased.warc"
+    p.write_bytes(rec)
+    from french_admin_etl_spark.sources.warc_source import warc_documents
+
+    rows = warc_documents(spark, str(p)).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "<html>cased</html>"
