@@ -237,8 +237,15 @@ class LakeTable:
 
     @classmethod
     def exists(cls, root: str) -> bool:
+        # require a COMMITTED snapshot (v*.json): a crash between the
+        # commit tmp write and its unlink leaves 'v...json.<hex>.tmp',
+        # which a bare startswith('v') counted as an existing table —
+        # exists() True while current_version() raises, wedging every
+        # create-if-not-exists caller (review finding)
         meta = os.path.join(root, "_meta")
-        return os.path.isdir(meta) and any(f.startswith("v") for f in os.listdir(meta))
+        return os.path.isdir(meta) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(meta)
+        )
 
     def _version_path(self, v: int) -> str:
         return os.path.join(self._meta_dir, f"v{v:08d}.json")
@@ -1575,6 +1582,14 @@ class LakeTable:
             ):
                 raise ValueError(f"additive column {c!r} must be numeric, is {phys[c].dataType}")
 
+        # align KEY types to the table schema like every other write path
+        # (_align_source_types casts data columns too — harmless, the
+        # select below re-casts): an unaligned key is hashed by the
+        # SOURCE type, xxhash64 is type-sensitive, so the increment lands
+        # in a bucket reads never look in AND the parquet carries the
+        # wrong physical type (review finding — merge()/overwrite()/
+        # Branch.merge all align; this path skipped it)
+        deltas = self._align_source_types(deltas, snap)
         delta = deltas.select(
             *[F.col(k) for k in keys],
             *[F.col(c).cast(phys[c].dataType).alias(c) for c in data_cols],
@@ -1590,53 +1605,21 @@ class LakeTable:
         rows = sum(g["rows"] for g in groups)
         for g in groups:
             g["delta"] = True
-
-        # same bounded rebase-retry as the MOR delta append: increments are
-        # independent of target state, so a conflicting commit just rebases
-        # the staged groups onto the newest snapshot
-        for attempt in range(10):
-            snap = self.snapshot()
-            if batch_id is not None:
-                fence = snap["properties"].get(fence_key)
-                if fence is not None and batch_id <= fence:
-                    return MergeStats(batch_id, snap["version"], 0, 0, 0, fenced=True)
-            nb, delta, regrouped = self._restage_on_layout_change(snap, nb, delta, keys, sv)
-            if regrouped is not None:
-                groups = regrouped
-                rows = sum(g["rows"] for g in groups)
-            for g in groups:
-                g["seq"] = snap["version"] + 1
-            new_groups = sorted(snap["file_groups"] + groups, key=lambda g: g["bucket"])
-            props = dict(snap["properties"])
-            if batch_id is not None:
-                props[fence_key] = batch_id
-            for k, v in (extra_properties or {}).items():
-                props[k] = v
-            new = dict(snap)
-            new.update(
-                version=snap["version"] + 1,
-                file_groups=new_groups,
-                properties=props,
-                parent=snap["version"],
-            )
-            try:
-                self._commit(new)
-                break
-            except CommitConflict:
-                if attempt == 9:
-                    raise
-        stats = MergeStats(batch_id, new["version"], rows, 0, len(groups))
-        threshold = int(props.get("compact.max-delta-files", 8))
-        from collections import Counter
-
-        counts = Counter(g["bucket"] for g in new_groups if g.get("delta"))
-        over = [b for b, c in counts.items() if c >= threshold]
-        if over:
-            try:
-                self.compact(buckets=over)
-            except CommitConflict:
-                pass  # best-effort maintenance, fenced commit already landed
-        return stats
+        # ONE fenced rebase-retry + auto-compaction implementation
+        # (_mor_commit): this path previously copy-pasted the whole
+        # ~40-line loop, the exact drift _restage_on_layout_change was
+        # extracted to prevent (review finding)
+        staged = {
+            "groups": groups,
+            "delta": delta,
+            "keys": keys,
+            "nb": nb,
+            "sv": sv,
+            "coalesce": False,
+            "upserts": rows,
+            "deletes": 0,
+        }
+        return self._mor_commit(staged, batch_id, extra_properties, fence_key)
 
     def delete_where(
         self,
@@ -2031,6 +2014,15 @@ class LakeTable:
             | {cur["version"] + 1}
         )
         props["restore.versions"] = json.dumps(restores)
+        # clone registrations are LIFECYCLE markers, not state: a clone
+        # registered after the restore target was committed must keep its
+        # vacuum protection across the rollback, or the next maintenance
+        # trio deletes the source files it still references (review
+        # finding — same carried-forward-marker rationale as
+        # restore.versions just above; vacuum deregisters stale ones)
+        for k, v in cur["properties"].items():
+            if k.startswith("clone.outstanding."):
+                props[k] = v
         new.update(
             version=cur["version"] + 1,
             parent=cur["version"],
@@ -2087,8 +2079,13 @@ class LakeTable:
                     files.append(rel)
                 g["files"] = files
             else:
+                # abspath, not just join: a source opened with a RELATIVE
+                # root would store relative references, which fail
+                # vacuum_orphans' isabs() protection test — the clone
+                # would be deregistered as stale and its files vacuumed
+                # (review finding; the docstring promises absolute paths)
                 g["files"] = [
-                    f if os.path.isabs(f) else os.path.join(self.root, f)
+                    f if os.path.isabs(f) else os.path.abspath(os.path.join(self.root, f))
                     for f in g["files"]
                 ]
             groups.append(g)
@@ -2225,10 +2222,21 @@ class LakeTable:
         sv = snap["schema_version"]
         schema = T.StructType.fromJson(snap["schemas"][str(sv)])
         fields = list(schema.fields)
+        # reserved physical names: a logical column named _lsn/_deleted/
+        # _bucket would duplicate _schema_at's appended internal fields
+        # and every read would raise AMBIGUOUS_REFERENCE — the commit
+        # would brick the table (review finding)
+        reserved = set(INTERNAL_COLS) | {"_bucket"}
+
+        def check_new_name(name: str) -> None:
+            if any(f.name == name for f in fields):
+                raise ValueError(f"column {name} exists")
+            if name in reserved:
+                raise ValueError(f"column name {name!r} is reserved (internal)")
+
         for op in ops:
             if op.action == "add_column":
-                if any(f.name == op.name for f in fields):
-                    raise ValueError(f"column {op.name} exists")
+                check_new_name(op.name)
                 fields.append(T.StructField(op.name, _parse_type(op.type), True))
             elif op.action == "widen":
                 idx = _field_index(fields, op.name)
@@ -2248,6 +2256,10 @@ class LakeTable:
                 idx = _field_index(fields, op.from_name)
                 if op.from_name in snap["key_cols"]:
                     raise ValueError("cannot rename a key column")
+                # renaming ONTO an existing column would commit a schema
+                # with two same-named fields — permanently unreadable
+                # (review finding, same class as the reserved names)
+                check_new_name(op.to_name)
                 fields[idx] = T.StructField(op.to_name, fields[idx].dataType, True)
             else:
                 raise ValueError(f"unknown schema op {op.action}")
@@ -2317,6 +2329,19 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         vs = self._versions()
         expired = vs[:-keep_last] if len(vs) > keep_last else []
+        # an open WAP branch pins its parent snapshot: every branch
+        # operation time-travels to it, so expiring it strands the staged
+        # batches behind FileNotFoundError (review finding — the same
+        # branch-awareness vacuum_orphans already has for staged FILES)
+        pinned: set[int] = set()
+        for fname in os.listdir(self._meta_dir):
+            if fname.startswith("branch-") and fname.endswith(".json"):
+                try:
+                    with open(os.path.join(self._meta_dir, fname)) as fh:
+                        pinned.add(int(json.load(fh)["parent_version"]))
+                except (FileNotFoundError, KeyError, ValueError):
+                    continue  # published/dropped mid-listing, or malformed
+        expired = [v for v in expired if v not in pinned]
         removed = 0
         for v in expired:
             try:

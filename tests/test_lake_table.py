@@ -499,3 +499,130 @@ def test_prune_fences_drops_retired_namespaces(spark, tmp_root):
     v = t.current_version()
     assert t.prune_fences("last_batch_id.w.stream.") == 0
     assert t.current_version() == v
+
+
+def test_merge_add_aligns_key_types(spark, tmp_root):
+    """Review finding: merge_add never aligned KEY types — an int-typed
+    key hashed to a different bucket than the table's bigint rows and
+    wrote the wrong physical parquet type."""
+    import os
+
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "addkeys"),
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("cnt", T.LongType())]
+        ),
+        ["k"],
+        num_buckets=4,
+        write_mode="mor",
+        properties={"resolution": "additive"},
+    )
+    t.merge_add(spark.createDataFrame([(7, 2)], "k long, cnt long"), batch_id=0)
+    # INT-typed key for the same logical key 7: must fold into the SAME
+    # row, not fork into a different bucket
+    t.merge_add(spark.createDataFrame([(7, 3)], "k int, cnt long"), batch_id=1)
+    rows = t.read().collect()
+    assert {(r["k"], r["cnt"]) for r in rows} == {(7, 5)}
+
+
+def test_evolve_rejects_collisions_and_reserved_names(spark, table):
+    """Review finding: renaming onto an existing column (or adding a
+    reserved internal name) committed a schema every read chokes on."""
+    with pytest.raises(ValueError, match="exists"):
+        table.evolve([SchemaOp("rename_column", from_name="content", to_name="path")])
+    with pytest.raises(ValueError, match="reserved"):
+        table.evolve([SchemaOp("add_column", name="_lsn", type="bigint")])
+    with pytest.raises(ValueError, match="reserved"):
+        table.evolve([SchemaOp("rename_column", from_name="content", to_name="_deleted")])
+    # table still intact and evolvable after the refusals
+    table.evolve([SchemaOp("add_column", name="lang", type="string")])
+    assert "lang" in [f.name for f in table.read().schema.fields]
+
+
+def test_restore_preserves_clone_registration(spark, tmp_root):
+    """Review finding: restore() rebuilt properties from the target
+    snapshot, silently dropping clone.outstanding.* markers — the next
+    maintenance trio would vacuum files an outstanding shallow clone
+    still references."""
+    import os
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "rsrc"), SCHEMA, ["repo", "path"], num_buckets=2
+    )
+    t.merge(_src(spark, [(1, "I", "a", "f", "v1")]), batch_id=0)
+    v_pre = t.current_version()
+    t.merge(_src(spark, [(2, "I", "b", "g", "w1")]), batch_id=1)
+    t.clone(os.path.join(tmp_root, "rclone"))  # registers on the source
+    assert t.clones()
+    t.restore(v_pre)
+    assert t.clones(), "restore dropped the clone registration"
+    # and vacuum still protects the clone's referenced files
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum_orphans(min_age_sec=0)
+    clone = LakeTable(spark, os.path.join(tmp_root, "rclone"))
+    assert {r["repo"] for r in clone.read().collect()} == {"a", "b"}
+
+
+def test_expire_snapshots_spares_branch_parent(spark, tmp_root):
+    """Review finding: expiring the snapshot an open WAP branch is
+    pinned to stranded its staged batches behind FileNotFoundError."""
+    import os
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "bexp"), SCHEMA, ["repo", "path"],
+        num_buckets=2, write_mode="mor",
+    )
+    t.merge(_src(spark, [(1, "I", "a", "f", "v1")]), batch_id=0)
+    br = t.branch("audit")
+    br.merge(_src(spark, [(2, "I", "b", "g", "w1")]), batch_id=0)
+    pinned = br._load()["parent_version"]
+    for i in range(6):  # main advances well past keep_last
+        t.merge(_src(spark, [(10 + i, "U", "a", "f", f"v{i}")]), batch_id=1 + i)
+    t.expire_snapshots(keep_last=2)
+    assert pinned in t._versions(), "branch parent snapshot was expired"
+    assert {r["repo"] for r in br.read().collect()} == {"a", "b"}
+    br.drop()
+    # with the branch gone the pin is released
+    t.expire_snapshots(keep_last=2)
+    assert pinned not in t._versions()
+
+
+def test_clone_from_relative_root_stores_absolute_refs(spark, tmp_root, monkeypatch):
+    """Review finding: a source opened with a RELATIVE root produced
+    relative clone references, which fail vacuum's isabs() protection
+    test — the clone was deregistered and its files vacuumed."""
+    import os
+
+    # write through an ABSOLUTE handle (Spark's JVM resolves write paths
+    # against its own cwd, not pytest's), then CLONE through a relative
+    # one — the python-side path handling under test
+    abs_root = os.path.join(tmp_root, "relsrc")
+    t_abs = LakeTable.create(spark, abs_root, SCHEMA, ["repo", "path"], num_buckets=2)
+    t_abs.merge(_src(spark, [(1, "I", "a", "f", "v1")]), batch_id=0)
+    monkeypatch.chdir(tmp_root)
+    t_rel = LakeTable(spark, "relsrc")
+    clone = t_rel.clone(os.path.join(tmp_root, "relclone"))
+    snap = clone.snapshot()
+    refs = [f for g in snap["file_groups"] for f in g["files"]]
+    assert refs and all(os.path.isabs(f) for f in refs)
+    # maintenance on the source must keep protecting the clone
+    t_abs.merge(_src(spark, [(2, "U", "a", "f", "v2")]), batch_id=1)
+    t_abs.compact()
+    t_abs.expire_snapshots(keep_last=1)
+    t_abs.vacuum_orphans(min_age_sec=0)
+    assert _state(clone) == {("a", "f"): "v1"}
+
+
+def test_exists_ignores_commit_tmp_files(tmp_root):
+    """Review finding: a crash-leftover v00000001.json.<hex>.tmp made
+    exists() True while current_version() raises."""
+    import os
+
+    root = os.path.join(tmp_root, "ghost")
+    os.makedirs(os.path.join(root, "_meta"))
+    open(os.path.join(root, "_meta", "v00000001.json.deadbeef.tmp"), "w").close()
+    assert not LakeTable.exists(root)
+    open(os.path.join(root, "_meta", "v00000001.json"), "w").close()
+    assert LakeTable.exists(root)
