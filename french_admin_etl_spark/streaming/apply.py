@@ -203,11 +203,9 @@ class CDCApplyJob:
             if self.use_pandas_sha
             else F.when(F.col("content").isNotNull(), content_sha("content"))
         )
+        snap = self.table.snapshot()  # once: listdir + full JSON parse per call
         logical = [
-            f["name"]
-            for f in self.table.snapshot()["schemas"][str(self.table.snapshot()["schema_version"])][
-                "fields"
-            ]
+            f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
         ]
         cols = [F.col("lsn"), F.col("op")]
         for c in logical:
@@ -381,14 +379,15 @@ class CDCApplyJob:
     ) -> None:
         """Per-bucket lineage: LSN range + op counts (§1.5; the structured
         version of csv_processor.go:131's throughput log line)."""
+        from french_admin_etl_spark.table.lake_table import _bucket_expr
+
         snap = self.table.snapshot()
         nb = snap["num_buckets"]
         lineage = (
-            valid.groupBy(
-                F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(nb))
-                .cast("int")
-                .alias("partition_id")
-            )
+            # the table's OWN bucket expression — an inline twin would
+            # silently drift from real bucket ids if routing ever changed
+            # (review finding)
+            valid.groupBy(_bucket_expr(self.keys, nb).alias("partition_id"))
             .agg(
                 F.min("lsn").alias("lsn_min"),
                 F.max("lsn").alias("lsn_max"),

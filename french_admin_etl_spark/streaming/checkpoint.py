@@ -25,11 +25,29 @@ class CheckpointStore:
             return json.load(fh)
 
     def save(self, state: dict) -> None:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        d = os.path.dirname(self.path)
+        if d:  # a bare filename has no directory to create (review
+            # finding: os.makedirs('') raises FileNotFoundError)
+            os.makedirs(d, exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
+            # fsync BEFORE the rename: with delayed allocation a power
+            # loss shortly after os.replace can journal the rename ahead
+            # of the data blocks, leaving a torn/empty checkpoint that
+            # wedges every restart on JSONDecodeError — the exact failure
+            # the atomic-replace claim is supposed to close (review
+            # finding). The directory entry is then flushed too so the
+            # rename itself survives.
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self.path)  # atomic on POSIX
+        if d:
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
 
 
 def stream_fence_uid(checkpoint_dir: str) -> str:

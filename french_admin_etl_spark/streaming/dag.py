@@ -112,6 +112,24 @@ class FKViolation(AssertionError):
     pass
 
 
+def _dl_partition_rows(dead_letter_dir: str | None, batch_id: int) -> int:
+    """Row count of a batch's dead-letter partition straight from the
+    parquet footers — driver-side file metadata, no Spark job. 0 when the
+    sink is unconfigured or the partition is absent."""
+    if not dead_letter_dir:
+        return 0
+    part = os.path.join(dead_letter_dir, f"batch_id={batch_id}")
+    if not os.path.isdir(part):
+        return 0
+    import pyarrow.parquet as pq
+
+    total = 0
+    for fname in os.listdir(part):
+        if fname.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(part, fname)).metadata.num_rows
+    return total
+
+
 class DagApplyJob:
     def __init__(
         self,
@@ -469,7 +487,14 @@ class DagApplyJob:
                 # rewrite any missing per-batch audit partition from the
                 # replayed window; one extra job only on crash replay
                 self._audit_backfill(job, typed[name], batch_id, stats)
-                res.tables[name] = BatchResult(batch_id, n_events, 0, stats, 0, 0)
+                # real reject count from the dead-letter partition's
+                # parquet footers (driver-side, no job): hardcoding 0 on
+                # a fenced replay undercounted monitoring on exactly the
+                # crash-recovery runs an operator scrutinizes (review
+                # finding); without a dead-letter sink there is no record
+                # to recover and 0 stands
+                n_rej = _dl_partition_rows(job.dead_letter_dir, batch_id)
+                res.tables[name] = BatchResult(batch_id, n_events, n_rej, stats, 0, 0)
                 continue
             work.append((name, job, snap, fence_key, n_events))
         if not work:
@@ -841,7 +866,6 @@ class DagApplyJob:
         if not self.quarantine_dir:
             return
         import json
-        import os
 
         os.makedirs(self.quarantine_dir, exist_ok=True)
         path = os.path.join(
@@ -859,13 +883,16 @@ class DagApplyJob:
                 },
                 fh,
             )
+            # a torn record silently loses the skipped window's replay
+            # identity (same fsync-before-rename rule as CheckpointStore)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path)
 
     def quarantined(self) -> list[dict]:
         """The standing quarantine records, oldest window first."""
         import glob
         import json
-        import os
 
         if not self.quarantine_dir or not os.path.isdir(self.quarantine_dir):
             return []
@@ -908,8 +935,6 @@ class DagApplyJob:
         re-runs the same namespace and fences to no-ops). A clean re-apply
         deletes the record; a window that still violates keeps it (and
         re-records under ``on_violation='record'``)."""
-        import os
-
         results: list[WindowResult] = []
         for rec in self.quarantined():
             window = log.lsn_range(rec["lo"], rec["hi"])
@@ -1070,8 +1095,6 @@ class DagApplyJob:
         parents before children; out-of-order EVENTS inside a segment are
         fine (LSN-guarded merge), out-of-order SEGMENTS are a producer
         bug this driver surfaces as an FKViolation rather than hiding."""
-        import os
-
         from french_admin_etl_spark.streaming.checkpoint import stream_fence_uid
 
         stream_uid = stream_fence_uid(checkpoint_dir)

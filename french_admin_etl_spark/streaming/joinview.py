@@ -277,11 +277,10 @@ class JoinView:
             up = self._enrich(live, to_r).withColumn("op", F.lit("U"))
             parts.append(up)
         if deletes is not None:
+            vsnap = self.view.snapshot()  # once, not twice per comprehension
             vcols = [
                 f["name"]
-                for f in self.view.snapshot()["schemas"][
-                    str(self.view.snapshot()["schema_version"])
-                ]["fields"]
+                for f in vsnap["schemas"][str(vsnap["schema_version"])]["fields"]
             ]
             dd = deletes
             for c in vcols:
@@ -323,12 +322,17 @@ class JoinView:
 
     def _mark_synced(self, to_l: int, to_r: int, mode: str) -> dict:
         def mutate(props: dict) -> dict | None:
-            if int(props.get(self._synced_l, 0)) >= to_l and int(
-                props.get(self._synced_r, 0)
-            ) >= to_r:
+            cur_l = int(props.get(self._synced_l, 0))
+            cur_r = int(props.get(self._synced_r, 0))
+            if cur_l >= to_l and cur_r >= to_r:
                 return None  # a racing sync already advanced the markers
-            props[self._synced_l] = to_l
-            props[self._synced_r] = to_r
+            # per-marker MAX, never a blind set: a racing sync that read
+            # one side further ahead must not be REGRESSED by this one
+            # (review finding — both-behind guard + both-set write could
+            # record a mixed state matching no actual sync, forcing a
+            # wasted re-apply or a spurious resync next time)
+            props[self._synced_l] = max(cur_l, to_l)
+            props[self._synced_r] = max(cur_r, to_r)
             return props
 
         self.view.update_properties(mutate)

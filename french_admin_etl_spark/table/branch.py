@@ -70,6 +70,8 @@ class Branch:
         tmp = self._path + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # torn branch state loses staged refs
         os.replace(tmp, self._path)
 
     def _state(self) -> dict:

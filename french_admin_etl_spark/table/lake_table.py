@@ -286,6 +286,13 @@ class LakeTable:
         tmp = path + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             fh.write(payload)
+            # fsync before publishing: os.link makes the tmp's INODE the
+            # committed snapshot, and with delayed allocation a power
+            # loss can journal the link ahead of the data blocks — a
+            # torn v*.json bricks every subsequent read of the chain
+            # (same durability rule as CheckpointStore.save)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
             # os.link is atomic and fails if the target exists (POSIX) —
             # the optimistic-concurrency check and the commit in one syscall.

@@ -556,3 +556,13 @@ def test_audit_sinks_idempotent_across_replay(spark, tmp_root):
     assert sorted(r["_reject_reason"] for r in spark.read.parquet(dead).collect()) == dl1
     assert spark.read.parquet(lin).count() == lin1
     assert _sha_state(table) == state1
+
+
+def test_checkpoint_store_bare_filename(tmp_root, monkeypatch):
+    """Review finding: a checkpoint path with no directory component
+    crashed save() (os.makedirs('') raises)."""
+    monkeypatch.chdir(tmp_root)
+    ck = CheckpointStore("bare_ckpt.json")
+    assert ck.load() is None
+    ck.save({"batch_id": 3, "next_lsn": 100})
+    assert ck.load() == {"batch_id": 3, "next_lsn": 100}

@@ -1326,10 +1326,15 @@ def test_dag_fast_path_audit_idempotent_and_backfilled(spark, tmp_root):
     # the partition is gone, the fence is advanced
     shutil.rmtree(lin_part)
     os.remove(ck)
-    dag.run_incremental(log, CheckpointStore(ck), batch_lsns=10**9)
+    replay = dag.run_incremental(log, CheckpointStore(ck), batch_lsns=10**9)
     assert spark.read.parquet(dl_dir).count() == 1  # no duplicate rejects
     assert os.path.isdir(lin_part)  # lineage backfilled by the fenced replay
     assert spark.read.parquet(lin_dir).count() == lin_before
+    # the fenced replay's result reports the REAL reject count from the
+    # dead-letter partition, not a hardcoded 0 (review finding: crash
+    # replays undercounted monitoring on exactly the runs that matter)
+    assert replay[0].tables["commune"].n_rejects == 1
+    assert replay[0].tables["commune"].merge.fenced
 
 
 def test_deep_fk_check_large_parent_shuffle_joins(spark, tmp_root):

@@ -386,3 +386,37 @@ def test_composition_aggview_over_joinview(spark, tmp_root):
     jv.sync()
     av.sync()
     assert rollup() == {"NORD": (1, 100), "SUD": (1, 200)}
+
+
+def test_mark_synced_never_regresses_markers(spark, tmp_root):
+    """Review finding: the empty-window marker advance wrote BOTH markers
+    unconditionally once either was behind — a racing sync that had read
+    one side further ahead was REGRESSED to a mixed state matching no
+    actual sync."""
+    import os
+
+    from french_admin_etl_spark.table.lake_table import LakeTable
+
+    left = LakeTable.create(
+        spark, os.path.join(tmp_root, "ml"), 
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("fk", T.StringType())]),
+        ["id"], num_buckets=2, write_mode="mor",
+    )
+    right = LakeTable.create(
+        spark, os.path.join(tmp_root, "mr"),
+        T.StructType([T.StructField("code", T.StringType()), T.StructField("label", T.StringType())]),
+        ["code"], num_buckets=2, write_mode="mor",
+    )
+    jv = JoinView.create(
+        spark, left, right, os.path.join(tmp_root, "mv"),
+        on=[("fk", "code")], select={"label": "label"},
+    )
+    # simulate the racing sync having advanced left to 6 / right to 2
+    jv.view.update_properties(
+        lambda p: {**p, jv._synced_l: 6, jv._synced_r: 2}
+    )
+    jv._mark_synced(5, 3, "empty")  # this sync read (5, 3)
+    assert jv.synced_versions() == (6, 3)  # per-marker max, no regression
+    # fully-behind call is a pure no-op
+    jv._mark_synced(4, 1, "empty")
+    assert jv.synced_versions() == (6, 3)
